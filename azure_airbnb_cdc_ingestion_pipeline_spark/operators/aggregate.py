@@ -33,11 +33,15 @@ def gold_booking_aggregation(
     date_col: str = "booking_date",
     broadcast_dim: bool = True,
 ) -> DataFrame:
-    dim_side = dim.select(F.col(dim_key).alias("__k"), group_col)
+    # namespace the dim columns — the fact may carry same-named attributes
+    # (e.g. its own denormalized `country`)
+    dim_side = dim.select(
+        F.col(dim_key).alias("__k"), F.col(group_col).alias("__grp")
+    )
     if broadcast_dim:
         dim_side = F.broadcast(dim_side)
     joined = fact.join(dim_side, fact[fact_key] == dim_side["__k"], "inner")
-    return joined.groupBy(group_col).agg(
+    return joined.groupBy(F.col("__grp").alias(group_col)).agg(
         F.count(F.lit(1)).alias("total_bookings"),
         F.sum(F.coalesce(F.col(amount_col), F.lit(0.0))).alias("total_amount"),
         F.max(date_col).alias("last_booking_date"),

@@ -1,0 +1,101 @@
+"""LoadBookingFact — the CDC transform + gold refresh (speed layer).
+
+Reference entry point 3 (SURVEY §3.3): change feed → data flow
+(split → derive → lookup/alter-row → select → keyed upsert sink)
+→ stored-proc gold rebuild.
+- data flow:   /root/reference/dataflow/BookingDataTransformation.json:54-187
+- orchestration: /root/reference/pipeline/LoadBookingFact.json
+- gold proc:   /root/reference/synapse_table_creation.sql:71-88
+
+The lookup-join + alter-row(insert/update) + upsert-sink chain collapses
+into the keyed MERGE (operators.merge): whenMatchedUpdateAll ≡
+updateIf(not(isNull(lookup.key))), whenNotMatchedInsertAll ≡
+insertIf(isNull(lookup.key)) — same logical plan, one operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregate import gold_booking_aggregation
+from ..operators.derive import derive_booking_columns
+from ..operators.split import conditional_split
+from ..schemas import BOOKING_DOC_SCHEMA
+from ..sources.tables import ParquetTable
+from ..streaming.cdc import read_change_feed, run_foreach_batch_merge
+
+def _quality_pred():
+    # The reference compares the STRING dates lexicographically
+    # (dataflow/…:96 — correct for ISO yyyy-MM-dd); keep that exact predicate.
+    return F.col("check_out_date") < F.col("check_in_date")
+
+
+FACT_KEYS = ["booking_id"]
+FACT_ORDER = ["timestamp"]
+
+
+def transform_bookings(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """split(quality gate) → derive: returns (fact_rows, rejected_rows).
+    Predicate-true rows (impossible bookings) route to the FIRST stream."""
+    bad, good = conditional_split(raw, _quality_pred())
+    return derive_booking_columns(good), bad
+
+
+def process_booking_batch(
+    batch: DataFrame,
+    fact: ParquetTable,
+    quarantine: ParquetTable,
+    dim: DataFrame | None = None,
+    gold: ParquetTable | None = None,
+) -> None:
+    """One micro-batch: quarantine bad rows, MERGE good rows into the fact
+    (latest-per-booking_id wins), then rebuild gold if a dim is wired."""
+    derived, rejected = transform_bookings(batch)
+    if not rejected.isEmpty():
+        if quarantine.exists():
+            quarantine.overwrite(quarantine.read().unionByName(rejected))
+        else:
+            quarantine.overwrite(rejected)
+    fact.upsert(derived, keys=FACT_KEYS, order_by=FACT_ORDER)
+    if dim is not None and gold is not None:
+        result = gold_booking_aggregation(fact.read(), dim)
+        gold.overwrite(result)
+
+
+def load_booking_fact_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    fact: ParquetTable,
+    quarantine: ParquetTable,
+    checkpoint_dir: str,
+    dim: DataFrame | None = None,
+    gold: ParquetTable | None = None,
+    available_now: bool = True,
+):
+    """Streaming entry: drain the change-feed landing dir through the merge
+    (exactly-once via checkpoint + idempotent merge)."""
+    stream = read_change_feed(spark, landing_dir, BOOKING_DOC_SCHEMA)
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        process_booking_batch(batch_df, fact, quarantine, dim=dim, gold=gold)
+
+    q = run_foreach_batch_merge(
+        stream, _process, checkpoint_dir, available_now=available_now
+    )
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
+def load_booking_fact_batch(
+    spark: SparkSession,
+    landing_dir: str,
+    fact: ParquetTable,
+    quarantine: ParquetTable,
+    dim: DataFrame | None = None,
+    gold: ParquetTable | None = None,
+) -> None:
+    """Batch variant (one-shot backfill of the whole landing dir)."""
+    raw = spark.read.schema(BOOKING_DOC_SCHEMA).json(landing_dir)
+    process_booking_batch(raw, fact, quarantine, dim=dim, gold=gold)

@@ -1,0 +1,66 @@
+"""Structured-Streaming CDC: the speed layer.
+
+Reference behavior being reproduced
+(/root/reference/dataflow/BookingDataTransformation.json:55-72,
+/root/reference/pipeline/LoadBookingFact.json:5-38, README.md:115-137):
+
+- incremental change-feed consumption with from-the-beginning backfill
+  → file-stream source over a JSON landing directory, ``availableNow``
+  trigger for the hourly-drain pattern (``processingTime`` for continuous);
+- continuation-token checkpointing (customizedCheckpointKey)
+  → ``checkpointLocation`` (WAL; restart resumes exactly where it left);
+- "exactly-once" into the warehouse → idempotent keyed MERGE per
+  micro-batch: replaying a batch re-applies the same latest-per-key
+  rows, a no-op on the merged state (tested);
+- late/out-of-order data → no watermark needed for parity: the keyed
+  merge is latest-timestamp-wins per booking_id (§2.7).
+
+Scale: each micro-batch shuffles only its own (small) data for the
+dedupe; the left-anti pass over the big fact table broadcasts the batch's
+keys, so the steady-state cost is one target scan per trigger — the same
+asymptotics as Delta MERGE without file pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+
+def read_change_feed(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Change-feed source analog: newline-JSON documents landing in a
+    directory, consumed incrementally (new files only, from the beginning
+    on first start)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(landing_dir)
+
+
+def run_foreach_batch_merge(
+    stream_df: DataFrame,
+    process_batch: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str = "10 seconds",
+) -> StreamingQuery:
+    """Drain ``stream_df`` through ``process_batch(batch_df, batch_id)``
+    with exactly-once checkpointing. ``available_now=True`` reproduces the
+    reference's hourly drain-then-stop trigger."""
+    writer = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
