@@ -1,0 +1,26 @@
+from .semistructured import json_get, parse_json
+from .text import (
+    bpe_ish_tokens,
+    detect_language,
+    fingerprint,
+    normalize_text,
+    quality_score,
+    shingles,
+    stopword_count,
+    token_count,
+    tokens,
+)
+
+__all__ = [
+    "bpe_ish_tokens",
+    "detect_language",
+    "fingerprint",
+    "json_get",
+    "normalize_text",
+    "parse_json",
+    "quality_score",
+    "shingles",
+    "stopword_count",
+    "token_count",
+    "tokens",
+]

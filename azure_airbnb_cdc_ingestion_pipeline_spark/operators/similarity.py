@@ -1,0 +1,199 @@
+"""Vector similarity search over embedding columns (`array<float>`).
+
+Charter extension: brute-force cosine top-k as the exact baseline, plus a
+random-hyperplane LSH-bucketed variant as the 100 TB scale path, and an
+embedding-cosine near-dup pair finder.
+
+Kernel choice: dot products run JVM-side via `F.zip_with` +
+`F.aggregate` — whole-stage-codegen arithmetic on the array columns, no
+Python in the loop. (An Arrow/pandas-UDF numpy-matmul kernel wins when k
+and the query set are large; the LSH bucketing below is the bigger lever
+because it removes the |corpus| factor per query.)
+
+Scale posture:
+- brute force = corpus-partition-parallel scan per query batch; queries
+  are broadcast (small side), so no corpus shuffle at all.
+- LSH = one pass to bucket the corpus (signature = sign bits of h fixed
+  hyperplane projections), then the search joins query buckets to corpus
+  buckets — only same-bucket candidates are scored. Multi-probe (flip one
+  bit) trades recall for fan-out without rebuilding the index.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """⟨a,b⟩ in double precision (left-fold sum, deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qv",
+    corpus_vec: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query vector.
+
+    The query side is broadcast (it is the small side by construction);
+    the corpus is scanned once, partition-parallel, with the per-partition
+    top-k folded by the ranking window. Self-matches (same id) excluded.
+    Returns (query_id, neighbor_id, cos, rank). Deterministic tie-break on
+    neighbor id.
+    """
+    from .windows import topk_per_group
+
+    scored = corpus.join(
+        F.broadcast(queries.select(query_id, query_vec)),
+        F.col(query_id) != F.col(corpus_id),
+    ).select(
+        F.col(query_id),
+        F.col(corpus_id).alias("neighbor_id"),
+        F.round(cosine(F.col(query_vec), F.col(corpus_vec)), 4).alias("cos"),
+    )
+    ranked = topk_per_group(
+        scored,
+        [query_id],
+        # cos desc; -neighbor_id desc == neighbor_id asc (deterministic ties)
+        [F.col("cos"), -F.col("neighbor_id")],
+        k=k,
+        descending=True,
+        keep_rank=True,
+    )
+    return ranked.select(query_id, "neighbor_id", "cos", F.col("rn").alias("rank"))
+
+
+def cosine_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup: all pairs with cosine ≥ threshold.
+
+    Correctness baseline is the triangular product (a_id < b_id); at scale
+    wrap this with `lsh_bucket` pre-blocking (same-bucket pairs only) —
+    the verification kernel below is unchanged.
+    """
+    a = vectors.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (the ANN scale path)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int = 0xA11CE) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG-fed Box-Muller);
+    fixed across sessions so bucket assignments are reproducible."""
+    state = seed
+    def _next() -> float:
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        return (state >> 11) / float(1 << 53)  # uniform [0,1)
+
+    planes = []
+    for _ in range(num_planes):
+        v = []
+        while len(v) < dim:
+            u1, u2 = max(_next(), 1e-12), _next()
+            r = math.sqrt(-2.0 * math.log(u1))
+            v.append(r * math.cos(2 * math.pi * u2))
+            if len(v) < dim:
+                v.append(r * math.sin(2 * math.pi * u2))
+        n = math.sqrt(sum(x * x for x in v))
+        planes.append([x / n for x in v])
+    return planes
+
+
+def lsh_bucket(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    num_planes: int = 8,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Append the LSH bucket id: bit i = sign of ⟨v, plane_i⟩. 2^num_planes
+    buckets; cosine-close vectors collide with high probability."""
+    bucket: Column = F.lit(0)
+    for i, plane in enumerate(_hyperplanes(dim, num_planes)):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot(F.col(vec_col), p) >= 0, F.lit(1 << i)).otherwise(0)
+    return df.withColumn(bucket_col, bucket)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qv",
+    corpus_vec: str = "embedding",
+    k: int = 5,
+    num_planes: int = 8,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing the query's
+    LSH bucket (plus, with `multiprobe`, the num_planes buckets at Hamming
+    distance 1 — recall without index rebuild). The join is keyed on the
+    bucket id, so per-query work is the bucket occupancy, not |corpus|."""
+    from .windows import topk_per_group
+
+    c = lsh_bucket(corpus, corpus_vec, dim, num_planes)
+    q = lsh_bucket(queries, query_vec, dim, num_planes)
+    if multiprobe:
+        probes = F.array_union(
+            F.array(F.col("bucket")),
+            F.array(*[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)
+            ]),
+        )
+        q = q.select(query_id, query_vec, F.explode(probes).alias("bucket"))
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .select(
+            F.col(query_id),
+            F.col(corpus_id).alias("neighbor_id"),
+            F.round(cosine(F.col(query_vec), F.col(corpus_vec)), 4).alias("cos"),
+        )
+        .dropDuplicates([query_id, "neighbor_id"])
+    )
+    ranked = topk_per_group(
+        scored,
+        [query_id],
+        [F.col("cos"), -F.col("neighbor_id")],
+        k=k,
+        descending=True,
+        keep_rank=True,
+    )
+    return ranked.select(query_id, "neighbor_id", "cos", F.col("rn").alias("rank"))

@@ -1,0 +1,645 @@
+"""Charter-extension query catalog: text analysis, dedup, similarity
+search, multimodal, JSON, set ops, grouping sets, windowed/stateful
+event-time aggregation (SURVEY.md §7 step 6).
+
+Registered into the same `queries()`/`oracle_sql()` registries as the
+parity catalog (plans/queries.py). Near-dup queries run on a
+deterministically AUGMENTED documents/embeddings table (exact copies /
+perturbed copies unioned in) so there are true positives to find — the
+raw synthetic corpus has none; both Spark and oracle build the identical
+augmented input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.semistructured import json_get
+from ..functions.text import (
+    bpe_ish_tokens,
+    detect_language,
+    fingerprint,
+    quality_score,
+    stopword_count,
+    token_count,
+)
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..operators.multimodal import as_media, extract_features
+from ..operators.similarity import brute_force_topk, cosine_pairs, lsh_topk
+from ..sources.readers import read_events
+from ..streaming import windows as W
+from .queries import ORACLE_SQL, _t, query
+
+# ---------------------------------------------------------------------------
+# text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(lower(text), ' ')) AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.size(bpe_ish_tokens("text")).alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             len(string_split(lower(text), ' ')) AS n_tok,
+             length(replace(text, ' ', '')) AS n_alpha,
+             len(list_filter(string_split(lower(text), ' '),
+                 t -> t IN ('the','a','an','of','to','in','and','is','on','for'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           floor((n_stop / n_tok) * 10000) / 10000 AS stop_ratio,
+           floor((least(1.0, n_tok / 100.0) * 0.5
+                  + (n_stop / n_tok) * 0.25
+                  + least(1.0, (n_alpha / n_tok) / 8.0) * 0.25) * 10000) / 10000
+               AS quality
+    FROM s
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = token_count("text").cast("double")
+    stop_ratio = stopword_count("text").cast("double") / n_tok
+    return docs.select(
+        "doc_id",
+        (F.floor(stop_ratio * 10000) / 10000).alias("stop_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@query(
+    "text_langid",
+    oracle="""
+    WITH sc AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(lower(text),' '), t -> t IN ('the','a','of','and','to','is'))) AS s_en,
+        len(list_filter(string_split(lower(text),' '), t -> t IN ('der','die','das','und','ist','ein'))) AS s_de,
+        len(list_filter(string_split(lower(text),' '), t -> t IN ('el','los','las','y','es','una'))) AS s_es,
+        len(list_filter(string_split(lower(text),' '), t -> t IN ('le','les','et','est','une','dans'))) AS s_fr,
+        len(list_filter(string_split(lower(text),' '), t -> t IN ('的','是','了','在','我','他'))) AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_en,s_de,s_es,s_fr,s_zh) <= 0 THEN 'und'
+                WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'en'
+                WHEN s_de = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'de'
+                WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM sc
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", detect_language("text").alias("lang_pred")
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup (documents table, deterministically augmented with duplicates)
+# ---------------------------------------------------------------------------
+
+# exact copies of every 7th doc, re-keyed +100000
+_EXACT_AUG_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+"""
+# near-copies (two appended tokens) of every 11th doc
+_NEAR_AUG_SQL = """
+      SELECT doc_id, lower(text) AS text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, lower(text) || ' zzz qqq' FROM documents
+      WHERE doc_id % 11 = 0
+"""
+
+
+def _docs_exact_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dup)
+
+
+def _docs_near_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("text")
+    )
+    dup = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz qqq")).alias("text"),
+    )
+    return d.unionByName(dup)
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH aug AS ({_EXACT_AUG_SQL})
+    SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
+    FROM aug
+    GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs_exact_aug(spark, sf_dir), "doc_id", "text")
+
+
+_JACCARD_ORACLE = f"""
+    WITH aug AS ({_NEAR_AUG_SQL}),
+    tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+    ix AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+           FROM tk WHERE len(t) >= 3),
+    sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+           FROM ix),
+    cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+    SELECT a_id, b_id,
+           round(common / (ca.n_sh + cb.n_sh - common), 4) AS jaccard
+    FROM pr
+    JOIN cnt ca ON pr.a_id = ca.doc_id
+    JOIN cnt cb ON pr.b_id = cb.doc_id
+    WHERE round(common / (ca.n_sh + cb.n_sh - common), 4) >= 0.6
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _docs_near_aug(spark, sf_dir), "doc_id", "text", n=3, threshold=0.6
+    )
+
+
+# Same ground truth as the exact-Jaccard oracle: the LSH candidates are
+# verified with exact Jaccard, and 32x2 banding has a <1e-13 false-negative
+# probability at j >= 0.6 — deterministic given the fixed hash family.
+@query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        _docs_near_aug(spark, sf_dir),
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=64,
+        bands=32,
+        threshold=0.6,
+    )
+
+
+@query("dedup_simhash")  # xxhash64-based fingerprint: not oracle-expressible
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(_docs_near_aug(spark, sf_dir), "doc_id", "text", max_distance=3)
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity (embeddings table)
+# ---------------------------------------------------------------------------
+
+_EMB_AUG_SQL = """
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, list_prepend(v0[1] + 0.05, v0[2:]) FROM
+        (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings)
+      WHERE vec_id % 29 = 0
+"""
+
+
+def _emb_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    pert = base.filter(F.col("vec_id") % 29 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: F.when(i == 0, x + F.lit(0.05)).otherwise(x)
+        ).alias("v"),
+    )
+    return base.unionByName(pert)
+
+
+@query(
+    "embedding_cosine_pairs",
+    oracle=f"""
+    WITH aug AS ({_EMB_AUG_SQL})
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.95
+    """,
+)
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = cosine_pairs(_emb_aug(spark, sf_dir), "vec_id", "v", threshold=0.95)
+    return out.select("a_id", "b_id", F.col("cos").alias("cos_sim"))
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qv, e.v), 4) AS cos_sim
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = brute_force_topk(queries, emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("cos").alias("cos_sim"), F.col("rank").alias("rnk")
+    )
+
+
+@query("ann_lsh_topk")  # approximate (bucketed) — no exact SQL oracle
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = 64
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return lsh_topk(queries, emb, dim, k=5, num_planes=8, multiprobe=True)
+
+
+# ---------------------------------------------------------------------------
+# multimodal (documents as opaque binary payloads)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "utf-8")
+    )
+    media = as_media(docs, "doc_id", "payload", "text/plain", "source")
+    return extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# semi-structured (events.props JSON)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS total_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir).withColumn(
+        "k", json_get("props", "$.k", cast="int")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("total_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# window-function family (orders)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_ranking",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           round(lag(o_totalprice)  OVER w, 2) AS prev_price,
+           round(lead(o_totalprice) OVER w, 2) AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC)
+    """,
+)
+def q_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc_nulls_last("o_totalprice"), F.asc("o_orderkey")
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations / distinct / grouping sets
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT c_custkey AS id FROM customer WHERE c_custkey % 2 = 0
+    UNION
+    SELECT o_custkey FROM orders WHERE o_custkey % 3 = 0
+    """,
+)
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("id")
+    )
+    b = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 3 == 0).select(
+        F.col("o_custkey").alias("id")
+    )
+    return a.union(b).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="SELECT c_custkey AS id FROM customer INTERSECT SELECT o_custkey FROM orders",
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle="SELECT c_custkey AS id FROM customer EXCEPT SELECT o_custkey FROM orders",
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
+    return a.exceptAll(b).distinct()
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "grouping_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-time windows (events table; F.window works identically on streams)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_tumbling",
+    oracle="""
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    out = W.tumbling(
+        ev,
+        "ts",
+        "1 day",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+    return out.select(
+        F.col("window_start").cast("date").alias("day"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
+    "window_sliding",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    x AS (SELECT ts, value, unnest([0, 1]) AS k FROM e),
+    w AS (SELECT TIMESTAMP '1970-01-01 00:00:00'
+                 + (CAST(floor(epoch(ts) / 43200) AS BIGINT) * 43200
+                    - k * 43200) * INTERVAL '1 second' AS window_start,
+                 value
+          FROM x)
+    SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM w GROUP BY 1
+    """,
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    out = W.sliding(
+        ev,
+        "ts",
+        "1 day",
+        "12 hours",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+    return out.select("window_start", "n_events", "total_value")
+
+
+@query(
+    "window_session",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events),
+    m AS (SELECT *,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      IS NULL THEN 1
+                 WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL '30' MINUTE THEN 1
+                 ELSE 0 END AS brk
+          FROM e),
+    s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '30' MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    return W.session(
+        ev,
+        "ts",
+        "30 minutes",
+        keys=["user_id"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming: windowed aggregation and custom stateful op (rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    return stream
+
+
+@query("stream_window_tumbling")  # streaming — rows-only check
+def q_stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # watermarks require TIMESTAMP (LTZ) event time; rows-only check, so
+    # the session-tz interpretation of the NTZ value is immaterial here
+    stream = _events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    stream = W.with_watermark(stream, "ts", "1 day")
+    agg = W.tumbling(
+        stream,
+        "ts",
+        "1 day",
+        keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+    )
+    qname = "stream_tumbling_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(qname)
+
+
+@query("stateful_running_totals")  # custom stateful streaming — rows-only
+def q_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import running_user_totals
+
+    stream = _events_stream(spark, sf_dir).select("user_id", "value")
+    out = running_user_totals(stream)
+    qname = "stateful_running_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(qname)

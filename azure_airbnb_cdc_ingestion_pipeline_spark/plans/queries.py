@@ -462,3 +462,8 @@ def q_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The driver smoke-check entry: the gold-layer aggregation (A1+J2)."""
     return q_agg_groupby_join(spark, sf_dir)
+
+
+# charter-extension catalog (text/dedup/similarity/multimodal/windows) —
+# imported last so it registers into the same QUERIES/ORACLE_SQL maps.
+from . import extensions  # noqa: E402,F401

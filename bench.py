@@ -21,6 +21,7 @@ from azure_airbnb_cdc_ingestion_pipeline_spark.plans.queries import QUERIES
 from azure_airbnb_cdc_ingestion_pipeline_spark.session import get_spark
 
 HEADLINE = [
+    # reference-parity relational core
     "agg_groupby_join",
     "join_inner_equi",
     "derive_columns",
@@ -29,6 +30,12 @@ HEADLINE = [
     "sink_upsert_merge",
     "scd1_upsert",
     "filter_split_good",
+    # charter extensions: windows / dedup / similarity / text
+    "window_ranking",
+    "window_session",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality_score",
 ]
 
 

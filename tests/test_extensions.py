@@ -1,0 +1,243 @@
+"""Charter-extension operator tests: text analysis, dedup, similarity,
+multimodal plumbing, event-time windows, stateful streaming."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_airbnb_cdc_ingestion_pipeline_spark.functions.text import (
+    detect_language,
+    quality_score,
+    token_count,
+)
+from azure_airbnb_cdc_ingestion_pipeline_spark.operators.dedup import (
+    drop_exact_dups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from azure_airbnb_cdc_ingestion_pipeline_spark.operators.multimodal import (
+    as_media,
+    decode_features,
+    decode_media,
+    extract_features,
+    sample_frames,
+)
+from azure_airbnb_cdc_ingestion_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from azure_airbnb_cdc_ingestion_pipeline_spark.sources.readers import read_events
+from azure_airbnb_cdc_ingestion_pipeline_spark.streaming import windows as W
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# -- text -------------------------------------------------------------------
+
+
+def test_token_count_and_quality_bounds(docs):
+    out = docs.select(
+        token_count("text").alias("n"), quality_score("text").alias("q")
+    ).agg(
+        F.min("n"), F.min("q"), F.max("q")
+    ).first()
+    assert out[0] >= 1
+    assert 0.0 <= out[1] <= out[2] <= 1.0
+
+
+def test_langid_in_domain(docs):
+    langs = {
+        r[0]
+        for r in docs.select(detect_language("text").alias("l")).distinct().collect()
+    }
+    assert langs <= {"en", "de", "es", "fr", "zh", "und"}
+
+
+# -- dedup ------------------------------------------------------------------
+
+
+def _with_exact_dups(docs):
+    dup = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 50000
+    )
+    return docs.unionByName(dup)
+
+
+def test_drop_exact_dups(docs):
+    aug = _with_exact_dups(docs.select("doc_id", "text"))
+    n_docs = docs.count()
+    kept = drop_exact_dups(aug, "doc_id", "text")
+    assert kept.count() == n_docs
+    # survivors are the original (min) ids
+    assert kept.filter(F.col("doc_id") >= 50000).count() == 0
+
+
+def _with_near_dups(docs):
+    dup = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 50000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zzz qqq")))
+    )
+    return docs.select("doc_id", "text").unionByName(dup.select("doc_id", "text"))
+
+
+def test_minhash_matches_exact_jaccard(docs):
+    aug = _with_near_dups(docs)
+    exact = {
+        (r.a_id, r.b_id)
+        for r in ngram_jaccard_pairs(aug, "doc_id", "text", threshold=0.6).collect()
+    }
+    lsh = {
+        (r.a_id, r.b_id)
+        for r in minhash_lsh_pairs(
+            aug, "doc_id", "text", num_hashes=64, bands=32, threshold=0.6
+        ).collect()
+    }
+    assert exact  # the planted near-dups were found
+    assert lsh == exact  # banded candidates + exact verify lose nothing
+
+
+def test_simhash_finds_planted_near_dups(docs):
+    aug = _with_near_dups(docs)
+    pairs = simhash_pairs(aug, "doc_id", "text", max_distance=3)
+    found = {(r.a_id, r.b_id) for r in pairs.collect()}
+    planted = {
+        (r.doc_id, r.doc_id + 50000)
+        for r in docs.filter(F.col("doc_id") % 5 == 0).select("doc_id").collect()
+    }
+    # simhash is a coarse signal on 10-100-token docs (2 appended tokens
+    # flip several bits): expect to recover a majority, not all, at d<=3
+    assert len(found & planted) >= 0.5 * len(planted)
+    # exact duplicates are hamming-0 and must ALWAYS be found
+    exact_aug = _with_exact_dups(docs.select("doc_id", "text"))
+    exact_found = {
+        (r.a_id, r.b_id)
+        for r in simhash_pairs(exact_aug, "doc_id", "text", max_distance=0).collect()
+    }
+    exact_planted = {
+        (r.doc_id, r.doc_id + 50000)
+        for r in docs.filter(F.col("doc_id") % 5 == 0).select("doc_id").collect()
+    }
+    assert exact_planted <= exact_found
+
+
+# -- similarity -------------------------------------------------------------
+
+
+def test_brute_force_topk_self_neighbor(emb):
+    # a perturbed copy's nearest neighbor must be its original (cos ~0.999)
+    queries = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            (F.col("vec_id") + 1000).alias("query_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, x + F.lit(0.05)).otherwise(x),
+            ).alias("qv"),
+        )
+    )
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in brute_force_topk(queries, emb, k=1).collect()
+    }
+    assert top1 == {qid + 1000: qid for qid in range(10)}
+
+
+def test_ann_lsh_retrieves_planted_neighbors(emb):
+    # LSH on *random* vectors can't beat bucket-occupancy recall (neighbors
+    # are near-orthogonal), so test what it is FOR: near-dup retrieval —
+    # the planted near-identical vector must surface as the top hit.
+    queries = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            (F.col("vec_id") + 1000).alias("query_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, x + F.lit(0.05)).otherwise(x),
+            ).alias("qv"),
+        )
+    )
+    hits = {
+        r.query_id: r.neighbor_id
+        for r in lsh_topk(
+            queries, emb, dim=64, k=1, num_planes=4, multiprobe=True
+        ).collect()
+    }
+    good = sum(1 for qid in range(10) if hits.get(qid + 1000) == qid)
+    assert good >= 8  # ~cos 0.999 pairs collide with high probability
+
+
+# -- multimodal -------------------------------------------------------------
+
+
+def test_decode_media_contract():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xxx", "image/png")
+    fake = decode_media(b"xxx", "image/png", fake=True)
+    assert fake == decode_media(b"xxx", "image/png", fake=True)  # deterministic
+    assert set(fake) == {"width", "height", "channels", "mean_intensity"}
+
+
+def test_multimodal_pipeline_shapes(docs):
+    media = as_media(
+        docs.withColumn("payload", F.encode("text", "utf-8")).limit(50),
+        "doc_id",
+        "payload",
+        "text/plain",
+        "source",
+    )
+    n = media.count()
+    feats = extract_features(media)
+    assert feats.count() == n
+    assert feats.filter(F.col("byte_len") <= 0).count() == 0
+    decoded = decode_features(media, fake=True)
+    assert decoded.count() == n
+    frames = sample_frames(media, fake=True)
+    assert frames.count() >= n  # 1..4 frames per item
+    assert frames.groupBy("media_id").count().filter("count > 4").count() == 0
+
+
+# -- event-time windows -----------------------------------------------------
+
+
+def test_window_counts_conserved(spark, sf_dir):
+    ev = read_events(spark, sf_dir)
+    total = ev.count()
+    tumb = W.tumbling(ev, "ts", "1 day", aggs=[F.count(F.lit(1)).alias("n")])
+    assert tumb.agg(F.sum("n")).first()[0] == total
+    slid = W.sliding(ev, "ts", "1 day", "12 hours", aggs=[F.count(F.lit(1)).alias("n")])
+    assert slid.agg(F.sum("n")).first()[0] == 2 * total  # duration/slide = 2
+    sess = W.session(
+        ev, "ts", "30 minutes", keys=["user_id"], aggs=[F.count(F.lit(1)).alias("n")]
+    )
+    assert sess.agg(F.sum("n")).first()[0] == total
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.plans.extensions import (
+        q_stateful_running,
+    )
+
+    out = q_stateful_running(spark, sf_dir)
+    batch = read_events(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    # update-mode sink appends one row per (batch, user): the per-user max
+    # is the final state regardless of how many micro-batches ran
+    got = {
+        r.user_id: r.n
+        for r in out.groupBy("user_id").agg(F.max("n_events").alias("n")).collect()
+    }
+    want = {r.user_id: r.n_events for r in batch.collect()}
+    # final emitted state per user must equal the batch truth
+    assert got == want
