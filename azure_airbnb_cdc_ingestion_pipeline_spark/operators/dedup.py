@@ -192,7 +192,10 @@ def minhash_lsh_pairs(
     j≥0.8 is < 1e-6. Returns (a_id, b_id, jaccard ≥ threshold).
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # persist the signatures: they are consumed by BOTH sides of the bucket
+    # self-join (and are ~0.5 KB/doc — the thing you'd store in a signature
+    # table at 100 TB rather than recompute from raw text per use)
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).persist()
     band_structs = F.array(
         *[
             F.struct(
