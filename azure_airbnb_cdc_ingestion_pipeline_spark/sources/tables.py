@@ -26,6 +26,7 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _POINTER = "_CURRENT"
 
@@ -71,7 +72,11 @@ class ParquetTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target)
-        # commit: write pointer to a temp file, atomic-rename over _CURRENT
+        self._commit(v)
+
+    def _commit(self, v: int) -> None:
+        """Write pointer to a temp file, atomic-rename over _CURRENT — the
+        POSIX-atomic commit point — then prune old versions."""
         fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._ptr")
         with os.fdopen(fd, "w") as f:
             f.write(str(v))
@@ -109,3 +114,95 @@ class ParquetTable:
             return
         merged = merge_dataframes(self.read(), source, keys, order_by=order_by)
         self.overwrite(merged)
+
+    # -- scale paths ---------------------------------------------------------
+    def _leaf_partition_dirs(self, vdir: str) -> list[str]:
+        """Relative paths of leaf partition directories (dirs that directly
+        contain parquet files)."""
+        out = []
+        for dirpath, _dirnames, filenames in os.walk(vdir):
+            if any(f.endswith(".parquet") for f in filenames):
+                out.append(os.path.relpath(dirpath, vdir))
+        return out
+
+    @staticmethod
+    def _link_tree(src: str, dst: str) -> None:
+        """Hardlink every file under src into the same relative layout under
+        dst — metadata-only 'copy' of committed immutable parquet files."""
+        for dirpath, _dirnames, filenames in os.walk(src):
+            rel = os.path.relpath(dirpath, src)
+            tgt = os.path.join(dst, rel) if rel != "." else dst
+            os.makedirs(tgt, exist_ok=True)
+            for f in filenames:
+                if f.endswith(".parquet"):
+                    os.link(os.path.join(dirpath, f), os.path.join(tgt, f))
+
+    def append(self, df: DataFrame) -> None:
+        """O(batch) append: write only the new rows, hardlink the previous
+        version's files alongside them, swap the pointer. Replaces
+        read-union-rewrite (which is O(table) per batch and quadratic over
+        a stream's lifetime). File names carry write-UUIDs, so links and
+        fresh files never collide."""
+        if not self.exists():
+            self.overwrite(df)
+            return
+        v = (self.current_version() or 0) + 1
+        target = self._version_dir(v)
+        df.write.mode("overwrite").parquet(target)
+        self._link_tree(self._version_dir(v - 1), target)
+        self._commit(v)
+
+    def upsert_pruned(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        partition_by: list[str],
+        order_by: list[str] | None = None,
+    ) -> None:
+        """Partition-pruned MERGE: rewrite ONLY the partitions the source
+        batch touches; untouched partitions are hardlinked into the new
+        version (a metadata op). This is the 100 TB CDC steady state —
+        per-batch cost is proportional to the affected partitions, not the
+        table (the same contract as a Delta MERGE with a partition-pruning
+        ON-clause predicate).
+
+        Correctness precondition (same as Delta's pruned merge): the
+        partition attributes are immutable per key (e.g. a booking's
+        booking_year/month never changes across updates). A key whose
+        partition value changed would leave its old row in the untouched
+        partition.
+        """
+        from ..operators.merge import latest_per_key, merge_dataframes
+
+        src = latest_per_key(source, keys, order_by)
+        if not self.exists():
+            self.overwrite(src, partition_by=partition_by)
+            return
+
+        combos = [tuple(r) for r in src.select(*partition_by).distinct().collect()]
+        affected_rels = {
+            "/".join(f"{c}={v}" for c, v in zip(partition_by, combo))
+            for combo in combos
+        }
+        cur = self.current_version() or 0
+        cur_dir = self._version_dir(cur)
+
+        tgt = self.read()
+        pred = F.lit(False)
+        for combo in combos:
+            match = F.lit(True)
+            for c, v in zip(partition_by, combo):
+                match = match & (F.col(c) == F.lit(v))
+            pred = pred | match
+        affected_tgt = tgt.filter(pred)  # partition-pruned scan
+        merged = merge_dataframes(affected_tgt, src, keys, order_by=order_by)
+
+        v = cur + 1
+        target = self._version_dir(v)
+        merged.write.mode("overwrite").partitionBy(*partition_by).parquet(target)
+        for rel in self._leaf_partition_dirs(cur_dir):
+            if rel not in affected_rels:
+                self._link_tree(
+                    os.path.join(cur_dir, rel), os.path.join(target, rel)
+                )
+        self._commit(v)

@@ -44,6 +44,10 @@ def gen_booking_events(
     base_day = date(2024, 1, 1)
     base_ts = datetime(2024, 1, 1, 0, 0, 0)
     keys = [_uuid(rng) for _ in range(n_keys)]
+    # booking_date is the booking's CREATION time: immutable across update
+    # events for the same key (the real-world CDC invariant that makes the
+    # fact table's booking_year/month partitioning prunable)
+    booking_dates: dict[str, str] = {}
     events = []
     for i in range(n):
         if i < n_keys:
@@ -67,8 +71,11 @@ def gen_booking_events(
                 "owner_id": _uuid(rng),
                 "check_in_date": check_in.isoformat(),
                 "check_out_date": check_out.isoformat(),
-                "booking_date": (base_ts + timedelta(days=rng.randrange(300))).strftime(
-                    "%Y-%m-%d %H:%M:%S"
+                "booking_date": booking_dates.setdefault(
+                    booking_id,
+                    (base_ts + timedelta(days=rng.randrange(300))).strftime(
+                        "%Y-%m-%d %H:%M:%S"
+                    ),
                 ),
                 "amount": amount,
                 "currency": CURRENCIES[rng.randrange(len(CURRENCIES))],

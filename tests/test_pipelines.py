@@ -117,11 +117,15 @@ def test_streaming_incremental_and_replay(spark, tmp_path):
     ]
     import json
 
+    by_key = {}
+    for e in events:  # first event per key = the booking's creation record
+        by_key.setdefault(e["booking_id"], e)
     upd_path = os.path.join(landing, "feed_new.json")
     with open(upd_path, "w") as f:
         for i, k in enumerate(good_keys[:10]):
-            e = dict(events[0])
-            e["booking_id"] = k
+            # an update mutates stay dates/amount but NEVER booking_date
+            # (creation time) — the invariant the partitioned merge relies on
+            e = dict(by_key[k])
             e["check_in_date"] = "2024-06-01"
             e["check_out_date"] = "2024-06-05"
             e["amount"] = 111.11

@@ -88,30 +88,46 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="stream_bench_")
     landing = os.path.join(work, "landing")
     try:
-        make_events(spark, landing, n_events, n_files)
         fact = ParquetTable(spark, os.path.join(work, "fact"))
         quarantine = ParquetTable(spark, os.path.join(work, "quarantine"))
+
+        # phase A — backfill: one big availableNow drain (full-table merge)
+        make_events(spark, landing, n_events, n_files)
         t0 = time.perf_counter()
         load_booking_fact_stream(
-            spark,
-            landing,
-            fact,
-            quarantine,
-            os.path.join(work, "ckpt"),
+            spark, landing, fact, quarantine, os.path.join(work, "ckpt"),
             available_now=True,
         )
-        wall = time.perf_counter() - t0
+        backfill_wall = time.perf_counter() - t0
         merged = fact.read().count()
-        rate = n_events / wall
+
+        # phase B — steady state: drip small update batches, one file per
+        # micro-batch, against the now-large fact (partition-pruned merge)
+        drip_n, drip_files = max(n_events // 20, 1000), 5
+        drip_dir = os.path.join(work, "drip")
+        make_events(spark, drip_dir, drip_n, drip_files)
+        import glob
+
+        for f in glob.glob(os.path.join(drip_dir, "*.json")):
+            shutil.move(f, os.path.join(landing, "drip_" + os.path.basename(f)))
+        t0 = time.perf_counter()
+        load_booking_fact_stream(
+            spark, landing, fact, quarantine, os.path.join(work, "ckpt"),
+            available_now=True, max_files_per_trigger=1,
+        )
+        steady_wall = time.perf_counter() - t0
+
         print(
             json.dumps(
                 {
                     "metric": "cdc_merge_throughput",
-                    "value": round(rate, 1),
+                    "value": round(n_events / backfill_wall, 1),
                     "unit": "events/sec",
                     "events": n_events,
-                    "wall_sec": round(wall, 2),
+                    "wall_sec": round(backfill_wall, 2),
                     "fact_rows": merged,
+                    "steady_state_events_per_sec": round(drip_n / steady_wall, 1),
+                    "steady_state_batches": drip_files,
                     "target": 1000,
                 }
             )
