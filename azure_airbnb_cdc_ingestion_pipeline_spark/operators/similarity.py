@@ -106,6 +106,87 @@ def cosine_pairs(
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — KMeans coarse quantizer
+# ---------------------------------------------------------------------------
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qv",
+    corpus_vec: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF ANN: a KMeans coarse quantizer partitions the corpus into
+    `n_clusters` cells; each query scores only the cells of its `n_probe`
+    nearest centroids. Per-query work drops from |corpus| to
+    ~|corpus| * n_probe / n_clusters.
+
+    Scale: the cell assignment is one fitted-model map over the corpus
+    (persist it / store as a column — it IS the index); centroids are
+    driver-side metadata (n_clusters x dim doubles). The probe join is
+    keyed on cell id, so AQE handles uneven cell sizes like any other
+    grouped join. Deterministic under a fixed seed.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from .windows import topk_per_group
+
+    spark = corpus.sparkSession
+    corp = corpus.withColumn(
+        "__v", array_to_vector(F.transform(corpus_vec, lambda x: x.cast("double")))
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__v").fit(corp)
+    assigned = (
+        model.transform(corp)
+        .withColumnRenamed("prediction", "__cell")
+        .drop("__v")
+    )
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "__cell int, center array<double>",
+    )
+    probes = topk_per_group(
+        queries.crossJoin(F.broadcast(centers)).select(
+            query_id,
+            query_vec,
+            "__cell",
+            cosine(F.col(query_vec), F.col("center")).alias("cd"),
+        ),
+        [query_id],
+        [F.col("cd"), -F.col("__cell")],
+        k=n_probe,
+        descending=True,
+    ).drop("cd")
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "__cell")
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .select(
+            F.col(query_id),
+            F.col(corpus_id).alias("neighbor_id"),
+            F.round(cosine(F.col(query_vec), F.col(corpus_vec)), 4).alias("cos"),
+        )
+        .dropDuplicates([query_id, "neighbor_id"])
+    )
+    ranked = topk_per_group(
+        scored,
+        [query_id],
+        [F.col("cos"), -F.col("neighbor_id")],
+        k=k,
+        descending=True,
+        keep_rank=True,
+    )
+    return ranked.select(query_id, "neighbor_id", "cos", F.col("rn").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
 # Random-hyperplane LSH (the ANN scale path)
 # ---------------------------------------------------------------------------
 

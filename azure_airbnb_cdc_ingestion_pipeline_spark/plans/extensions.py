@@ -311,6 +311,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(queries, emb, dim, k=5, num_planes=8, multiprobe=True)
 
 
+@query("ann_ivf_topk")  # approximate (KMeans cells) — no exact SQL oracle
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    return ivf_topk(queries, emb, k=5, n_clusters=16, n_probe=4)
+
+
 # ---------------------------------------------------------------------------
 # multimodal (documents as opaque binary payloads)
 # ---------------------------------------------------------------------------
@@ -475,6 +487,126 @@ def q_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
     )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact interpolated percentiles (both engines implement the same
+    # linear-interpolation definition); approx_percentile is the 100 TB
+    # variant (sketch-mergeable) but is not oracle-comparable
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+@query(
+    "event_funnel",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+        min(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS t_signup,
+        min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+        min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN t_signup < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+           CAST(sum(CASE WHEN t_signup < t_click AND t_click < t_purchase
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased
+    FROM m
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (signup → click → purchase per user) — the
+    min-timestamp-per-stage formulation: one grouped aggregation, no
+    self-joins, scales as a single shuffle on user_id."""
+    ev = read_events(spark, sf_dir)
+    m = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return m.agg(
+        F.sum(F.when(F.col("t_signup").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_signup"),
+        F.sum(F.when(F.col("t_signup") < F.col("t_click"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clicked"),
+        F.sum(
+            F.when(
+                (F.col("t_signup") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_purchased"),
+    )
+
+
+@query(
+    "text_vocab_stats",
+    oracle="""
+    SELECT t AS word, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+          FROM documents)
+    GROUP BY t
+    """,
+)
+def q_text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+    )
+
+
+@query(
+    "salted_agg_skew",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the (low-cardinality, hence
+    maximally skewed) event_type key — must produce identical results to
+    the direct groupBy the oracle runs."""
+    from ..operators.skew import salted_agg
+
+    ev = read_events(spark, sf_dir)
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "total_value": (F.sum("value"), F.sum("total_value")),
+        },
+        salt_buckets=8,
+    )
+    return out.select("event_type", "n", F.round("total_value", 2).alias("total_value"))
 
 
 # ---------------------------------------------------------------------------

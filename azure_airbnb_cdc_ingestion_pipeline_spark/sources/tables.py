@@ -206,3 +206,23 @@ class ParquetTable:
                     os.path.join(cur_dir, rel), os.path.join(target, rel)
                 )
         self._commit(v)
+
+    def compact(
+        self,
+        target_rows_per_file: int = 1_000_000,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Bin-pack the current version into ~target-sized files (the
+        OPTIMIZE analog). Incremental appends/merges accumulate small
+        files (one per micro-batch task); a periodic compaction keeps scan
+        task counts and footer overhead bounded. Row-count proxy sizing:
+        files ≈ ceil(rows / target_rows_per_file)."""
+        df = self.read()
+        n = df.count()
+        n_files = max(1, -(-n // target_rows_per_file))
+        if partition_by:
+            self.overwrite(
+                df.repartition(n_files, *partition_by), partition_by=partition_by
+            )
+        else:
+            self.overwrite(df.repartition(n_files))

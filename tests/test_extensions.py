@@ -241,3 +241,52 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
     want = {r.user_id: r.n_events for r in batch.collect()}
     # final emitted state per user must equal the batch truth
     assert got == want
+
+
+def test_ivf_topk_retrieves_planted_neighbors(emb):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.similarity import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000).alias("query_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x.cast("double") + F.lit(0.05)).otherwise(
+                x.cast("double")
+            ),
+        ).alias("qv"),
+    )
+    hits = {
+        r.query_id: r.neighbor_id
+        for r in ivf_topk(queries, emb, k=1, n_clusters=8, n_probe=2).collect()
+    }
+    good = sum(1 for qid in range(10) if hits.get(qid + 1000) == qid)
+    # near-identical vector lands in the same KMeans cell (probing 2 of 8)
+    assert good >= 8
+
+
+def test_salted_agg_equals_direct(spark, sf_dir):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.skew import (
+        explode_small_side,
+        salted_agg,
+    )
+
+    ev = read_events(spark, sf_dir)
+    direct = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        r.event_type: r.n
+        for r in salted_agg(
+            ev, ["event_type"], {"n": (F.count(F.lit(1)), F.sum("n"))}, salt_buckets=4
+        ).collect()
+    }
+    assert salted == direct
+
+    # salted join replicates the small side but yields the same rows
+    small = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(sorted(direct))], "event_type string, code int"
+    )
+    joined = explode_small_side(ev, small, ["event_type"], salt_buckets=4)
+    assert joined.count() == ev.count()
+    assert joined.filter(F.col("code").isNull()).count() == 0

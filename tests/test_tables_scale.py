@@ -95,3 +95,16 @@ def test_upsert_pruned_matches_full_upsert(spark, tmp_path):
     got = sorted(tuple(r) for r in pruned.read().select(*cols).collect())
     want = sorted(tuple(r) for r in full.read().select(*cols).collect())
     assert got == want
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "c"))
+    t.overwrite(spark.range(1000).repartition(16))
+    for i in range(3):  # accumulate small files
+        t.append(spark.range(1000 + i * 10, 1010 + i * 10).repartition(4))
+    before = len(_inodes(t._version_dir(t.current_version())))
+    assert before >= 20
+    t.compact(target_rows_per_file=10_000)
+    vdir = t._version_dir(t.current_version())
+    assert len(_inodes(vdir)) == 1
+    assert t.read().count() == 1030
