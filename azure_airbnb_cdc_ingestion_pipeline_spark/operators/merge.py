@@ -55,14 +55,33 @@ def merge_dataframes(
     keys: Sequence[str],
     order_by: Sequence[str | Column] | None = None,
     broadcast_source_keys: bool = True,
+    event_time_wins: bool = False,
 ) -> DataFrame:
     """WHEN MATCHED UPDATE ALL / WHEN NOT MATCHED INSERT ALL (no delete).
 
     Returns the post-merge state of ``target``. Column set is the target's;
     source must contain all target columns (extras are dropped — schema
     drift tolerance).
+
+    Conflict semantics:
+    - default (``event_time_wins=False``): ARRIVAL order wins — a matched
+      source row unconditionally replaces the target row, exactly the
+      reference's alter-row/upsert behavior (updateIf on key match with no
+      timestamp guard, /root/reference/dataflow/BookingDataTransformation.json:120-121,
+      :156-186). A late-arriving older event overwrites newer state.
+    - ``event_time_wins=True`` (engine extension, requires ``order_by``):
+      EVENT time wins — matched rows resolve to the max ``order_by`` of
+      target-vs-source, so out-of-order micro-batches converge to the
+      same state regardless of arrival order (the `WHEN MATCHED AND
+      s.ts >= t.ts` guard of a conditional MERGE). One shuffle on the
+      union instead of the anti-join.
     """
     keys = list(keys)
+    if event_time_wins:
+        if order_by is None:
+            raise ValueError("event_time_wins requires order_by")
+        combined = source.select(*target.columns).unionByName(target)
+        return latest_per_key(combined, keys, order_by)
     src = latest_per_key(source, keys, order_by).select(*target.columns)
     src_keys = src.select(*keys).dropDuplicates(keys)
     if broadcast_source_keys:

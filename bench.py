@@ -36,6 +36,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_quality_score",
+    # relational depth: TPC-H-style wide agg + top-N join
+    "sql_pricing_summary",
+    "sql_top_revenue_orders",
 ]
 
 

@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) for the keyed-merge state machine —
+the heart of the CDC pipeline (SURVEY §2.1 S5/S6, §3.3).
+
+Two conflict semantics, each checked against an executable model:
+
+- default (reference parity): ARRIVAL order wins across batches — a
+  matched source row unconditionally replaces the target row (the
+  reference's alter-row update has no timestamp guard); within a batch,
+  dups resolve to the latest (ts, seq) (the lookup's pickup:'first'
+  desc(timestamp)).
+- event_time_wins (engine extension): latest (ts, seq) wins GLOBALLY, so
+  out-of-order batch delivery converges to the same state.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from azure_airbnb_cdc_ingestion_pipeline_spark.operators.merge import (
+    latest_per_key,
+    merge_dataframes,
+)
+
+# (key, ts): tiny domains on purpose — maximal collision pressure
+_event = st.tuples(
+    st.integers(min_value=0, max_value=5),
+    st.integers(min_value=0, max_value=3),
+)
+_batches = st.lists(st.lists(_event, min_size=0, max_size=8), min_size=1, max_size=4)
+
+_SCHEMA = "k long, ts long, seq long, payload string"
+
+
+def _df(spark, rows, tag):
+    return spark.createDataFrame(
+        [(k, ts, seq, f"{tag}:{k}:{ts}:{seq}") for (k, ts, seq) in rows], _SCHEMA
+    )
+
+
+def _tag_batches(batches):
+    """Assign a globally-unique seq (arrival order) to every event."""
+    seq, out = 0, []
+    for rows in batches:
+        tagged = []
+        for (k, ts) in rows:
+            tagged.append((k, ts, seq))
+            seq += 1
+        out.append(tagged)
+    return out
+
+
+def _model_arrival_wins(tagged):
+    """Per batch: latest (ts, seq) per key; across batches: last batch
+    touching a key wins unconditionally."""
+    state = {}
+    for bi, rows in enumerate(tagged):
+        batch_best = {}
+        for (k, ts, seq) in rows:
+            if k not in batch_best or (ts, seq) > batch_best[k][1:3]:
+                batch_best[k] = (k, ts, seq, f"b{bi}:{k}:{ts}:{seq}")
+        state.update(batch_best)
+    return sorted(state.values())
+
+
+def _model_event_time_wins(tagged):
+    best = {}
+    for bi, rows in enumerate(tagged):
+        for (k, ts, seq) in rows:
+            if k not in best or (ts, seq) > best[k][1:3]:
+                best[k] = (k, ts, seq, f"b{bi}:{k}:{ts}:{seq}")
+    return sorted(best.values())
+
+
+def _run_merge(spark, tagged, **merge_kwargs):
+    state = None
+    for bi, rows in enumerate(tagged):
+        batch_df = _df(spark, rows, f"b{bi}")
+        if state is None:
+            state = latest_per_key(batch_df, ["k"], ["ts", "seq"])
+        else:
+            state = merge_dataframes(
+                state, batch_df, ["k"], order_by=["ts", "seq"], **merge_kwargs
+            )
+    return sorted(tuple(r) for r in state.collect())
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(batches=_batches)
+def test_merge_arrival_wins_matches_model(spark, batches):
+    tagged = _tag_batches(batches)
+    assert _run_merge(spark, tagged) == _model_arrival_wins(tagged)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(batches=_batches)
+def test_merge_event_time_wins_matches_model(spark, batches):
+    tagged = _tag_batches(batches)
+    got = _run_merge(spark, tagged, event_time_wins=True)
+    assert got == _model_event_time_wins(tagged)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(batch=st.lists(_event, min_size=1, max_size=8))
+def test_merge_replay_idempotent(spark, batch):
+    rows = [(k, ts, i) for i, (k, ts) in enumerate(batch)]
+    b = _df(spark, rows, "b")
+    state1 = latest_per_key(b, ["k"], ["ts", "seq"])
+    for kwargs in ({}, {"event_time_wins": True}):
+        state2 = merge_dataframes(
+            state1, b, ["k"], order_by=["ts", "seq"], **kwargs
+        )
+        assert sorted(map(tuple, state2.collect())) == sorted(
+            map(tuple, state1.collect())
+        )
