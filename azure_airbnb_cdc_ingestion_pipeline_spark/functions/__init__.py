@@ -5,6 +5,7 @@ from .text import (
     fingerprint,
     normalize_text,
     quality_score,
+    shingle_hashes,
     shingles,
     stopword_count,
     token_count,
@@ -19,6 +20,7 @@ __all__ = [
     "normalize_text",
     "parse_json",
     "quality_score",
+    "shingle_hashes",
     "shingles",
     "stopword_count",
     "token_count",

@@ -28,7 +28,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, shingles, tokens
+from ..functions.text import fingerprint, shingle_hashes, tokens
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -73,7 +73,9 @@ def _shingle_postings(
     side (standard skew guard; undercounts similarity conservatively)."""
     post = df.select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(text_col, n)).alias("s"),
+        # hashed shingles: same set semantics as string shingles at ~1/3 the
+        # scan cost (see functions.text.shingle_hashes)
+        F.explode(shingle_hashes(text_col, n)).alias("s"),
     )
     if max_df is not None:
         keep = (
@@ -162,8 +164,9 @@ def minhash_signatures(
     """k-minhash signature per doc: sig_i = min over shingles of
     (a_i * xxhash64(shingle) + b_i). Columns: id, sig_0..sig_{k-1}.
     One explode + one grouped aggregation — a single shuffle on the id."""
+    # postings are already 64-bit shingle hashes — permute them directly
     post = _shingle_postings(df, id_col, text_col, n, max_df=None).withColumn(
-        "h", F.xxhash64("s")
+        "h", F.col("s")
     )
     aggs = [
         F.min(F.lit(a) * F.col("h") + F.lit(b)).alias(f"sig_{i}")
@@ -219,7 +222,7 @@ def minhash_lsh_pairs(
         .dropDuplicates(["a_id", "b_id"])
     )
     sets = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
+        F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("sh")
     )
     verified = (
         cand.join(sets.select(F.col("id").alias("a_id"), F.col("sh").alias("sha")), "a_id")
