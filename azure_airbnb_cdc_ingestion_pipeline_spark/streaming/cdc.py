@@ -64,3 +64,25 @@ def run_foreach_batch_merge(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    within: str | None = None,
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup.
+
+    With ``ts_col``+``within``, uses dropDuplicatesWithinWatermark: state
+    for a key is held only ``within`` of event time and then evicted — the
+    bounded-state form required for unbounded streams (a plain
+    dropDuplicates on a stream accumulates state forever). Duplicate
+    events (retries, at-least-once sources) inside the window are
+    suppressed; the first arrival wins.
+    """
+    if ts_col is not None and within is not None:
+        return stream_df.withWatermark(ts_col, within).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return stream_df.dropDuplicates(keys)

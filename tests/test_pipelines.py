@@ -138,3 +138,97 @@ def test_streaming_incremental_and_replay(spark, tmp_path):
     assert fact.read().count() == count1
     updated = fact.read().filter(F.col("amount") == 111.11).count()
     assert updated == len(set(good_keys[:10]))
+
+
+def test_watermark_drops_late_events_across_restarts(spark, tmp_path):
+    """Watermark persistence: a second checkpointed drain resumes the
+    watermark from the first, so an event older than (max_ts - delay)
+    is dropped from the windowed aggregation."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    land = tmp_path / "wm_land"
+    land.mkdir()
+    schema = T.StructType(
+        [T.StructField("ts", T.StringType()), T.StructField("k", T.StringType())]
+    )
+
+    def _drain(qname):
+        stream = (
+            spark.readStream.schema(schema)
+            .json(str(land))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        emitted = []  # append mode emits only FINALIZED windows
+
+        def _collect(batch_df, _bid):
+            emitted.extend(batch_df.collect())
+
+        q = (
+            stream.writeStream.foreachBatch(_collect)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["window"].start.hour: r["n"] for r in emitted}
+
+    with open(land / "f1.json", "w") as f:
+        for h in (10, 10, 12):  # watermark after batch: 12:00 - 1h = 11:00
+            f.write(_json.dumps({"ts": f"2024-01-01 {h}:30:00", "k": "a"}) + "\n")
+    out1 = _drain("wm_sink_1")
+    assert out1.get(10) == 2  # 10:00 window finalized once watermark passed 11
+
+    with open(land / "f2.json", "w") as f:
+        # one LATE event (10:45 < watermark 11:00 → dropped) and one fresh
+        f.write(_json.dumps({"ts": "2024-01-01 10:45:00", "k": "late"}) + "\n")
+        f.write(_json.dumps({"ts": "2024-01-01 14:10:00", "k": "b"}) + "\n")
+    out2 = _drain("wm_sink_2")
+    # the 12:00 window finalizes with exactly 1 event — the late 10:45 row
+    # did NOT create or reopen anything (its window was already emitted)
+    assert out2.get(12) == 1
+    assert 10 not in out2  # late row dropped, 10:00 window not re-emitted
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.streaming.cdc import dedup_stream
+
+    land = tmp_path / "dd_land"
+    land.mkdir()
+    schema = T.StructType(
+        [T.StructField("ts", T.StringType()), T.StructField("k", T.StringType())]
+    )
+    with open(land / "f1.json", "w") as f:
+        rows = [("2024-01-01 10:00:00", "a"), ("2024-01-01 10:05:00", "a"),
+                ("2024-01-01 10:10:00", "b"), ("2024-01-01 10:20:00", "a")]
+        for ts, k in rows:
+            f.write(_json.dumps({"ts": ts, "k": k}) + "\n")
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(land))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = dedup_stream(stream, ["k"], ts_col="ts", within="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dd_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.k for r in spark.table("dd_sink").collect()}
+    assert got == {"a", "b"}
+    assert spark.table("dd_sink").count() == 2  # dups within window suppressed
