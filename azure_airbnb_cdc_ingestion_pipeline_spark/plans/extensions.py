@@ -939,3 +939,91 @@ def q_set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("id")
     )
     return a.unionAll(b)
+
+
+# ---------------------------------------------------------------------------
+# pivot / distribution windows / date-function family
+# ---------------------------------------------------------------------------
+
+_STATUSES = ["F", "O", "P"]
+
+
+@query(
+    "pivot_status_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with an EXPLICIT value list — at scale, passing
+    the values avoids the extra distinct-scan Spark otherwise runs to
+    discover pivot columns."""
+    out = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _STATUSES)
+        .count()
+        .na.fill(0, _STATUSES)
+    )
+    return out.select(
+        "o_orderpriority",
+        *[F.col(s).alias(f"status_{s.lower()}") for s in _STATUSES],
+    )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice ASC NULLS LAST, o_orderkey ASC)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions over a GLOBAL ordering — inherently a
+    single-partition sort, correct but the known anti-pattern at 100 TB
+    (use approx quantiles / bucketed ranks there); included for function
+    parity."""
+    w = Window.orderBy(F.asc_nulls_last("o_totalprice"), F.asc("o_orderkey"))
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           isodow(o_orderdate) AS iso_dow,
+           CAST(o_orderdate + INTERVAL '3' MONTH AS DATE) AS plus_3m,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+               AS days_since_2024
+    FROM orders
+    """,
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dayofweek numbering differs across engines (Spark: Sun=1; DuckDB dow:
+    # Sun=0) — both sides emit ISO day-of-week (Mon=1..Sun=7) instead
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        (((F.dayofweek("o_orderdate") + 5) % 7) + 1).alias("iso_dow"),
+        F.add_months("o_orderdate", 3).alias("plus_3m"),
+        F.datediff(F.col("o_orderdate"), F.lit("2024-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_2024"),
+    )
