@@ -1027,3 +1027,70 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("days_since_2024"),
     )
+
+
+# ---------------------------------------------------------------------------
+# temporal joins: as-of + interval (purchases enriched with prior clicks)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_join_last_click",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           round(c.value, 4) AS click_value_asof
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backward join via union+carry-forward (one shuffle on
+    user_id; see operators/temporal.py). Matches DuckDB's native ASOF."""
+    from ..operators.temporal import asof_join
+
+    ev = read_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, clicks, on="user_id", right_payload=["value"])
+    return out.select(
+        "event_id", "user_id", F.round("value_asof", 4).alias("click_value_asof")
+    )
+
+
+@query(
+    "interval_join_click_purchase",
+    oracle="""
+    WITH p AS (SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS c_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click')
+    SELECT p.p_id, c.c_id
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL '24' HOUR
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import interval_join
+
+    ev = read_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id", "ts"
+    )
+    out = interval_join(
+        purchases, clicks, on="user_id",
+        lower="INTERVAL '0' SECOND", upper="INTERVAL '24' HOUR",
+    )
+    return out.select("p_id", "c_id")

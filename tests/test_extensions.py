@@ -290,3 +290,35 @@ def test_salted_agg_equals_direct(spark, sf_dir):
     joined = explode_small_side(ev, small, ["event_type"], salt_buckets=4)
     assert joined.count() == ev.count()
     assert joined.filter(F.col("code").isNull()).count() == 0
+
+
+def test_asof_join_hand_case(spark):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.temporal import (
+        asof_join,
+        interval_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (2, 15, "l3")], "k long, ts long, tag string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 10, 200.0), (1, 18, 300.0), (3, 1, 999.0)],
+        "k long, ts long, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.tag: r.v_asof
+        for r in asof_join(left, right, on="k", right_payload=["v"]).collect()
+    }
+    # l1@10: right@10 counts (inclusive) → 200; l2@20: right@18 → 300;
+    # l3 (k=2): no right rows → null
+    assert out == {"l1": 200.0, "l2": 300.0, "l3": None}
+
+    pairs = {
+        (r.tag, r.v)
+        for r in interval_join(
+            left, right, on="k", lower="INTERVAL '0' SECOND", upper="INTERVAL '8' SECOND"
+        ).select("l.tag", "r.v").collect()
+    }
+    # window (ts-8, ts]: l1@10 ← right@5? 10-8=2 ≤ 5 ≤ 10 ✓ and right@10 ✓;
+    # l2@20 ← right@18 ✓ (12 ≤ 18 ≤ 20); others out of range/key
+    assert pairs == {("l1", 100.0), ("l1", 200.0), ("l2", 300.0)}
