@@ -176,3 +176,32 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_frames, schema)
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Resize plumbing: payload -> resized payload + updated meta. The real
+    implementation swaps the body of `_resize_one` for a PIL/ffmpeg call;
+    the Spark plan (narrow mapInPandas, meta struct rebuild, payload
+    stays executor-side) is final."""
+
+    def _resize_one(payload: bytes) -> bytes:
+        if not fake:
+            raise NotImplementedError("no image codec in this environment")
+        # deterministic stand-in: digest-seeded bytes of the target size's
+        # signature (real impl returns re-encoded pixels)
+        d = hashlib.md5((payload or b"") + f"{width}x{height}".encode()).digest()
+        return d * 4
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = out["payload"].map(_resize_one)
+            out["meta"] = out["meta"].map(
+                lambda m: {**(m if isinstance(m, dict) else m.asDict()),
+                           "width": width, "height": height}
+            )
+            yield out
+
+    return media.mapInPandas(_resize, media.schema)

@@ -1094,3 +1094,44 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         lower="INTERVAL '0' SECOND", upper="INTERVAL '24' HOUR",
     )
     return out.select("p_id", "c_id")
+
+
+@query(
+    "embedding_quantize_stats",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e),
+    q AS (SELECT vec_id,
+                 list_transform(v, x -> CAST(floor(x / max_abs * 127) AS INTEGER)) AS qv
+          FROM m)
+    SELECT vec_id,
+           list_min(qv) AS q_min,
+           list_max(qv) AS q_max,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum
+    FROM q
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings (x -> floor(x/max_abs*127))
+    — the storage-shrink step of a large-scale vector pipeline; emitted as
+    per-vector stats so the oracle compares scalars, not array renderings.
+    All array expressions; max_abs is a zip-free single pass."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    m = e.withColumn(
+        "max_abs", F.array_max(F.transform("v", lambda x: F.abs(x)))
+    )
+    q = m.select(
+        "vec_id",
+        F.expr(
+            "transform(v, x -> CAST(floor(x / max_abs * 127) AS INT))"
+        ).alias("qv"),
+    )
+    return q.select(
+        "vec_id",
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+    )

@@ -322,3 +322,20 @@ def test_asof_join_hand_case(spark):
     # window (ts-8, ts]: l1@10 ← right@5? 10-8=2 ≤ 5 ≤ 10 ✓ and right@10 ✓;
     # l2@20 ← right@18 ✓ (12 ≤ 18 ≤ 20); others out of range/key
     assert pairs == {("l1", 100.0), ("l1", 200.0), ("l2", 300.0)}
+
+
+def test_resize_media_plumbing(spark, docs):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.multimodal import (
+        as_media,
+        resize_media,
+    )
+
+    media = as_media(
+        docs.withColumn("payload", F.encode("text", "utf-8")).limit(20),
+        "doc_id", "payload", "image/png", "source",
+    )
+    resized = resize_media(media, 32, 32, fake=True)
+    assert resized.schema == media.schema
+    rows = resized.select("meta.width", "meta.height").distinct().collect()
+    assert [(r[0], r[1]) for r in rows] == [(32, 32)]
+    assert resized.count() == 20
