@@ -83,6 +83,24 @@ def brute_force_topk(
     return ranked.select(query_id, "neighbor_id", "cos", F.col("rn").alias("rank"))
 
 
+def normalized(
+    df: DataFrame, id_col: str, vec_col: str, out_col: str = "unit"
+) -> DataFrame:
+    """(id, unit-vector) frame, PERSISTED: normalizing once turns every
+    downstream cosine into a bare dot product (1/3 the per-pair work).
+    The persist is load-bearing twice over — both join sides read it, and
+    without a materialization CollapseProject would re-inline the norm
+    expression into the transform lambda, where expressions re-evaluate
+    per element (O(dim²) per row). At 100 TB this frame is what you'd
+    store as the normalized-embedding column."""
+    with_norm = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("n", l2_norm(F.col("v")))
+    return with_norm.select(
+        "id", F.transform("v", lambda x: x.cast("double") / F.col("n")).alias(out_col)
+    ).persist()
+
+
 def cosine_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -91,15 +109,17 @@ def cosine_pairs(
 ) -> DataFrame:
     """Embedding near-dup: all pairs with cosine ≥ threshold.
 
-    Correctness baseline is the triangular product (a_id < b_id); at scale
-    wrap this with `lsh_bucket` pre-blocking (same-bucket pairs only) —
-    the verification kernel below is unchanged.
+    Correctness baseline is the triangular product over PRE-NORMALIZED
+    vectors (cos = dot; ~3x cheaper per pair than norm-per-pair); at scale
+    wrap with `lsh_bucket` pre-blocking (same-bucket pairs only) — the
+    verification kernel is unchanged.
     """
-    a = vectors.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
+    unit = normalized(vectors, id_col, vec_col)
+    a = unit.select(F.col("id").alias("a_id"), F.col("unit").alias("va"))
+    b = unit.select(F.col("id").alias("b_id"), F.col("unit").alias("vb"))
     return (
         a.join(b, F.col("a_id") < F.col("b_id"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .withColumn("cos", F.round(dot(F.col("va"), F.col("vb")), 4))
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", "cos")
     )
