@@ -132,36 +132,27 @@ def shingles(col: str | Column, n: int = 3) -> Column:
     )
 
 
-# order-sensitive mixing constants for hashed shingles (distinct odd salts)
-_SHINGLE_SALTS = (-7046029254386353131, 5871781006564002453, 3141592653589793239,
-                  -2718281828459045235, 1442695040888963407)
-
-
 def shingle_hashes(col: str | Column, n: int = 3) -> Column:
     """Distinct n-gram shingles as 64-bit hashes: token-level xxhash64,
-    then each shingle is an order-sensitive arithmetic mix of n
-    consecutive token hashes, built with `zip_with` over shifted slices —
-    O(n·T) per doc with no per-position string construction (string
-    shingles cost O(n·T) *string bytes* plus allocation; this is ~3x
-    cheaper on the posting scan). Set semantics equal `shingles` modulo
-    2^-64 hash collisions, so Jaccard over these equals Jaccard over the
-    strings. NB: slices are zip_with ARGUMENTS (evaluated once per row) —
-    referencing the token-hash array inside a lambda body would
-    re-evaluate it per element (no CSE inside higher-order functions)."""
+    then each shingle chains its n consecutive token hashes through
+    xxhash64(acc, next) — order-sensitive, and free of raw long
+    arithmetic, so it runs under default-ANSI sessions (a salted
+    multiply-add mix here raises ARITHMETIC_OVERFLOW when
+    spark.sql.ansi.enabled=true, Spark 4's default). Built with
+    `zip_with` over shifted slices — O(n·T) per doc with no per-position
+    string construction (string shingles cost O(n·T) *string bytes* plus
+    allocation; this is ~3x cheaper on the posting scan). Set semantics
+    equal `shingles` modulo 2^-64 hash collisions, so Jaccard over these
+    equals Jaccard over the strings. NB: slices are zip_with ARGUMENTS
+    (evaluated once per row) — referencing the token-hash array inside a
+    lambda body would re-evaluate it per element (no CSE inside
+    higher-order functions)."""
     th = F.transform(tokens(col), lambda t: F.xxhash64(t))
     length = F.greatest(F.size(th) - (n - 1), F.lit(0))
-
-    def _mixer(salt: int):
-        return lambda acc, x: acc + x * F.lit(salt)
-
-    acc = F.transform(
-        F.slice(th, 1, length), lambda x: x * F.lit(_SHINGLE_SALTS[0])
-    )
+    acc = F.slice(th, 1, length)
     for j in range(1, n):
         acc = F.zip_with(
-            acc,
-            F.slice(th, j + 1, length),
-            _mixer(_SHINGLE_SALTS[j % len(_SHINGLE_SALTS)]),
+            acc, F.slice(th, j + 1, length), lambda x, y: F.xxhash64(x, y)
         )
     return F.when(F.size(th) >= n, F.array_distinct(acc)).otherwise(
         F.array().cast("array<bigint>")

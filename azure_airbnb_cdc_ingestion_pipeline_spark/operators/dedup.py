@@ -136,22 +136,20 @@ def ngram_jaccard_pairs(
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
-_MASK64 = (1 << 64) - 1
-
-
-def _perm_constants(k: int, seed: int = 0x5EED) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs for the universal-hash permutation family
-    h_i(x) = a_i*x + b_i (mod 2^64, via Java long wraparound). Generated by
-    a fixed LCG so signatures are reproducible across runs/sessions."""
-    x, out = seed, []
-    for _ in range(k):
-        x = (x * 6364136223846793005 + 1442695040888963407) & _MASK64
-        a = x | 1  # odd → bijective mod 2^64
-        x = (x * 6364136223846793005 + 1442695040888963407) & _MASK64
-        b = x
-        to_signed = lambda v: v - (1 << 64) if v >= (1 << 63) else v
-        out.append((to_signed(a), to_signed(b)))
-    return out
+def _sigs_expr(sh: Column, num_hashes: int) -> Column:
+    """k-minhash signature array from a shingle-hash array, per row:
+    sigs[i] = min over shingles of h_i(s) = xxhash64(s, i), computed as
+    one `aggregate` fold carrying a k-wide running-min array
+    (least(null, v) = v seeds it). Empty shingle set → all-null sigs.
+    The xxhash64 family keeps it ANSI-safe (no wraparound arithmetic,
+    which default-ANSI Spark 4 sessions reject)."""
+    idx = F.array(*[F.lit(i) for i in range(num_hashes)])
+    init = F.array_repeat(F.lit(None).cast("long"), num_hashes)
+    return F.aggregate(
+        sh,
+        init,
+        lambda acc, x: F.zip_with(acc, idx, lambda m, i: F.least(m, F.xxhash64(x, i))),
+    )
 
 
 def minhash_signatures(
@@ -161,18 +159,17 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
 ) -> DataFrame:
-    """k-minhash signature per doc: sig_i = min over shingles of
-    (a_i * xxhash64(shingle) + b_i). Columns: id, sig_0..sig_{k-1}.
-    One explode + one grouped aggregation — a single shuffle on the id."""
-    # postings are already 64-bit shingle hashes — permute them directly
-    post = _shingle_postings(df, id_col, text_col, n, max_df=None).withColumn(
-        "h", F.col("s")
+    """k-minhash signature per doc, ZERO-shuffle (see `_sigs_expr`).
+    Returns (id, sigs array<bigint>); docs with < n tokens get all-null
+    sigs (downstream Jaccard verification drops their pairs).
+
+    Replaces an explode → groupBy(k min-aggs) formulation: same
+    signature statistics, but no docs×shingles shuffle — at 100 TB the
+    signature build is a map-only pass pipelined into the scan."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        _sigs_expr(shingle_hashes(text_col, n), num_hashes).alias("sigs"),
     )
-    aggs = [
-        F.min(F.lit(a) * F.col("h") + F.lit(b)).alias(f"sig_{i}")
-        for i, (a, b) in enumerate(_perm_constants(num_hashes))
-    ]
-    return post.groupBy(F.col("id")).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -195,16 +192,26 @@ def minhash_lsh_pairs(
     j≥0.8 is < 1e-6. Returns (a_id, b_id, jaccard ≥ threshold).
     """
     rows = num_hashes // bands
-    # persist the signatures: they are consumed by BOTH sides of the bucket
-    # self-join (and are ~0.5 KB/doc — the thing you'd store in a signature
-    # table at 100 TB rather than recompute from raw text per use)
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).persist()
+    # ONE shingle pass, persisted: the signature build AND the
+    # exact-Jaccard verification both read this frame — tokenizing the
+    # corpus once is the single biggest cost at any scale (at 100 TB this
+    # is the shingle-hash column you'd store next to the text).
+    sh_df = df.select(
+        F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("sh")
+    ).persist()
+    # persist the signatures too: consumed by BOTH sides of the bucket
+    # self-join (~0.5 KB/doc). Each persist is also the projection barrier
+    # that keeps downstream selects reading the cached arrays instead of
+    # re-inlining the shingle/fold expressions (CollapseProject would).
+    sig = sh_df.select(
+        "id", _sigs_expr(F.col("sh"), num_hashes).alias("sigs")
+    ).persist()
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(j).alias("band"),
                 F.xxhash64(
-                    *[F.col(f"sig_{j * rows + r}") for r in range(rows)]
+                    *[F.col("sigs")[j * rows + r] for r in range(rows)]
                 ).alias("bh"),
             )
             for j in range(bands)
@@ -221,18 +228,21 @@ def minhash_lsh_pairs(
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
-    sets = df.select(
-        F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("sh")
-    )
+    sets = sh_df
     verified = (
         cand.join(sets.select(F.col("id").alias("a_id"), F.col("sh").alias("sha")), "a_id")
         .join(sets.select(F.col("id").alias("b_id"), F.col("sh").alias("shb")), "b_id")
         .withColumn("common", F.size(F.array_intersect("sha", "shb")))
         .withColumn(
             "jaccard",
+            # try_divide: a pair of empty shingle sets (both docs < n
+            # tokens) hits 0/0, which ANSI sessions reject as an error —
+            # null here, then dropped by the threshold filter
             F.round(
-                F.col("common")
-                / (F.size("sha") + F.size("shb") - F.col("common")),
+                F.try_divide(
+                    F.col("common"),
+                    F.size("sha") + F.size("shb") - F.col("common"),
+                ),
                 4,
             ),
         )
