@@ -1,5 +1,6 @@
 from .aggregate import gold_booking_aggregation
 from .dedup import (
+    cluster_pairs,
     drop_exact_dups,
     exact_dedup,
     minhash_lsh_pairs,
@@ -42,6 +43,7 @@ __all__ = [
     "derive",
     "dot",
     "drop_exact_dups",
+    "cluster_pairs",
     "exact_dedup",
     "extract_features",
     "gold_booking_aggregation",

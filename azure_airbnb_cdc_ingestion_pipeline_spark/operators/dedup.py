@@ -252,6 +252,75 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# canonicalization: near-dup pairs → connected components
+# ---------------------------------------------------------------------------
+
+
+def cluster_pairs(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair list: every doc in a
+    component maps to the component's minimum id (the canonical survivor
+    a dedup pipeline keeps). Returns (doc_id, canonical_id), one row per
+    doc appearing in at least one pair.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels, converging in
+    O(component diameter) rounds with early exit on fixpoint. Near-dup
+    components are small and shallow (duplicate clusters, not social
+    graphs), so rounds stay in the low single digits; each round is one
+    shuffle keyed on node id, and the label frame stays distributed — the
+    driver loop carries only the loop counter and a changed-row count.
+    `localCheckpoint` truncates the growing lineage so round N's plan
+    does not replay rounds 1..N-1. (At web-graph scale swap in
+    large-star/small-star [Kiveris et al., "Connected Components in
+    MapReduce and Beyond", 2014] for O(log n) rounds — the per-round
+    join shape is identical.)
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select("u")
+        .distinct()
+        .select("u", F.col("u").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.select(F.col("u").alias("v"), "lbl"), "v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbl"))
+        )
+        nxt = (
+            labels.join(neighbor_min, "u", "left")
+            .select(
+                "u", F.least("lbl", F.coalesce("nbl", F.col("lbl"))).alias("lbl")
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("u").alias("doc_id"), F.col("lbl").alias("canonical_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 

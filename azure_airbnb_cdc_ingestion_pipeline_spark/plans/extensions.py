@@ -25,6 +25,7 @@ from ..functions.text import (
     token_count,
 )
 from ..operators.dedup import (
+    cluster_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -229,6 +230,78 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_simhash")  # xxhash64-based fingerprint: not oracle-expressible
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_docs_near_aug(spark, sf_dir), "doc_id", "text", max_distance=3)
+
+
+# Chain augmentation: two stacked near-copies per selected doc, so pair
+# clusters are transitive (X ~ X+100k ~ X+200k) and clustering is
+# non-trivial — a pure pair list would make every component an edge.
+_CHAIN_AUG_SQL = """
+      SELECT doc_id, lower(text) AS text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, lower(text) || ' zzz qqq' FROM documents
+      WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT doc_id + 200000, lower(text) || ' zzz qqq www' FROM documents
+      WHERE doc_id % 11 = 0
+"""
+
+
+def _docs_chain_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("text")
+    )
+    sel = d.filter(F.col("doc_id") % 11 == 0)
+    c1 = sel.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz qqq")).alias("text"),
+    )
+    c2 = sel.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz qqq www")).alias("text"),
+    )
+    return d.unionByName(c1).unionByName(c2)
+
+
+@query(
+    "dedup_cluster_canonical",
+    # DuckDB checks the full component closure with a recursive CTE: the
+    # transitive min-reachable id per node IS the canonical assignment.
+    oracle="""
+    WITH RECURSIVE aug AS (
+    """ + _CHAIN_AUG_SQL + """
+    ),
+    tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+    ix AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+           FROM tk WHERE len(t) >= 3),
+    sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+           FROM ix),
+    cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    pairs AS (
+        SELECT a_id, b_id FROM pr
+        JOIN cnt ca ON pr.a_id = ca.doc_id
+        JOIN cnt cb ON pr.b_id = cb.doc_id
+        WHERE round(common / (ca.n_sh + cb.n_sh - common), 4) >= 0.6
+    ),
+    edges AS (
+        SELECT a_id AS u, b_id AS v FROM pairs
+        UNION
+        SELECT b_id, a_id FROM pairs
+    ),
+    reach(u, lbl) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+    )
+    SELECT u AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY u
+    """,
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_chain_aug(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    return cluster_pairs(pairs)
 
 
 # ---------------------------------------------------------------------------

@@ -12,6 +12,7 @@ from azure_airbnb_cdc_ingestion_pipeline_spark.functions.text import (
     token_count,
 )
 from azure_airbnb_cdc_ingestion_pipeline_spark.operators.dedup import (
+    cluster_pairs,
     drop_exact_dups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -105,6 +106,29 @@ def test_minhash_matches_exact_jaccard(docs):
     }
     assert exact  # the planted near-dups were found
     assert lsh == exact  # banded candidates + exact verify lose nothing
+
+
+def test_cluster_pairs_connected_components(spark):
+    # two components: a 4-node chain (1-2-3-4) and a 2-node edge (10-11);
+    # node 99 appears in no pair and must not appear in the output
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a_id bigint, b_id bigint"
+    )
+    got = {
+        (r.doc_id, r.canonical_id) for r in cluster_pairs(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_cluster_pairs_deep_chain_converges(spark):
+    # a 12-node path needs ~11 propagation rounds — exercises the
+    # fixpoint loop well past one hop
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a_id bigint, b_id bigint"
+    )
+    labels = cluster_pairs(pairs).collect()
+    assert {r.canonical_id for r in labels} == {0}
+    assert len(labels) == 13
 
 
 def test_simhash_finds_planted_near_dups(docs):
