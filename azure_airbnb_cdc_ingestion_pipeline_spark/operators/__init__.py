@@ -28,6 +28,7 @@ from .similarity import (
     l2_norm,
     lsh_bucket,
     lsh_topk,
+    numpy_topk,
 )
 from .split import conditional_split
 from .windows import topk_per_group
@@ -56,6 +57,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "numpy_topk",
     "sample_frames",
     "select_map",
     "simhash",

@@ -345,9 +345,7 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a_id", "b_id", F.col("cos").alias("cos_sim"))
 
 
-@query(
-    "ann_cosine_topk",
-    oracle="""
+_ANN_ORACLE = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
     scored AS (
@@ -361,14 +359,32 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored
     )
     SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
-    """,
-)
+"""
+
+
+@query("ann_cosine_topk", oracle=_ANN_ORACLE)
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     out = brute_force_topk(queries, emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("cos").alias("cos_sim"), F.col("rank").alias("rnk")
+    )
+
+
+# Same semantics and oracle as ann_cosine_topk — different physical
+# kernel (Arrow mapInPandas GEMM instead of per-element JVM expressions).
+@query("ann_numpy_topk", oracle=_ANN_ORACLE)
+def q_ann_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import numpy_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = numpy_topk(queries, emb, k=5)
     return out.select(
         "query_id", "neighbor_id", F.col("cos").alias("cos_sim"), F.col("rank").alias("rnk")
     )
