@@ -1,4 +1,5 @@
 from .semistructured import json_get, parse_json
+from .splits import split_bucket, stable_split
 from .text import (
     bpe_ish_tokens,
     detect_language,
@@ -22,6 +23,8 @@ __all__ = [
     "quality_score",
     "shingle_hashes",
     "shingles",
+    "split_bucket",
+    "stable_split",
     "stopword_count",
     "token_count",
     "tokens",

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.semistructured import json_get
+from ..functions.splits import stable_split
 from ..functions.text import (
     bpe_ish_tokens,
     detect_language,
@@ -131,6 +132,81 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         "doc_id", fingerprint("text").alias("fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset curation: stable splits + per-group quota sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dataset_split_counts",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS bk,
+             len(string_split(lower(text), ' ')) AS n_tok
+      FROM documents
+    )
+    SELECT CASE WHEN bk < 80 THEN 'train'
+                WHEN bk < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM b GROUP BY 1
+    """,
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = stable_split(_t(spark, sf_dir, "documents"), "doc_id")
+    return docs.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text").cast("long")).alias("n_tokens"),
+    )
+
+
+@query(
+    "corpus_quota_sample",
+    # corpus balancing: cap each language at its 20 highest-quality docs
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang,
+             len(string_split(lower(text), ' ')) AS n_tok,
+             length(replace(text, ' ', '')) AS n_alpha,
+             len(list_filter(string_split(lower(text), ' '),
+                 t -> t IN ('the','a','an','of','to','in','and','is','on','for'))) AS n_stop
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, lang,
+             floor((least(1.0, n_tok / 100.0) * 0.5 + (n_stop / n_tok) * 0.25
+                    + least(1.0, (n_alpha / n_tok) / 8.0) * 0.25) * 10000) / 10000
+                 AS quality
+      FROM s
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY quality DESC, doc_id ASC) AS rnk
+      FROM q
+    )
+    SELECT lang, doc_id, quality, rnk FROM r WHERE rnk <= 20
+    """,
+)
+def q_corpus_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import topk_per_group
+
+    scored = _t(spark, sf_dir, "documents").select(
+        "lang", "doc_id", quality_score("text").alias("quality")
+    )
+    out = topk_per_group(
+        scored,
+        ["lang"],
+        # quality desc (floored 4dp, so rank ties are exact), doc_id asc
+        [F.col("quality"), -F.col("doc_id")],
+        k=20,
+        descending=True,
+        keep_rank=True,
+    )
+    return out.select("lang", "doc_id", "quality", F.col("rn").alias("rnk"))
 
 
 # ---------------------------------------------------------------------------

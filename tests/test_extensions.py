@@ -108,6 +108,20 @@ def test_minhash_matches_exact_jaccard(docs):
     assert lsh == exact  # banded candidates + exact verify lose nothing
 
 
+def test_stable_split_deterministic_and_disjoint(spark):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.splits import stable_split
+
+    ids = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = stable_split(ids, "doc_id")
+    b = stable_split(ids.repartition(7), "doc_id")  # partitioning-independent
+    assert a.select("doc_id", "split").exceptAll(b.select("doc_id", "split")).count() == 0
+    counts = {r["split"]: r["count"] for r in a.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # md5 buckets are uniform-ish: 80/10/10 within a loose tolerance
+    assert counts["train"] / 2000 == pytest.approx(0.8, abs=0.05)
+    assert counts["val"] / 2000 == pytest.approx(0.1, abs=0.04)
+
+
 def test_cluster_pairs_connected_components(spark):
     # two components: a 4-node chain (1-2-3-4) and a 2-node edge (10-11);
     # node 99 appears in no pair and must not appear in the output
