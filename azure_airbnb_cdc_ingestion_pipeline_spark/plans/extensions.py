@@ -209,6 +209,60 @@ def q_corpus_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lang", "doc_id", "quality", F.col("rn").alias("rnk"))
 
 
+@query(
+    "sequence_pack_chunks",
+    # Greedy running-sum packing: within each hash shard, docs are laid
+    # out in id order and cut into chunks of <= 2048 tokens (a doc longer
+    # than the budget gets its own chunk). chunk = floor(cumulative
+    # tokens BEFORE this doc / budget) — the standard prefix-sum
+    # formulation of concat-and-split packing.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 8 AS shard,
+             len(string_split(lower(text), ' ')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tok,
+             COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS prior_tok
+      FROM t
+    )
+    SELECT doc_id, shard, n_tok,
+           CAST(floor(prior_tok / 2048) AS INT) AS chunk_id
+    FROM c
+    """,
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing for training batches. The global sort a naive
+    packer needs is replaced by independent per-shard prefix sums: shard =
+    md5 bucket (stable, engine-agnostic), so each shard's window sorts
+    only its own slice — at 100 TB the shards pack in parallel and no
+    single-partition global ORDER BY exists."""
+    from ..functions.splits import split_bucket
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        split_bucket("doc_id", 8).alias("shard"),
+        token_count("text").cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return docs.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / 2048)
+        .cast("int")
+        .alias("chunk_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup (documents table, deterministically augmented with duplicates)
 # ---------------------------------------------------------------------------
