@@ -119,6 +119,30 @@ def fingerprint(col: str | Column) -> Column:
     return F.md5(normalize_text(col))
 
 
+# PII patterns kept to portable regex (char classes + bounded repetition
+# only — no lookarounds, no \d shorthand) so the same pattern string runs
+# identically under Java regex (Spark) and RE2 (DuckDB `regexp_replace ...
+# 'g'`). Order matters: emails first, else the phone rule could eat the
+# digits inside an address's domain.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("[+]?[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "<IP>"),
+)
+
+
+def redact_pii(col: str | Column) -> Column:
+    """Training-corpus PII scrub: replace emails/phones/SSNs/IPv4s with
+    typed placeholder tags. Pure `regexp_replace` chain — stays inside
+    whole-stage codegen (no UDF), so at 100 TB it is a map-only pass with
+    zero shuffle and the regexes run JVM-side per batch."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c
+
+
 def shingles(col: str | Column, n: int = 3) -> Column:
     """Distinct n-gram token shingles (strings), the unit of set-based
     near-dup similarity. Empty array for docs shorter than n tokens."""

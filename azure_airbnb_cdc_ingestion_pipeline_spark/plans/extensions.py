@@ -1354,3 +1354,270 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("qv").alias("q_max"),
         F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# relational depth II: returned-item report, two-nation volume, decorrelated
+# scalar subquery — the remaining classic multi-join shapes (TPC-H Q10/Q7/Q17)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_customer_returns",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_sql_customer_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item report): fact-fact join on orderkey
+    carries the big shuffle; customer+nation are dimension lookups. The
+    returnflag filter is pushed to the lineitem scan (quarter of the rows
+    ever leave parquet) and ORDER+LIMIT lowers to TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "nation", "revenue")
+    )
+
+
+@query(
+    "sql_volume_shipping",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name <> cn.n_name
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_sql_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): six-table join with the nation
+    table used twice under different roles. Both nation sides are filtered
+    to the 2-nation subset BEFORE joining, so supplier and customer shrink
+    to ~2/25 of their rows ahead of the lineitem⋈orders shuffle — the
+    join-order discipline that matters at 100 TB. Dims broadcast."""
+    pair = ("NATION_1", "NATION_2")
+    sn = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    cn = sn.alias("cn")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(sn), F.col("s_nationkey") == sn.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey")
+    ).select("c_custkey", F.col("cn.n_name").alias("cust_nation"))
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "sql_small_qty_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+          FROM lineitem GROUP BY l_partkey) t
+      ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13' AND l.l_quantity < t.qty_thresh
+    """,
+)
+def q_sql_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    scalar subquery `l_quantity < 0.2 * (SELECT avg ... WHERE same part)`
+    hand-decorrelated into a per-part aggregate + equi-join — the same
+    rewrite Catalyst's RewriteCorrelatedScalarSubquery performs, written
+    explicitly so the per-part avg is computed once per part, not per row.
+    (l_quantity is integer-valued, so the avg is exact in any summation
+    order and the `<` threshold is engine-stable.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    thresh = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thresh.withColumnRenamed("l_partkey", "t_partkey"),
+              li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# data profiling + PII scrubbing — corpus-hygiene passes a training pipeline
+# runs before anything else touches 100 TB
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "profile_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_null,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+    FROM orders
+    """,
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler: one scan of the table produces per-column
+    null-count / distinct-count / min / max as a tall (column, stats)
+    frame. Everything is a single global aggregate — ONE pass over the
+    data, map-side partial aggs, a 1-row exchange, then a driver-side
+    stack() unpivot of that row; nothing is per-column re-scanned. At
+    100 TB swap count(DISTINCT) for approx_count_distinct and the pass
+    goes fully single-shuffle; exact here so DuckDB can oracle it."""
+    o = _t(spark, sf_dir, "orders")
+    cols = ("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    # min/max are computed on the NATIVE type (a string min over '99.00' vs
+    # '100.00' would be wrong) and stringified after:
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name in cols:
+        aggs += [
+            F.count(name).alias(f"nn_{name}"),
+            F.countDistinct(name).alias(f"nd_{name}"),
+        ]
+    for name in ("o_orderkey", "o_orderstatus"):
+        aggs += [
+            F.min(name).cast("string").alias(f"min_{name}"),
+            F.max(name).cast("string").alias(f"max_{name}"),
+        ]
+    aggs += [
+        F.min("o_totalprice").cast("decimal(18,2)").cast("string").alias("min_o_totalprice"),
+        F.max("o_totalprice").cast("decimal(18,2)").cast("string").alias("max_o_totalprice"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("min_o_orderdate"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("max_o_orderdate"),
+    ]
+    row = o.agg(*aggs)
+    parts = ", ".join(
+        f"'{name}', n_rows - nn_{name}, nd_{name}, min_{name}, max_{name}"
+        for name in cols
+    )
+    return row.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {parts}) AS (col_name, n_null, n_distinct, min_s, max_s)",
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
+
+
+@query(
+    "text_pii_redact",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' reach user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or +1-555-867-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' ssn 987-65-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST(doc_id % 100 AS VARCHAR) AS t
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+              '[+]?[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+            '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+          '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g') AS r
+      FROM aug
+    )
+    SELECT doc_id, md5(r) AS red_md5, length(r) AS red_len
+    FROM red
+    """,
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus (emails / phones / SSNs / IPv4 → typed
+    tags). The testdata text is synthetic word-salad with no natural PII,
+    so the query first injects a deterministic doc_id-derived email, phone,
+    SSN and IP into every row, then proves `redact_pii` strips all four —
+    the oracle recomputes the same injection+redaction in DuckDB and
+    compares md5 of the result. Map-only regexp_replace chain: zero
+    shuffle, whole-stage codegen, linear scan at any scale."""
+    from ..functions.text import redact_pii
+
+    d = F.col("doc_id")
+    pad4 = F.lpad((d % 10000).cast("string"), 4, "0")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), d.cast("string"),
+        F.lit("@mail.example.com or +1-555-867-"), pad4,
+        F.lit(" ssn 987-65-"), pad4,
+        F.lit(" from 10.0."), (d % 256).cast("string"),
+        F.lit("."), (d % 100).cast("string"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", aug.alias("t"))
+    red = docs.select("doc_id", redact_pii("t").alias("r"))
+    return red.select(
+        "doc_id",
+        F.md5("r").alias("red_md5"),
+        F.length("r").cast("long").alias("red_len"),
+    )

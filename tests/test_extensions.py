@@ -377,3 +377,40 @@ def test_resize_media_plumbing(spark, docs):
     rows = resized.select("meta.width", "meta.height").distinct().collect()
     assert [(r[0], r[1]) for r in rows] == [(32, 32)]
     assert resized.count() == 20
+
+
+def test_redact_pii_strips_all_pattern_kinds(spark):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.text import redact_pii
+
+    rows = [
+        ("mail me at jo.doe+spam@sub.example.co.uk thanks",
+         "mail me at <EMAIL> thanks"),
+        ("call +1-555-867-5309 or 44-020-555-1234 now",
+         "call <PHONE> or <PHONE> now"),
+        ("ssn is 987-65-4320.", "ssn is <SSN>."),
+        ("host 192.168.0.1 and 10.0.255.99", "host <IP> and <IP>"),
+        # mixed line: email digits must not leak into phone/IP rules
+        ("a1@b2.com 1-555-000-1111 111-22-3333 8.8.8.8",
+         "<EMAIL> <PHONE> <SSN> <IP>"),
+        ("no pii here, just words", "no pii here, just words"),
+    ]
+    df = spark.createDataFrame(rows, ["raw", "want"])
+    got = df.select("want", redact_pii("raw").alias("got")).collect()
+    for r in got:
+        assert r.got == r.want
+
+
+def test_profile_columns_counts(spark, sf_dir):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.plans.extensions import (
+        q_profile_columns,
+    )
+
+    out = {r.col_name: r for r in q_profile_columns(spark, sf_dir).collect()}
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert set(out) == {"o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"}
+    for r in out.values():
+        assert r.n_rows == n and r.n_null == 0
+    # orderkey is the PK: fully distinct, min/max are numeric strings
+    assert out["o_orderkey"].n_distinct == n
+    assert int(out["o_orderkey"].min_s) <= int(out["o_orderkey"].max_s)
+    assert out["o_orderstatus"].n_distinct <= 3
