@@ -1621,3 +1621,77 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("r").alias("red_md5"),
         F.length("r").cast("long").alias("red_len"),
     )
+
+
+@query("stream_stream_join")  # dual-stream watermarked join — rows-only
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: clicks ⋈ purchases per user
+    within 1 hour — the canonical two-stream correlation Spark executes
+    with symmetric hash join + state eviction. Both sides carry a
+    watermark AND the join predicate bounds purchase_ts relative to
+    click_ts, so state for either side is dropped once the watermark
+    passes its bound — bounded memory no matter how long the streams run
+    (unbounded state is the stream-stream failure mode at scale). Same
+    parquet source read twice as independent streams; availableNow drains
+    it like a batch."""
+    base = _events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 day")
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 day")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("c_user", "click_id", "click_ts", "purchase_ts", "purchase_value")
+    qname = "stream_stream_sink"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(qname)
+
+
+@query("kmeans_clusters")  # iterative algorithm — rows-only
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means over the embedding corpus (MLlib Lloyd's, the
+    same coarse quantizer ivf_topk uses), reported as a cluster×label
+    contingency table against the planted `label` column. Iterative
+    training is executor-parallel with only k×dim centroid state on the
+    driver per iteration; the final assignment is a broadcast-centroid
+    map pass. Rows-only check (iterative, not SQL-expressible)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "__v", array_to_vector(F.transform("embedding", lambda x: x.cast("double")))
+    )
+    n_labels = emb.select("label").distinct().count()
+    model = KMeans(k=max(n_labels, 2), seed=7, featuresCol="__v").fit(emb)
+    return (
+        model.transform(emb)
+        .groupBy(F.col("prediction").alias("cluster"), "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

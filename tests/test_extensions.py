@@ -414,3 +414,46 @@ def test_profile_columns_counts(spark, sf_dir):
     assert out["o_orderkey"].n_distinct == n
     assert int(out["o_orderkey"].min_s) <= int(out["o_orderkey"].max_s)
     assert out["o_orderstatus"].n_distinct <= 3
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.plans.extensions import (
+        q_stream_stream_join,
+    )
+    from azure_airbnb_cdc_ingestion_pipeline_spark.sources.readers import read_events
+
+    got = {
+        (r.c_user, r.click_id, r.purchase_ts)
+        for r in q_stream_stream_join(spark, sf_dir).collect()
+    }
+    ev = read_events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    want = {
+        (r.c_user, r.click_id, r.purchase_ts)
+        for r in clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_kmeans_clusters_cover_corpus(spark, sf_dir):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.plans.extensions import (
+        q_kmeans_clusters,
+    )
+
+    rows = q_kmeans_clusters(spark, sf_dir).collect()
+    total = sum(r.n for r in rows)
+    n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert total == n_emb
+    assert len({r.cluster for r in rows}) >= 2
