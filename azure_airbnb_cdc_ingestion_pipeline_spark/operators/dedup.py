@@ -384,3 +384,32 @@ def simhash_pairs(
         .dropDuplicates(["a_id", "b_id"])
         .filter(F.col("hamming") <= max_distance)
     )
+
+
+def keep_best(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    order_cols: list | None = None,
+) -> DataFrame:
+    """Canonical-row selection for duplicate groups: within each
+    normalized-content fingerprint group keep the single best row —
+    by default longest text, then smallest id (curation convention:
+    prefer the most complete copy, deterministic tiebreak). Returns the
+    kept rows with their group's dup_count. One window pass over one
+    shuffle keyed on the digest — same cost shape as exact_dedup, but
+    the survivor is quality-chosen instead of min-id."""
+    from pyspark.sql import Window
+
+    order_cols = order_cols or [
+        F.length(text_col).desc(),
+        F.col(id_col).asc(),
+    ]
+    w = Window.partitionBy("fp").orderBy(*order_cols)
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )

@@ -1695,3 +1695,35 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("prediction").alias("cluster"), "label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH aug AS ({_EXACT_AUG_SQL}),
+    f AS (SELECT doc_id, length(text) AS text_len,
+                 md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+          FROM aug),
+    r AS (SELECT doc_id, text_len,
+                 row_number() OVER (PARTITION BY fp
+                                    ORDER BY text_len DESC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY fp) AS dup_count
+          FROM f)
+    SELECT doc_id AS kept_id, CAST(text_len AS BIGINT) AS kept_len,
+           CAST(dup_count AS BIGINT) AS dup_count
+    FROM r WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked canonical selection: exact-dup groups resolve to
+    their best surviving row (longest text, id tiebreak) — the step after
+    dedup detection in a curation pipeline. Runs on the same planted-dup
+    augmentation as dedup_exact so groups are non-trivial."""
+    from ..operators.dedup import keep_best
+
+    kept = keep_best(_docs_exact_aug(spark, sf_dir), "doc_id", "text")
+    return kept.select(
+        F.col("doc_id").alias("kept_id"),
+        F.length("text").cast("long").alias("kept_len"),
+        F.col("dup_count").cast("long").alias("dup_count"),
+    )
