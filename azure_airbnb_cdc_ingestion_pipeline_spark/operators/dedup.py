@@ -191,21 +191,25 @@ def minhash_lsh_pairs(
     positives; with 16×4 banding the false-negative probability at
     j≥0.8 is < 1e-6. Returns (a_id, b_id, jaccard ≥ threshold).
     """
+    from ..session import track_persist
+
     rows = num_hashes // bands
     # ONE shingle pass, persisted: the signature build AND the
     # exact-Jaccard verification both read this frame — tokenizing the
     # corpus once is the single biggest cost at any scale (at 100 TB this
-    # is the shingle-hash column you'd store next to the text).
-    sh_df = df.select(
-        F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("sh")
-    ).persist()
+    # is the shingle-hash column you'd store next to the text). Both
+    # persists are registered with session.release_persisted() so
+    # long-lived sessions can free the storage between queries.
+    sh_df = track_persist(
+        df.select(F.col(id_col).alias("id"), shingle_hashes(text_col, n).alias("sh"))
+    )
     # persist the signatures too: consumed by BOTH sides of the bucket
     # self-join (~0.5 KB/doc). Each persist is also the projection barrier
     # that keeps downstream selects reading the cached arrays instead of
     # re-inlining the shingle/fold expressions (CollapseProject would).
-    sig = sh_df.select(
-        "id", _sigs_expr(F.col("sh"), num_hashes).alias("sigs")
-    ).persist()
+    sig = track_persist(
+        sh_df.select("id", _sigs_expr(F.col("sh"), num_hashes).alias("sigs"))
+    )
     band_structs = F.array(
         *[
             F.struct(

@@ -92,13 +92,19 @@ def normalized(
     without a materialization CollapseProject would re-inline the norm
     expression into the transform lambda, where expressions re-evaluate
     per element (O(dim²) per row). At 100 TB this frame is what you'd
-    store as the normalized-embedding column."""
+    store as the normalized-embedding column. Registered with
+    session.release_persisted() so long-lived sessions can free it."""
+    from ..session import track_persist
+
     with_norm = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).withColumn("n", l2_norm(F.col("v")))
-    return with_norm.select(
-        "id", F.transform("v", lambda x: x.cast("double") / F.col("n")).alias(out_col)
-    ).persist()
+    return track_persist(
+        with_norm.select(
+            "id",
+            F.transform("v", lambda x: x.cast("double") / F.col("n")).alias(out_col),
+        )
+    )
 
 
 def cosine_pairs(

@@ -26,11 +26,17 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, salt_buckets: int, salt_col: str = "__salt") -> DataFrame:
-    """Uniform random-ish salt derived from a cheap hash of the whole row's
-    monotonically-increasing partition id — deterministic per row within a
-    run, uniform across buckets."""
+    """Salt derived from a hash of the FULL ROW CONTENT — stable across
+    task retries. (A monotonically_increasing_id-based salt is recomputed
+    nondeterministically on shuffle-fetch-failure recovery, so a retried
+    row could land in a different (key, salt) phase-1 group than the
+    partials already fetched — lost/duplicated rows. Content hashing keeps
+    every recomputation in the same bucket.) Identical rows share a salt;
+    for algebraic aggregates that only concentrates exact-duplicate rows,
+    which natural data spreads fine."""
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        salt_col,
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)),
     )
 
 

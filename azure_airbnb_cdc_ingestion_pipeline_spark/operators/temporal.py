@@ -44,37 +44,48 @@ def asof_join(
         c for c in right.columns if c not in (on, right_ts)
     ]
     lcols = left.columns
+    # The payload travels as ONE struct so the attached values always come
+    # from a single right row (per-column carry could stitch columns from
+    # different rows when some payload values are null).
+    from pyspark.sql.types import StructField, StructType
+
+    payload_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in right_payload]
+    )
     l_tagged = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
+        F.lit(None).cast(payload_type).alias("__r"),
     )
     r_tagged = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+        F.struct(*[F.col(c) for c in right_payload]).alias("__r"),
     )
     u = l_tagged.unionByName(r_tagged)
     # right rows sort BEFORE left rows at equal ts (__is_left asc) so an
-    # exactly-simultaneous right row is visible to the left row (inclusive)
+    # exactly-simultaneous right row is visible to the left row (inclusive);
+    # equal-(key, ts) right rows tiebreak on the payload struct itself
+    # (field-wise comparison), so the carried row — the sort-last one, i.e.
+    # the greatest payload tuple — is deterministic run-to-run.
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.asc("__t"), F.asc("__is_left"))
+        .orderBy(F.asc("__t"), F.asc("__is_left"), F.asc("__r"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = u.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_payload
-        ],
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__r_carried")
     )
     return carried.filter(F.col("__is_left") == 1).select(
-        *lcols, *[f"{c}{suffix}" for c in right_payload]
+        *lcols,
+        *[
+            F.col("__r_carried")[c].alias(f"{c}{suffix}")
+            for c in right_payload
+        ],
     )
 
 

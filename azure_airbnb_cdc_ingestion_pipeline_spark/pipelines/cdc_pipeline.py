@@ -22,9 +22,11 @@ from .load_customer_dim import load_customer_dim
 log = logging.getLogger(__name__)
 
 
-def with_retry(fn: Callable, retries: int = 3, interval_s: float = 1.0):
-    """Bounded-retry activity policy (the reference configures retry with a
-    30 s interval; README aspires to 3 retries — we implement the intent)."""
+def with_retry(fn: Callable, retries: int = 3, interval_s: float = 30.0):
+    """Bounded-retry activity policy. Defaults mirror the reference's
+    activity policy — 30 s retryIntervalInSeconds
+    (/root/reference/pipeline/LoadBookingFact.json:10-12) and the README's
+    3-retry guidance; callers (and tests) override interval_s."""
     attempt = 0
     while True:
         try:
@@ -45,6 +47,7 @@ def run_cdc_pipeline(
     warehouse_dir: str,
     checkpoint_dir: str,
     retries: int = 3,
+    retry_interval_s: float = 30.0,
 ) -> dict[str, ParquetTable]:
     """Dim load, then fact load + gold rebuild — failure of the dim stage
     blocks the fact stage (dependencyConditions: Succeeded)."""
@@ -56,6 +59,7 @@ def run_cdc_pipeline(
     with_retry(
         lambda: load_customer_dim(spark, customer_raw_dir, dim, customer_archive_dir),
         retries=retries,
+        interval_s=retry_interval_s,
     )
     with_retry(
         lambda: load_booking_fact_stream(
@@ -68,5 +72,6 @@ def run_cdc_pipeline(
             gold=gold,
         ),
         retries=retries,
+        interval_s=retry_interval_s,
     )
     return {"dim": dim, "fact": fact, "quarantine": quarantine, "gold": gold}

@@ -665,7 +665,10 @@ def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
     b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
-    return a.exceptAll(b).distinct()
+    # subtract == SQL EXCEPT (distinct): a value present on both sides is
+    # removed entirely. (exceptAll().distinct() differs when the left has
+    # higher multiplicity — surviving left copies would pass distinct.)
+    return a.subtract(b)
 
 
 @query(

@@ -60,3 +60,36 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# ---------------------------------------------------------------------------
+# persisted-frame registry
+# ---------------------------------------------------------------------------
+# Operators that persist intermediate frames (minhash signatures, normalized
+# embeddings) register them here so long-lived sessions (bench loops, test
+# suites, notebooks) can release executor storage between queries instead of
+# accumulating blocks for the session's lifetime.
+
+_PERSISTED: list = []
+
+
+def track_persist(df, storage_level=None):
+    """persist() a DataFrame and register it for later bulk release."""
+    df.persist() if storage_level is None else df.persist(storage_level)
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked frame (async); returns how many were freed.
+    Safe to call at any time — consuming plans already executed hold their
+    results, and a re-run simply recomputes."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n

@@ -21,6 +21,7 @@ storage-agnostic, callers only see DataFrames.
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
 import tempfile
@@ -28,7 +29,15 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+log = logging.getLogger(__name__)
+
 _POINTER = "_CURRENT"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this writer's snapshot read and its
+    commit. The losing merge must be recomputed from the new snapshot —
+    committing it would silently drop the winner's rows."""
 
 
 class ParquetTable:
@@ -65,8 +74,11 @@ class ParquetTable:
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
         """Atomic full overwrite: parallel parquet write of v_{n+1}, then a
         POSIX-atomic pointer rename (the commit). Old versions are pruned
-        lazily, never the one being read."""
-        v = (self.current_version() or 0) + 1
+        lazily, never the one being read. A blind overwrite doesn't depend
+        on the previous snapshot, so concurrent overwrites are
+        last-committer-wins on the pointer — but each writer gets a UNIQUE
+        claimed version dir, so they never clobber each other's files."""
+        _base, v = self._claim_version()
         target = self._version_dir(v)
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -74,9 +86,49 @@ class ParquetTable:
         writer.parquet(target)
         self._commit(v)
 
-    def _commit(self, v: int) -> None:
+    # -- concurrency ---------------------------------------------------------
+    def _claim_path(self, v: int) -> str:
+        return os.path.join(self.root, f"._claim_v{v:06d}")
+
+    def _claim_version(self) -> tuple[int, int]:
+        """Allocate a unique next version via O_EXCL claim-file create (the
+        CAS): two racing writers can never write into the same version dir.
+        Returns (snapshot_version, claimed_version)."""
+        base = self.current_version() or 0
+        v = base + 1
+        while True:
+            try:
+                fd = os.open(
+                    self._claim_path(v), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                os.close(fd)
+                return base, v
+            except FileExistsError:
+                v += 1
+
+    def _commit(self, v: int, expected_base: int | None = None) -> None:
         """Write pointer to a temp file, atomic-rename over _CURRENT — the
-        POSIX-atomic commit point — then prune old versions."""
+        POSIX-atomic commit point — then prune old versions.
+
+        With ``expected_base`` set (read-modify-write paths: upsert/append),
+        the commit is conditional: if another writer advanced the pointer
+        past the snapshot this write was computed from, the orphan version
+        is deleted and ConcurrentWriteError raised — failing LOUDLY instead
+        of silently dropping the winner's rows. (Same optimistic-concurrency
+        contract as a Delta/Iceberg commit conflict.)"""
+        if expected_base is not None:
+            cur = self.current_version() or 0
+            if cur != expected_base:
+                shutil.rmtree(self._version_dir(v), ignore_errors=True)
+                try:
+                    os.remove(self._claim_path(v))
+                except FileNotFoundError:
+                    pass
+                raise ConcurrentWriteError(
+                    f"table {self.root}: snapshot was v{expected_base} but "
+                    f"v{cur} is now committed; recompute the merge from the "
+                    "current snapshot and retry"
+                )
         fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._ptr")
         with os.fdopen(fd, "w") as f:
             f.write(str(v))
@@ -89,12 +141,19 @@ class ParquetTable:
             if name.startswith("v") and name[1:].isdigit():
                 if int(name[1:]) <= cur - keep:
                     shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+            elif name.startswith("._claim_v") and name[9:].isdigit():
+                if int(name[9:]) <= cur - keep:
+                    try:
+                        os.remove(os.path.join(self.root, name))
+                    except FileNotFoundError:
+                        pass
 
     def upsert(
         self,
         source: DataFrame,
         keys: list[str],
         order_by: list[str] | None = None,
+        partition_by: list[str] | None = None,
     ) -> None:
         """Keyed insert-or-update (MERGE). Creates the table if absent.
 
@@ -103,17 +162,53 @@ class ParquetTable:
         (/root/reference/dataflow/BookingDataTransformation.json:156-186)
         and the SCD-Type-1 dim upsert keyed on customer_id
         (/root/reference/pipeline/LoadCustomerDim.json:82-101).
+
+        When ``partition_by`` is given (or the existing table was written
+        partitioned), the merge routes to :meth:`upsert_pruned` — O(affected
+        partitions) per batch. The unpartitioned fallback rewrites the whole
+        table per merge (O(table) per batch, quadratic over a stream's
+        lifetime) and logs a scale warning when the table is partitionable.
         """
         from ..operators.merge import merge_dataframes, latest_per_key
 
+        parts = partition_by or self._partition_columns()
+        if parts:
+            self.upsert_pruned(source, keys, parts, order_by=order_by)
+            return
         if not self.exists():
             first = (
                 latest_per_key(source, keys, order_by) if order_by else source
             )
             self.overwrite(first)
             return
+        log.warning(
+            "upsert on unpartitioned table %s rewrites the full table per "
+            "batch; write with partition_by and use upsert_pruned for the "
+            "O(affected-partitions) steady state",
+            self.root,
+        )
+        base, v = self._claim_version()
         merged = merge_dataframes(self.read(), source, keys, order_by=order_by)
-        self.overwrite(merged)
+        merged.write.mode("overwrite").parquet(self._version_dir(v))
+        self._commit(v, expected_base=base)
+
+    def _partition_columns(self) -> list[str]:
+        """Partition columns of the current version, inferred from the
+        hive-style directory layout (empty when unpartitioned/absent)."""
+        v = self.current_version()
+        if v is None:
+            return []
+        cols: list[str] = []
+        d = self._version_dir(v)
+        while True:
+            subdirs = [
+                n for n in os.listdir(d)
+                if "=" in n and os.path.isdir(os.path.join(d, n))
+            ]
+            if not subdirs:
+                return cols
+            cols.append(subdirs[0].split("=", 1)[0])
+            d = os.path.join(d, subdirs[0])
 
     # -- scale paths ---------------------------------------------------------
     def _leaf_partition_dirs(self, vdir: str) -> list[str]:
@@ -146,11 +241,11 @@ class ParquetTable:
         if not self.exists():
             self.overwrite(df)
             return
-        v = (self.current_version() or 0) + 1
+        base, v = self._claim_version()
         target = self._version_dir(v)
         df.write.mode("overwrite").parquet(target)
-        self._link_tree(self._version_dir(v - 1), target)
-        self._commit(v)
+        self._link_tree(self._version_dir(base), target)
+        self._commit(v, expected_base=base)
 
     def upsert_pruned(
         self,
@@ -180,11 +275,7 @@ class ParquetTable:
             return
 
         combos = [tuple(r) for r in src.select(*partition_by).distinct().collect()]
-        affected_rels = {
-            "/".join(f"{c}={v}" for c, v in zip(partition_by, combo))
-            for combo in combos
-        }
-        cur = self.current_version() or 0
+        cur, new_v = self._claim_version()
         cur_dir = self._version_dir(cur)
 
         tgt = self.read()
@@ -192,20 +283,29 @@ class ParquetTable:
         for combo in combos:
             match = F.lit(True)
             for c, v in zip(partition_by, combo):
-                match = match & (F.col(c) == F.lit(v))
+                # eqNullSafe: a null partition value (e.g. a malformed date
+                # that cast to null year/month) must still SELECT the
+                # existing null-partition rows — plain == yields null and
+                # silently drops them from the merge, duplicating keys.
+                match = match & F.col(c).eqNullSafe(F.lit(v))
             pred = pred | match
         affected_tgt = tgt.filter(pred)  # partition-pruned scan
         merged = merge_dataframes(affected_tgt, src, keys, order_by=order_by)
 
-        v = cur + 1
-        target = self._version_dir(v)
+        target = self._version_dir(new_v)
         merged.write.mode("overwrite").partitionBy(*partition_by).parquet(target)
+        # The affected partition dirs are exactly the leaf dirs the merged
+        # write just produced — Spark applied its own path escaping
+        # (__HIVE_DEFAULT_PARTITION__ for nulls, %XX for special chars), so
+        # deriving the set from the written tree is correct for every value
+        # a hand-built "col=val" string would mangle.
+        affected_rels = set(self._leaf_partition_dirs(target))
         for rel in self._leaf_partition_dirs(cur_dir):
             if rel not in affected_rels:
                 self._link_tree(
                     os.path.join(cur_dir, rel), os.path.join(target, rel)
                 )
-        self._commit(v)
+        self._commit(new_v, expected_base=cur)
 
     def compact(
         self,

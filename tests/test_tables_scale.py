@@ -108,3 +108,95 @@ def test_compact_reduces_file_count(spark, tmp_path):
     vdir = t._version_dir(t.current_version())
     assert len(_inodes(vdir)) == 1
     assert t.read().count() == 1030
+
+
+def test_upsert_pruned_null_partition_values_no_duplicates(spark, tmp_path):
+    """A null partition value (e.g. malformed date → null year) must still
+    merge: the eqNullSafe predicate selects the existing null-partition rows
+    and the hardlink pass must NOT also carry the old null-partition dir
+    forward (rel strings are derived from the written tree, so
+    __HIVE_DEFAULT_PARTITION__ matches)."""
+    t = ParquetTable(spark, str(tmp_path / "nullpart"))
+    base = spark.createDataFrame(
+        [(1, 2024, "a"), (2, 2024, "b"), (3, None, "c"), (4, None, "d")],
+        "k int, year int, payload string",
+    )
+    t.upsert_pruned(base, keys=["k"], partition_by=["year"])
+
+    # update one null-partition key and insert another null-partition key
+    batch = spark.createDataFrame(
+        [(3, None, "c2"), (5, None, "e")], "k int, year int, payload string"
+    )
+    t.upsert_pruned(batch, keys=["k"], partition_by=["year"])
+    out = t.read()
+    assert out.count() == 5  # no duplicated k=3/k=4
+    assert out.filter("k = 3").select("payload").first()[0] == "c2"
+    assert out.filter("year IS NULL").count() == 3
+    # untouched 2024 partition survived via hardlink
+    assert {r[0] for r in out.filter("year = 2024").select("k").collect()} == {1, 2}
+
+
+def test_upsert_pruned_escaped_partition_values(spark, tmp_path):
+    """Partition values containing chars Spark escapes in dir names
+    (':' → %3A) must not be duplicated by the hardlink pass."""
+    t = ParquetTable(spark, str(tmp_path / "escpart"))
+    base = spark.createDataFrame(
+        [(1, "a:b", "x"), (2, "plain", "y")], "k int, part string, payload string"
+    )
+    t.upsert_pruned(base, keys=["k"], partition_by=["part"])
+    batch = spark.createDataFrame([(1, "a:b", "x2")], "k int, part string, payload string")
+    t.upsert_pruned(batch, keys=["k"], partition_by=["part"])
+    out = t.read()
+    assert out.count() == 2
+    assert out.filter("k = 1").select("payload").first()[0] == "x2"
+
+
+def test_concurrent_writer_fails_loudly(spark, tmp_path):
+    """Optimistic-concurrency commit: a writer whose snapshot went stale
+    (another commit landed mid-write) raises instead of silently dropping
+    the winner's rows."""
+    import pytest
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.sources.tables import (
+        ConcurrentWriteError,
+    )
+
+    t = ParquetTable(spark, str(tmp_path / "race"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k int, v string"))
+
+    base, ver = t._claim_version()
+    # interleaved second writer commits first
+    t2 = ParquetTable(spark, str(tmp_path / "race"))
+    t2.upsert(spark.createDataFrame([(2, "b")], "k int, v string"), keys=["k"])
+    assert t2.read().count() == 2
+
+    spark.createDataFrame([(3, "c")], "k int, v string").write.mode(
+        "overwrite"
+    ).parquet(t._version_dir(ver))
+    with pytest.raises(ConcurrentWriteError):
+        t._commit(ver, expected_base=base)
+    # the winner's committed version is intact
+    assert t.read().count() == 2
+
+
+def test_upsert_routes_to_pruned_for_partitioned_tables(spark, tmp_path):
+    """Default upsert() on a table written with partition_by must take the
+    O(affected-partitions) path: untouched partition files survive as
+    hardlinks (same inode), not rewrites."""
+    t = ParquetTable(spark, str(tmp_path / "route"))
+    base = spark.createDataFrame(
+        [(1, 1, "a"), (2, 2, "b"), (3, 3, "c")], "k int, m int, payload string"
+    )
+    t.overwrite(base, partition_by=["m"])
+    v1 = _inodes(t._version_dir(t.current_version()))
+
+    t.upsert(
+        spark.createDataFrame([(2, 2, "b2")], "k int, m int, payload string"),
+        keys=["k"],
+    )
+    out = t.read()
+    assert out.count() == 3
+    assert out.filter("k = 2").select("payload").first()[0] == "b2"
+    v2 = _inodes(t._version_dir(t.current_version()))
+    untouched_v1 = {ino for rel, ino in v1.items() if "m=2" not in rel}
+    assert untouched_v1 <= set(v2.values())  # hardlinked, not rewritten
