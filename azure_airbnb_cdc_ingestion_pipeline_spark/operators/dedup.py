@@ -329,24 +329,44 @@ def cluster_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per doc: per-bit majority vote over xxhash64(token)
+def portable_token_hash(t: Column) -> Column:
+    """60-bit token hash computable bit-identically in Spark AND DuckDB
+    (hence oracle-checkable): integer value of the first 15 hex chars of
+    md5. Spark: conv(substring(md5(t),1,15),16,10); DuckDB:
+    ('0x' || substr(md5(t),1,15))::BIGINT. 60 bits keeps the value
+    comfortably inside a signed 64-bit long in both engines."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_bits: int = 64,
+    hasher=None,
+) -> DataFrame:
+    """SimHash per doc: per-bit majority vote over hashed tokens
     (occurrence-weighted). Columns: (id, simhash). The sum of distinct
     powers of two reassembles the bit pattern exactly (long wraparound is
-    the intended two's-complement bit 63)."""
+    the intended two's-complement bit 63 in the 64-bit default).
+
+    `hasher` maps a token Column to a long Column; default xxhash64 (the
+    fast JVM path). Pass `portable_token_hash` with num_bits=60 for the
+    engine-portable fingerprint the correctness oracle replicates."""
+    hasher = hasher or F.xxhash64
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(text_col)).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
+    ).withColumn("h", hasher(F.col("t")))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{bit}")
-        for bit in range(64)
+        for bit in range(num_bits)
     ]
     voted = tok.groupBy("id").agg(*votes)
     fp: Column = F.lit(0).cast("long")
-    for bit in range(64):
+    for bit in range(num_bits):
         fp = fp + F.when(
             F.col(f"v{bit}") > 0, F.shiftleft(F.lit(1).cast("long"), bit)
         ).otherwise(F.lit(0).cast("long"))
@@ -354,19 +374,26 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_distance: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 3,
+    num_bits: int = 64,
+    hasher=None,
 ) -> DataFrame:
     """All pairs within Hamming distance ≤ max_distance (≤ 3 guaranteed
     complete by the 4-chunk pigeonhole: any such pair agrees on at least
-    one 16-bit chunk, so the block join on (chunk_idx, chunk_value) loses
-    nothing). Returns (a_id, b_id, hamming)."""
-    sh = simhash(df, id_col, text_col)
+    one num_bits/4-bit chunk, so the block join on (chunk_idx, chunk_value)
+    loses nothing). Returns (a_id, b_id, hamming)."""
+    sh = simhash(df, id_col, text_col, num_bits=num_bits, hasher=hasher)
+    chunk_bits = num_bits // 4
+    mask = (1 << chunk_bits) - 1
     chunks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("ci"),
-                F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftrightunsigned(F.col("simhash"), chunk_bits * i)
+                .bitwiseAND(F.lit(mask))
                 .alias("cv"),
             )
             for i in range(4)

@@ -131,6 +131,68 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_lsh(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    num_planes: int = 8,
+    num_tables: int = 4,
+) -> DataFrame:
+    """Embedding near-dup at scale: LSH-blocked candidate generation +
+    exact-cosine verification — the registered replacement for the
+    all-pairs `cosine_pairs` baseline (kept as the test oracle kernel).
+
+    Each of `num_tables` hash tables assigns every vector a bucket id from
+    the sign bits of `num_planes` fixed hyperplane projections (different
+    deterministic seed per table); candidate pairs share a bucket in ANY
+    table. Verification computes the exact dot on pre-normalized vectors,
+    so the output has NO false positives — only recall is probabilistic.
+    For a pair at angle θ the miss probability is
+    (1 − (1 − θ/π)^planes)^tables: at cosine ≥ 0.95 (θ/π ≤ 0.102) with
+    8×4 it is ≤ 0.15; at the near-dup regime this operator targets
+    (cos ≥ 0.999, θ/π ≈ 0.01) it is ≤ 1e-4 — and the fixed hash family
+    makes the result deterministic run-to-run.
+
+    Scale: bucketing is a map-only pass (num_tables × num_planes dot
+    products per row); the self-join is keyed on (table, bucket), so the
+    pair count is bucket-occupancy-bounded — never the O(n²) triangular
+    product. Tune num_planes to corpus density (more planes → smaller
+    buckets → fewer candidates, lower recall per table; add tables to
+    recover recall).
+    """
+    unit = normalized(vectors, id_col, vec_col)
+    tables = []
+    for t in range(num_tables):
+        b = lsh_bucket(
+            unit, "unit", dim, num_planes, bucket_col="bucket", seed=0xA11CE + t * 7919
+        )
+        tables.append(b.select("id", F.lit(t).alias("tbl"), "bucket"))
+    buckets = tables[0]
+    for b in tables[1:]:
+        buckets = buckets.unionByName(b)
+    cand = (
+        buckets.select(F.col("id").alias("a_id"), "tbl", "bucket")
+        .join(
+            buckets.select(F.col("id").alias("b_id"), "tbl", "bucket"),
+            ["tbl", "bucket"],
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    a = unit.select(F.col("id").alias("a_id"), F.col("unit").alias("va"))
+    b = unit.select(F.col("id").alias("b_id"), F.col("unit").alias("vb"))
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("cos", F.round(dot(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+    )
+
+
 def numpy_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -223,37 +285,62 @@ def ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 2,
     seed: int = 7,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF ANN: a KMeans coarse quantizer partitions the corpus into
-    `n_clusters` cells; each query scores only the cells of its `n_probe`
-    nearest centroids. Per-query work drops from |corpus| to
-    ~|corpus| * n_probe / n_clusters.
+    """IVF ANN: a coarse quantizer partitions the corpus into cells; each
+    query scores only the cells of its `n_probe` nearest centroids.
+    Per-query work drops from |corpus| to ~|corpus| * n_probe / n_clusters.
 
-    Scale: the cell assignment is one fitted-model map over the corpus
-    (persist it / store as a column — it IS the index); centroids are
-    driver-side metadata (n_clusters x dim doubles). The probe join is
-    keyed on cell id, so AQE handles uneven cell sizes like any other
-    grouped join. Deterministic under a fixed seed.
+    The quantizer is a seeded MLlib KMeans by default; pass `centroids`
+    (columns: __cell int, center array<double>) to skip the fit — e.g. a
+    deterministic corpus sample. Fixed centroids make the whole plan pure
+    Catalyst expressions (no driver-side iteration, no sensitivity to
+    input partitioning), which is what the oracle-gated recall query uses;
+    KMeans centroids give tighter cells when quality matters more than
+    exact reproducibility.
+
+    Scale: the cell assignment is one map over the corpus (persist it /
+    store as a column — it IS the index); centroids are driver-side /
+    broadcast metadata (n_clusters x dim doubles). The probe join is keyed
+    on cell id, so AQE handles uneven cell sizes like any other grouped
+    join.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     from .windows import topk_per_group
 
     spark = corpus.sparkSession
-    corp = corpus.withColumn(
-        "__v", array_to_vector(F.transform(corpus_vec, lambda x: x.cast("double")))
-    )
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="__v").fit(corp)
-    assigned = (
-        model.transform(corp)
-        .withColumnRenamed("prediction", "__cell")
-        .drop("__v")
-    )
-    centers = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "__cell int, center array<double>",
-    )
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        corp = corpus.withColumn(
+            "__v", array_to_vector(F.transform(corpus_vec, lambda x: x.cast("double")))
+        )
+        model = KMeans(k=n_clusters, seed=seed, featuresCol="__v").fit(corp)
+        assigned = (
+            model.transform(corp)
+            .withColumnRenamed("prediction", "__cell")
+            .drop("__v")
+        )
+        centers = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "__cell int, center array<double>",
+        )
+    else:
+        centers = centroids.select("__cell", "center")
+        # nearest-centroid assignment as one broadcast join + ranking window
+        scored_cells = corpus.crossJoin(F.broadcast(centers)).select(
+            "*", cosine(F.col(corpus_vec), F.col("center")).alias("__cd")
+        )
+        assigned = (
+            topk_per_group(
+                scored_cells,
+                [corpus_id],
+                [F.col("__cd"), -F.col("__cell")],
+                k=1,
+                descending=True,
+            )
+            .drop("__cd", "center")
+        )
     probes = topk_per_group(
         queries.crossJoin(F.broadcast(centers)).select(
             query_id,
@@ -322,11 +409,13 @@ def lsh_bucket(
     dim: int,
     num_planes: int = 8,
     bucket_col: str = "bucket",
+    seed: int = 0xA11CE,
 ) -> DataFrame:
     """Append the LSH bucket id: bit i = sign of ⟨v, plane_i⟩. 2^num_planes
-    buckets; cosine-close vectors collide with high probability."""
+    buckets; cosine-close vectors collide with high probability. Distinct
+    `seed`s give independent hash tables (multi-table recall boosting)."""
     bucket: Column = F.lit(0)
-    for i, plane in enumerate(_hyperplanes(dim, num_planes)):
+    for i, plane in enumerate(_hyperplanes(dim, num_planes, seed)):
         p = F.array(*[F.lit(float(x)) for x in plane])
         bucket = bucket + F.when(dot(F.col(vec_col), p) >= 0, F.lit(1 << i)).otherwise(0)
     return df.withColumn(bucket_col, bucket)

@@ -357,9 +357,47 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # xxhash64-based fingerprint: not oracle-expressible
+# The fingerprint hash is the engine-portable 60-bit md5 prefix
+# (operators.dedup.portable_token_hash), so DuckDB can rebuild the exact
+# same simhash: unnest tokens → per-bit majority vote over 60 bits →
+# reassemble → all-pairs bit_count(xor) ≤ 3. (The oracle may do the O(n²)
+# pair scan — it is the reference implementation, not the scale path; the
+# Spark side stays the 4-chunk pigeonhole block join.)
+_SIMHASH_ORACLE = f"""
+    WITH aug AS ({_NEAR_AUG_SQL}),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM aug),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+    bits AS (
+        SELECT doc_id, i,
+               CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END AS vote
+        FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i)
+    ),
+    v AS (SELECT doc_id, i, sum(vote) AS sv FROM bits GROUP BY doc_id, i),
+    fp AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN sv > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                    AS BIGINT) AS sh
+        FROM v GROUP BY doc_id
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(_docs_near_aug(spark, sf_dir), "doc_id", "text", max_distance=3)
+    from ..operators.dedup import portable_token_hash
+
+    return simhash_pairs(
+        _docs_near_aug(spark, sf_dir),
+        "doc_id",
+        "text",
+        max_distance=3,
+        num_bits=60,
+        hasher=portable_token_hash,
+    )
 
 
 # Chain augmentation: two stacked near-copies per selected doc, so pair
@@ -471,7 +509,14 @@ def _emb_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = cosine_pairs(_emb_aug(spark, sf_dir), "vec_id", "v", threshold=0.95)
+    # LSH-blocked scale path (bucket-occupancy-bounded candidates, exact
+    # verification — no all-pairs product). Recall vs the all-pairs kernel
+    # is 1.0 on this corpus at every SF (asserted by
+    # tests/test_extensions.py::test_cosine_pairs_lsh_matches_all_pairs);
+    # the DuckDB oracle stays the exact all-pairs formulation.
+    from ..operators.similarity import cosine_pairs_lsh
+
+    out = cosine_pairs_lsh(_emb_aug(spark, sf_dir), "vec_id", "v", threshold=0.95)
     return out.select("a_id", "b_id", F.col("cos").alias("cos_sim"))
 
 
@@ -540,6 +585,60 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
     )
     return ivf_topk(queries, emb, k=5, n_clusters=16, n_probe=4)
+
+
+# Recall gates for the two approximate ANN paths. The planted near-dup
+# regime (a +0.05-perturbed copy of each of 10 corpus vectors) is the
+# workload these indexes exist for — corpus-hygiene retrieval — and it has
+# an EXACT expected answer the oracle recomputes independently: top-1 must
+# be the original vector at its true cosine. A hash-match therefore
+# certifies recall@1 = 1.0 through the approximate (bucketed / celled)
+# path, with no probabilistic floor. Verified to hold at sf0.001/0.01/0.1
+# under the fixed hash family / fixed centroid sample.
+_PLANTED_RECALL_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id, list_prepend(v[1] + 0.05, v[2:]) AS qv, v
+          FROM e WHERE vec_id < 10)
+    SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id,
+           round(list_cosine_similarity(qv, v), 4) AS cos_sim
+    FROM q
+"""
+
+
+def _planted_queries(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("query_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x.cast("double") + 0.05).otherwise(
+                x.cast("double")
+            ),
+        ).alias("qv"),
+    )
+
+
+@query("ann_lsh_recall", oracle=_PLANTED_RECALL_ORACLE)
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = lsh_topk(
+        _planted_queries(emb), emb, 64, k=1, num_planes=8, multiprobe=True
+    )
+    return out.select("query_id", "neighbor_id", F.col("cos").alias("cos_sim"))
+
+
+@query("ann_ivf_recall", oracle=_PLANTED_RECALL_ORACLE)
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # deterministic coarse quantizer: centroids are a fixed corpus sample,
+    # so the whole plan is pure Catalyst expressions (no KMeans fit)
+    cent = emb.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").cast("int").alias("__cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("center"),
+    )
+    out = ivf_topk(_planted_queries(emb), emb, k=1, n_probe=2, centroids=cent)
+    return out.select("query_id", "neighbor_id", F.col("cos").alias("cos_sim"))
 
 
 # ---------------------------------------------------------------------------

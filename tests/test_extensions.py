@@ -457,3 +457,28 @@ def test_kmeans_clusters_cover_corpus(spark, sf_dir):
     n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     assert total == n_emb
     assert len({r.cluster for r in rows}) >= 2
+
+
+def test_cosine_pairs_lsh_matches_all_pairs(emb):
+    """The registered LSH-blocked near-dup plan must reproduce the exact
+    all-pairs kernel on this corpus (recall 1.0 under the fixed hash
+    family) — guards the embedding_cosine_pairs oracle swap."""
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_lsh,
+    )
+
+    aug = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    pert = aug.filter(F.col("vec_id") % 29 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: F.when(i == 0, x + F.lit(0.05)).otherwise(x)
+        ).alias("v"),
+    )
+    aug = aug.unionByName(pert)
+    exact = {(r.a_id, r.b_id, r.cos) for r in cosine_pairs(aug, "vec_id", "v", 0.95).collect()}
+    lsh = {(r.a_id, r.b_id, r.cos) for r in cosine_pairs_lsh(aug, "vec_id", "v", 0.95).collect()}
+    assert len(exact) > 0
+    assert lsh == exact
