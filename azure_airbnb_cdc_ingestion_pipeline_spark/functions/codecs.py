@@ -1,0 +1,197 @@
+"""Pure-stdlib media codecs backing the multimodal decode path.
+
+The container has no PIL/ffmpeg/librosa, but two real formats are fully
+decodable with the standard library alone, which is enough to take
+`decode_features` / `resize_media` off the fake path end-to-end:
+
+- **PNG** (``zlib`` + ``struct``): complete decoder for 8-bit-depth,
+  non-interlaced greyscale / grey+alpha / RGB / RGBA images — IHDR parse,
+  IDAT inflate, all five scanline filters (None/Sub/Up/Average/Paeth)
+  reversed per the PNG spec — plus a matching encoder and a
+  nearest-neighbor resize. Other bit depths / interlacing raise
+  NotImplementedError (documented partial codec, loudly).
+- **WAV PCM** (``wave``): header + frame decode for 8/16-bit PCM;
+  duration, channel count, sample rate, and normalized mean amplitude.
+
+These run inside Arrow-batched ``mapInPandas`` workers (see
+operators/multimodal.py) — per-item Python cost is the codec itself, the
+Spark plan stays a narrow map with no payload shuffle.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # PNG color type → channel count
+
+
+def png_info(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse the IHDR chunk: (width, height, bit_depth, color_type)."""
+    if payload is None or not payload.startswith(PNG_SIG):
+        raise ValueError("not a PNG payload (bad signature)")
+    length, ctype = struct.unpack(">I4s", payload[8:16])
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError("malformed PNG: first chunk is not IHDR")
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", payload[16:29]
+    )
+    if interlace:
+        raise NotImplementedError("interlaced PNG not supported")
+    return w, h, depth, color
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> dict:
+    """Full decode → {width, height, channels, pixels: bytearray (row-major
+    interleaved), mean_intensity}. 8-bit depth only."""
+    w, h, depth, color = png_info(payload)
+    if depth != 8 or color not in _CHANNELS:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / color type {color} not supported"
+        )
+    channels = _CHANNELS[color]
+    # walk chunks, concatenate IDAT
+    idat = bytearray()
+    off = 8
+    while off < len(payload):
+        length, ctype = struct.unpack(">I4s", payload[off : off + 8])
+        if ctype == b"IDAT":
+            idat += payload[off + 8 : off + 8 + length]
+        elif ctype == b"IEND":
+            break
+        off += length + 12  # len + type + data + crc
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("malformed PNG: unexpected IDAT payload size")
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    for y in range(h):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                ul = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"malformed PNG: unknown filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    mean = (sum(out) / len(out) / 255.0) if out else 0.0
+    return {
+        "width": w,
+        "height": h,
+        "channels": channels,
+        "pixels": out,
+        "mean_intensity": mean,
+    }
+
+
+def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Encode row-major interleaved 8-bit pixels (filter 0 scanlines)."""
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        raw += pixels[y * stride : (y + 1) * stride]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_png(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """Nearest-neighbor resample, re-encoded as PNG."""
+    img = decode_png(payload)
+    w, h, c, px = img["width"], img["height"], img["channels"], img["pixels"]
+    out = bytearray(new_w * new_h * c)
+    for y in range(new_h):
+        sy = min(y * h // new_h, h - 1)
+        for x in range(new_w):
+            sx = min(x * w // new_w, w - 1)
+            src = (sy * w + sx) * c
+            dst = (y * new_w + x) * c
+            out[dst : dst + c] = px[src : src + c]
+    return encode_png(new_w, new_h, c, bytes(out))
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode PCM WAV → {channels, sample_rate, n_frames, duration_ms,
+    mean_intensity (normalized mean |amplitude|)}. 8/16-bit PCM."""
+    if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (bad RIFF header)")
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        channels = wf.getnchannels()
+        rate = wf.getframerate()
+        n_frames = wf.getnframes()
+        width = wf.getsampwidth()
+        frames = wf.readframes(n_frames)
+    if width == 2:
+        n = len(frames) // 2
+        samples = struct.unpack(f"<{n}h", frames[: n * 2])
+        mean = (sum(abs(s) for s in samples) / n / 32768.0) if n else 0.0
+    elif width == 1:  # unsigned 8-bit, 128-centered
+        mean = (
+            sum(abs(b - 128) for b in frames) / len(frames) / 128.0
+            if frames
+            else 0.0
+        )
+    else:
+        raise NotImplementedError(f"WAV sample width {width} not supported")
+    return {
+        "channels": channels,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "duration_ms": int(n_frames * 1000 / rate) if rate else 0,
+        "mean_intensity": mean,
+    }
+
+
+def encode_wav(
+    samples: list[int], channels: int = 1, sample_rate: int = 8000
+) -> bytes:
+    """Encode 16-bit PCM samples (interleaved if multichannel)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()

@@ -73,22 +73,48 @@ def as_media(
 
 
 def decode_media(payload: bytes, mime: str, fake: bool = False) -> dict[str, Any]:
-    """Decode one media payload. Real codecs are unavailable in this
-    environment; `fake=True` yields a deterministic stand-in (pixel/pcm
-    summary derived from the payload digest) so downstream plumbing can be
-    exercised end-to-end."""
-    if not fake:
-        raise NotImplementedError(
-            f"no codec for {mime} in this environment — pass fake=True for "
-            "the deterministic stub decoder"
-        )
-    d = hashlib.md5(payload or b"").digest()
-    return {
-        "width": 1 + d[0] % 64,
-        "height": 1 + d[1] % 64,
-        "channels": 3,
-        "mean_intensity": d[2] / 255.0,
-    }
+    """Decode one media payload.
+
+    REAL stdlib codecs back two formats (functions/codecs.py): image/png
+    (full zlib+filter decode) and audio/wav (PCM via `wave`) — for those,
+    the returned width/height/channels/duration/mean_intensity are actual
+    decoded values. Other formats need PIL/ffmpeg (absent here) and raise
+    NotImplementedError. `fake=True` yields the deterministic digest-based
+    stand-in for formats without a codec, keeping plumbing testable."""
+    if fake:
+        d = hashlib.md5(payload or b"").digest()
+        return {
+            "width": 1 + d[0] % 64,
+            "height": 1 + d[1] % 64,
+            "channels": 3,
+            "mean_intensity": d[2] / 255.0,
+            "duration_ms": None,
+        }
+    from ..functions import codecs
+
+    if mime == "image/png":
+        img = codecs.decode_png(payload)
+        return {
+            "width": img["width"],
+            "height": img["height"],
+            "channels": img["channels"],
+            "mean_intensity": img["mean_intensity"],
+            "duration_ms": None,
+        }
+    if mime in ("audio/wav", "audio/x-wav"):
+        au = codecs.decode_wav(payload)
+        return {
+            "width": None,
+            "height": None,
+            "channels": au["channels"],
+            "mean_intensity": au["mean_intensity"],
+            "duration_ms": au["duration_ms"],
+        }
+    raise NotImplementedError(
+        f"no codec for {mime} in this environment (stdlib codecs cover "
+        "image/png and audio/wav) — pass fake=True for the deterministic "
+        "stub decoder"
+    )
 
 
 def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
@@ -117,32 +143,42 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
         T.StructField("mean_intensity", T.DoubleType()),
     ]
 )
 
 
-def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
-    """Decode-stage plumbing: mapInPandas over payloads through
-    `decode_media`. With real codecs installed, only `decode_media`
-    changes; the Spark plan (narrow map, no payload shuffle) is final."""
+def decode_features(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Per-item decode via mapInPandas: each row decoded with the codec
+    for ITS meta.mime (real stdlib codecs for image/png and audio/wav;
+    `fake=True` for formats without one). The plan is a narrow map over
+    the scan — payloads never shuffle; only the small feature rows do."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                decode_media(b, "application/octet-stream", fake=fake)
-                for b in pdf["payload"]
+                decode_media(b, m, fake=fake)
+                for b, m in zip(pdf["payload"], pdf["mime"])
             ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": [r["width"] for r in rows],
-                    "height": [r["height"] for r in rows],
+                    "width": pd.array([r["width"] for r in rows], dtype="Int32"),
+                    "height": pd.array([r["height"] for r in rows], dtype="Int32"),
+                    "channels": pd.array(
+                        [r["channels"] for r in rows], dtype="Int32"
+                    ),
+                    "duration_ms": pd.array(
+                        [r["duration_ms"] for r in rows], dtype="Int64"
+                    ),
                     "mean_intensity": [r["mean_intensity"] for r in rows],
                 }
             )
 
-    return media.mapInPandas(_decode, DECODED_SCHEMA)
+    slim = media.select("media_id", "payload", F.col("meta.mime").alias("mime"))
+    return slim.mapInPandas(_decode, DECODED_SCHEMA)
 
 
 def sample_frames(
@@ -179,25 +215,38 @@ def sample_frames(
 
 
 def resize_media(
-    media: DataFrame, width: int, height: int, fake: bool = True
+    media: DataFrame, width: int, height: int, fake: bool = False
 ) -> DataFrame:
-    """Resize plumbing: payload -> resized payload + updated meta. The real
-    implementation swaps the body of `_resize_one` for a PIL/ffmpeg call;
-    the Spark plan (narrow mapInPandas, meta struct rebuild, payload
-    stays executor-side) is final."""
+    """Resize: payload -> resized payload + updated meta. image/png rows
+    run the REAL stdlib decode→nearest-neighbor→re-encode path
+    (functions/codecs.py); other mimes need PIL/ffmpeg and must use
+    `fake=True` (digest stand-in). The Spark plan — narrow mapInPandas,
+    meta struct rebuild, payload stays executor-side — is identical
+    either way."""
 
-    def _resize_one(payload: bytes) -> bytes:
-        if not fake:
-            raise NotImplementedError("no image codec in this environment")
-        # deterministic stand-in: digest-seeded bytes of the target size's
-        # signature (real impl returns re-encoded pixels)
-        d = hashlib.md5((payload or b"") + f"{width}x{height}".encode()).digest()
-        return d * 4
+    def _resize_one(payload: bytes, mime: str) -> bytes:
+        if fake:
+            # deterministic stand-in: digest-seeded bytes of the target
+            # size's signature
+            d = hashlib.md5(
+                (payload or b"") + f"{width}x{height}".encode()
+            ).digest()
+            return d * 4
+        if mime == "image/png":
+            from ..functions.codecs import resize_png
+
+            return resize_png(payload, width, height)
+        raise NotImplementedError(
+            f"no resize codec for {mime} — pass fake=True for the stub"
+        )
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
-            out["payload"] = out["payload"].map(_resize_one)
+            out["payload"] = [
+                _resize_one(b, (m if isinstance(m, dict) else m.asDict())["mime"])
+                for b, m in zip(pdf["payload"], pdf["meta"])
+            ]
             out["meta"] = out["meta"].map(
                 lambda m: {**(m if isinstance(m, dict) else m.asDict()),
                            "width": width, "height": height}

@@ -49,12 +49,45 @@ def read_csv(
 
 
 def read_json_docs(
-    spark: SparkSession, path: str, schema: T.StructType
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    drift_column: str | None = None,
 ) -> DataFrame:
-    """Newline-delimited JSON documents with an explicit schema
-    (drift-tolerant: unknown fields dropped, missing fields null —
-    the allowSchemaDrift/validateSchema:false analog)."""
-    return spark.read.schema(schema).json(path)
+    """Newline-delimited JSON documents with an explicit schema.
+
+    Default mode: missing fields → null, unknown fields dropped (the
+    validateSchema:false half of the reference's contract).
+
+    With ``drift_column`` set, unknown TOP-LEVEL fields flow through to
+    the sink instead of being dropped — the full allowSchemaDrift:true
+    semantics (/root/reference/dataflow/BookingDataTransformation.json:68-69,
+    91-92,156-157): each row gains a ``map<string,string>`` column holding
+    its drifted fields (nested values as their JSON text). One pass, no
+    schema inference scan — the doc is parsed once against the typed
+    schema and once as a string map, both Catalyst-native `from_json`,
+    so the posture survives 100 TB and streaming sources alike. The
+    output schema is STABLE regardless of what drifts (a map, not new
+    columns), which is what lets a downstream sink accept any drift
+    without DDL.
+
+    (CSV drift needs no special mode: ``read_csv`` without a schema is
+    string-first and keeps every column it finds.)
+    """
+    if drift_column is None:
+        return spark.read.schema(schema).json(path)
+    from pyspark.sql import functions as F
+
+    known = F.array(*[F.lit(f.name) for f in schema.fields])
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.from_json("value", schema).alias("__doc"),
+        F.map_filter(
+            F.from_json("value", "map<string,string>"),
+            lambda k, _v: ~F.array_contains(known, k),
+        ).alias(drift_column),
+    )
+    return parsed.select("__doc.*", drift_column)
 
 
 def write_csv_archive(df: DataFrame, path: str, quote_all: bool = True) -> None:

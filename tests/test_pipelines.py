@@ -232,3 +232,40 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     got = {r.k for r in spark.table("dd_sink").collect()}
     assert got == {"a", "b"}
     assert spark.table("dd_sink").count() == 2  # dups within window suppressed
+
+
+def test_schema_drift_passthrough_to_sink(spark, tmp_path):
+    """allowSchemaDrift analog: a field NOT in the explicit schema must
+    survive read → sink instead of being silently dropped."""
+    import json
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.sources.readers import read_json_docs
+    from azure_airbnb_cdc_ingestion_pipeline_spark.sources.tables import ParquetTable
+    from pyspark.sql import types as T
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = [
+        {"booking_id": 1, "amount": 10.5, "loyalty_tier": "gold", "beds": 2},
+        {"booking_id": 2, "amount": 7.25},
+    ]
+    (src / "part0.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    schema = T.StructType(
+        [
+            T.StructField("booking_id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    df = read_json_docs(spark, str(src), schema, drift_column="_drift")
+    assert set(df.columns) == {"booking_id", "amount", "_drift"}
+
+    sink = ParquetTable(spark, str(tmp_path / "sink"))
+    sink.upsert(df, keys=["booking_id"])
+    back = sink.read()
+    r1 = back.filter("booking_id = 1").select("_drift").first()[0]
+    assert r1 == {"loyalty_tier": "gold", "beds": "2"}
+    r2 = back.filter("booking_id = 2").select("_drift").first()[0]
+    assert r2 == {}
+    # typed fields still typed, missing-field contract unchanged
+    assert back.schema["amount"].dataType.typeName() == "double"
