@@ -39,6 +39,14 @@ HEADLINE = [
     # relational depth: TPC-H-style wide agg + top-N join
     "sql_pricing_summary",
     "sql_top_revenue_orders",
+    # scale extensions added r2: Arrow GEMM ANN, LSH-blocked embedding
+    # near-dup, portable simhash, packing, profiling, redaction
+    "ann_numpy_topk",
+    "embedding_cosine_pairs",
+    "dedup_simhash",
+    "sequence_pack_chunks",
+    "profile_columns",
+    "text_pii_redact",
 ]
 
 
@@ -53,6 +61,8 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    from azure_airbnb_cdc_ingestion_pipeline_spark.session import release_persisted
+
     timings: dict[str, float] = {}
     names = [n for n in HEADLINE if n in QUERIES]
     extra = [n for n in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",") if n]
@@ -60,19 +70,47 @@ def main() -> None:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        release_persisted()  # free operator-persisted frames between queries
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # round-over-round regression visibility: per-query delta vs the
+    # previous round's recorded bench (same sf only)
+    prev = _previous_round(out["sf"])
+    if prev:
+        out["delta_vs_prev"] = {
+            n: round(t - prev[n], 3) for n, t in timings.items() if n in prev
+        }
+    print(json.dumps(out))
+
+
+def _previous_round(sf) -> dict[str, float] | None:
+    """Per-query timings from the newest BENCH_r*.json at the same sf."""
+    import glob
+    import re
+
+    best: tuple[int, dict] | None = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+        except (OSError, json.JSONDecodeError):
+            continue
+        if parsed.get("sf") == sf and parsed.get("queries"):
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, parsed["queries"])
+    return best[1] if best else None
 
 
 if __name__ == "__main__":
