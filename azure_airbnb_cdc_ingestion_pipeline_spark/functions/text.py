@@ -181,3 +181,37 @@ def shingle_hashes(col: str | Column, n: int = 3) -> Column:
     return F.when(F.size(th) >= n, F.array_distinct(acc)).otherwise(
         F.array().cast("array<bigint>")
     )
+
+
+def repetition_ratios(toks: Column, n: int = 3) -> dict[str, Column]:
+    """Intra-document repetition quality signals: the fraction of
+    duplicated tokens and duplicated n-grams within one document — the
+    standard boilerplate/spam detector (high dup ratio → templated or
+    degenerate text). `toks` MUST be a bound token-array column (select
+    `tokens(...)` into a column first): higher-order-function lambda
+    bodies get no common-subexpression elimination, so passing the raw
+    `split(...)` expression would re-tokenize per element.
+
+    Returns columns keyed n_tokens / n_ngrams / dup_token_ratio /
+    dup_ngram_ratio; ratios 4-dp truncated (engine-portable). Map-only —
+    no shuffle, no UDF; at 100 TB this is a free rider on any scan."""
+    ngr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    n_tok = F.size(toks).cast("long")
+    n_ngr = F.size(ngr).cast("long")
+
+    def _trunc(x: Column) -> Column:
+        return F.floor(x * 10000) / 10000
+
+    return {
+        "n_tokens": n_tok,
+        "n_ngrams": n_ngr,
+        "dup_token_ratio": _trunc(
+            1.0 - F.size(F.array_distinct(toks)).cast("double") / n_tok
+        ),
+        "dup_ngram_ratio": _trunc(
+            1.0 - F.size(F.array_distinct(ngr)).cast("double") / n_ngr
+        ),
+    }

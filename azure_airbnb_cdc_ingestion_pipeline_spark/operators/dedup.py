@@ -444,3 +444,67 @@ def keep_best(
         .filter(F.col("rn") == 1)
         .drop("rn", "fp")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_pred: Column,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_overlap_x2: int | None = None,
+) -> DataFrame:
+    """Train/eval decontamination — the corpus-hygiene step that keeps
+    benchmark text out of training data. Splits `docs` by `eval_pred`
+    (True → eval/benchmark doc), builds distinct n-gram shingle sets on
+    both sides, and reports every TRAIN doc whose shingle overlap with
+    the union of eval shingles reaches the threshold (default: ≥ half of
+    the doc's own shingles; pass ``min_overlap_x2`` for a fixed
+    2×-overlap integer floor instead).
+
+    Output: (id, n_shingles, n_overlap, overlap_ratio) per contaminated
+    train doc. ``overlap_ratio`` is 4-dp-truncated so it is
+    engine-portable.
+
+    100 TB posture: the eval side of a decontamination run is a
+    benchmark suite — orders of magnitude smaller than the corpus — so
+    its distinct-shingle "banlist" is broadcast; the train side is one
+    explode + one broadcast hash join + one aggregate keyed on the doc
+    id. The corpus is never self-joined and never shuffled on shingles.
+    Shingles are 64-bit chained xxhash64 (`shingle_hashes`) — set
+    semantics equal string n-grams modulo 2^-64 collisions, at ~1/10th
+    the posting bytes.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        eval_pred.alias("__is_eval"),
+        F.explode(shingle_hashes(text_col, n)).alias("__sh"),
+    )
+    banlist = (
+        sh.filter(F.col("__is_eval")).select("__sh").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    agg = (
+        sh.filter(~F.col("__is_eval"))
+        .join(F.broadcast(banlist), "__sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_overlap"),
+        )
+    )
+    if min_overlap_x2 is None:
+        flagged = agg.filter(F.col("n_overlap") * 2 >= F.col("n_shingles"))
+    else:
+        flagged = agg.filter(F.col("n_overlap") * 2 >= min_overlap_x2)
+    return flagged.select(
+        F.col(id_col),
+        "n_shingles",
+        "n_overlap",
+        (
+            F.floor(
+                F.col("n_overlap").cast("double") * 10000 / F.col("n_shingles")
+            )
+            / 10000
+        ).alias("overlap_ratio"),
+    )

@@ -2134,3 +2134,164 @@ def q_approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.countDistinct("o_custkey") * 0.05
         ).alias("within_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r2 widening II: corpus hygiene (decontamination, repetition), array HOFs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH aug AS ({_NEAR_AUG_SQL}),
+    tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+    ix AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+           FROM tk WHERE len(t) >= 5),
+    sh AS (SELECT DISTINCT doc_id,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                       || ' ' || t[i+4] AS s
+           FROM ix),
+    ban AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0),
+    ag AS (SELECT tr.doc_id,
+                  count(*) AS n_shingles,
+                  count(b.s) AS n_overlap
+           FROM (SELECT doc_id, s FROM sh WHERE doc_id % 17 <> 0) tr
+           LEFT JOIN ban b USING (s)
+           GROUP BY tr.doc_id)
+    SELECT doc_id, n_shingles, n_overlap,
+           floor(CAST(n_overlap AS DOUBLE) * 10000 / n_shingles) / 10000
+               AS overlap_ratio
+    FROM ag
+    WHERE n_overlap * 2 >= n_shingles
+    """,
+)
+def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination over the near-dup-augmented corpus:
+    docs with doc_id % 17 == 0 act as the benchmark set; every train doc
+    sharing ≥ half its 5-gram shingles with the benchmark union is
+    flagged. The eval banlist is broadcast (benchmarks are tiny next to
+    a 100 TB corpus); the corpus side is explode → broadcast join →
+    per-doc aggregate — no self-join, no shingle shuffle."""
+    from ..operators.dedup import decontaminate
+
+    return decontaminate(
+        _docs_near_aug(spark, sf_dir),
+        F.col("doc_id") % 17 == 0,
+        "doc_id",
+        "text",
+        n=5,
+    )
+
+
+@query(
+    "text_repetition_score",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    ix AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+           FROM tk WHERE len(t) >= 3),
+    ng AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+           FROM ix),
+    na AS (SELECT doc_id, count(*) AS n_ngrams,
+                  count(DISTINCT s) AS nd_ngrams
+           FROM ng GROUP BY doc_id),
+    ta AS (SELECT doc_id, len(t) AS n_tokens,
+                  len(list_distinct(t)) AS nd_tokens
+           FROM tk WHERE len(t) >= 3)
+    SELECT ta.doc_id, ta.n_tokens, na.n_ngrams,
+           floor((1.0 - CAST(nd_tokens AS DOUBLE) / n_tokens) * 10000)
+               / 10000 AS dup_token_ratio,
+           floor((1.0 - CAST(nd_ngrams AS DOUBLE) / n_ngrams) * 10000)
+               / 10000 AS dup_ngram_ratio
+    FROM ta JOIN na USING (doc_id)
+    """,
+)
+def q_text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/degenerate-text detector: per-doc duplicated-token and
+    duplicated-3-gram fractions. Pure map-side HOFs over a pre-bound
+    token column (lambda bodies get no CSE — binding first avoids
+    re-tokenizing per element); zero shuffle."""
+    from ..functions.text import repetition_ratios, tokens
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("__toks", tokens("text"))
+        .filter(F.size("__toks") >= 3)
+    )
+    r = repetition_ratios(F.col("__toks"), n=3)
+    return d.select(
+        "doc_id",
+        r["n_tokens"].alias("n_tokens"),
+        r["n_ngrams"].alias("n_ngrams"),
+        r["dup_token_ratio"].alias("dup_token_ratio"),
+        r["dup_ngram_ratio"].alias("dup_ngram_ratio"),
+    )
+
+
+@query(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(sqrt(list_aggregate(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)
+                                              * CAST(x AS DOUBLE)),
+               'sum')), 6) AS l2_norm,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val
+    FROM embeddings
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function suite (transform/aggregate/filter/
+    array_max/element_at) over the embedding column — the JVM-side
+    vector toolbox every embedding pipeline leans on. Both engines fold
+    the squared-norm left-to-right in double, so values match exactly;
+    map-only, no shuffle, no UDF."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "__v", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.col("__v"), F.lit(0.0), lambda a, x: a + x * x
+                )
+            ),
+            6,
+        ).alias("l2_norm"),
+        F.size(F.filter(F.col("__v"), lambda x: x > 0)).alias("n_pos"),
+        F.round(F.array_max("__v"), 6).alias("max_val"),
+        F.round(F.element_at("__v", 1), 6).alias("first_val"),
+    )
+
+
+@query(
+    "explode_tokens_pos",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t
+      FROM documents WHERE doc_id < 40
+    ),
+    ix AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos
+           FROM tk)
+    SELECT doc_id, pos, t[pos] AS token FROM ix
+    """,
+)
+def q_explode_tokens_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — the LATERAL/UNNEST WITH ORDINALITY flattening op.
+    Row-multiplying but map-local (no shuffle); bounded here to 40 docs
+    to keep the gate result small."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .withColumn("__toks", F.split(F.lower("text"), " "))
+    )
+    return d.select(
+        "doc_id", F.posexplode("__toks").alias("pos", "token")
+    ).select("doc_id", (F.col("pos") + 1).alias("pos"), "token")
