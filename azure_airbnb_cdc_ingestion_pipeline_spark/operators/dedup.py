@@ -508,3 +508,41 @@ def decontaminate(
             / 10000
         ).alias("overlap_ratio"),
     )
+
+
+def blocked_levenshtein_pairs(
+    df: DataFrame,
+    name_col: str,
+    block_key: Column,
+    max_distance: int = 2,
+    min_distance: int = 1,
+) -> DataFrame:
+    """Entity resolution by blocked edit distance: distinct names are
+    compared only WITHIN a block (same ``block_key`` — e.g. same product
+    noun, same soundex, same zip) and reported when their Levenshtein
+    distance lands in [min_distance, max_distance]. Output: (a_name,
+    b_name, lev) with a_name < b_name.
+
+    Scale shape: names are deduplicated BEFORE pairing (entity
+    resolution operates on the name universe, not the row count), and
+    the self-join is keyed on the block — cost is Σ_b |block_b|², never
+    |names|². Pick block keys so blocks stay small (compound keys,
+    higher-fidelity phonetic codes) exactly as with any LSH family;
+    Levenshtein runs JVM-side (whole-stage codegen), no UDF.
+    """
+    names = (
+        df.select(F.col(name_col).alias("name"))
+        .distinct()
+        .withColumn("blk", block_key)
+    )
+    a = names.select(F.col("name").alias("a_name"), "blk")
+    b = names.select(F.col("name").alias("b_name"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a_name") < F.col("b_name"))
+        .withColumn("lev", F.levenshtein("a_name", "b_name"))
+        .filter(
+            (F.col("lev") >= min_distance) & (F.col("lev") <= max_distance)
+        )
+        .select("a_name", "b_name", "lev")
+    )

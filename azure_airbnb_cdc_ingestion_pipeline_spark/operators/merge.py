@@ -88,3 +88,37 @@ def merge_dataframes(
         src_keys = F.broadcast(src_keys)
     untouched = target.join(src_keys, on=keys, how="left_anti")
     return src.unionByName(untouched)
+
+
+def apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+    order_by: Sequence[str | Column] | None = None,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Full change-feed application: INSERT / UPDATE / DELETE.
+
+    Engine extension beyond the reference's no-delete MERGE
+    (``deletable:false``, /root/reference/dataflow/
+    BookingDataTransformation.json:156-186): a change batch carries an
+    ``op_col`` marker per row ('I'/'U'/'D' — any non-delete value
+    upserts). Per key, only the LATEST change (by ``order_by``, or
+    arbitrary-deterministic when None) is applied, so an insert followed
+    by a delete of the same key within one batch nets to the delete —
+    the same net-effect contract as Delta's ``applyChanges``.
+
+        result = upserts(latest)  ∪  (target ⟨left_anti⟩ ALL change keys)
+
+    Cost shape is identical to :func:`merge_dataframes`: one dedupe
+    shuffle on the (small) change batch plus one broadcast anti-join
+    over the target — deletes ride the same anti-join that updates
+    already paid for, so delete support is free at 100 TB.
+    """
+    keys = list(keys)
+    latest = latest_per_key(changes, keys, order_by)
+    upserts = latest.filter(F.col(op_col) != delete_op).select(*target.columns)
+    all_keys = F.broadcast(changes.select(*keys).dropDuplicates(keys))
+    untouched = target.join(all_keys, on=keys, how="left_anti")
+    return upserts.unionByName(untouched)

@@ -2295,3 +2295,138 @@ def q_explode_tokens_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode("__toks").alias("pos", "token")
     ).select("doc_id", (F.col("pos") + 1).alias("pos"), "token")
+
+
+# ---------------------------------------------------------------------------
+# r2 widening III: CDC with deletes, full outer join, fuzzy entity match
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_apply_changes",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    ch AS (
+      SELECT o_orderkey, o_custkey,
+             'X' AS o_orderstatus,
+             o_totalprice + 1.0 AS o_totalprice,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM ch WHERE op <> 'D'
+    UNION ALL
+    SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice
+    FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.o_orderkey = b.o_orderkey)
+    """,
+)
+def q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full change-feed application (INSERT/UPDATE/DELETE) — the engine
+    extension past the reference's no-delete MERGE. A synthetic change
+    batch (even order keys; every 10th key a delete) is applied to a
+    base table: upserts replace/insert, deletes drop, untouched base
+    rows ride one broadcast anti-join."""
+    from ..operators.merge import apply_cdc
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    changes = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return apply_cdc(base, changes, ["o_orderkey"], op_col="op")
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0
+    ),
+    o AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_name, o.n_orders, o.total_spend
+    FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with nulls surviving on both sides (customers
+    with no orders; order groups whose customer fell outside the dim
+    slice). Shuffle hash join on the key — full-outer cannot broadcast,
+    which is exactly why its plan differs from the lookup joins."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey", "c_name")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        "n_orders",
+        "total_spend",
+    )
+
+
+@query(
+    "fuzzy_match_blocked",
+    oracle="""
+    WITH aug AS (
+      SELECT p_name FROM part
+      UNION ALL
+      SELECT p_name || 'x' FROM part WHERE p_partkey % 13 = 0
+    ),
+    names AS (
+      SELECT DISTINCT p_name AS name,
+             list_extract(string_split(p_name, ' '),
+                          len(string_split(p_name, ' '))) AS blk
+      FROM aug
+    )
+    SELECT a.name AS a_name, b.name AS b_name,
+           levenshtein(a.name, b.name) AS lev
+    FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2
+    """,
+)
+def q_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution: typo-augmented part names, blocked on
+    the product noun (last token), paired by Levenshtein ≤ 2 within the
+    block. Names dedupe BEFORE pairing and the join is block-keyed —
+    Σ|block|², never |names|²."""
+    from ..operators.dedup import blocked_levenshtein_pairs
+
+    p = _t(spark, sf_dir, "part")
+    aug = p.select("p_name").unionByName(
+        p.filter(F.col("p_partkey") % 13 == 0).select(
+            F.concat(F.col("p_name"), F.lit("x")).alias("p_name")
+        )
+    )
+    return blocked_levenshtein_pairs(
+        aug,
+        "p_name",
+        block_key=F.element_at(F.split(F.col("name"), " "), -1),
+        max_distance=2,
+        min_distance=1,
+    )

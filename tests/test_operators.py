@@ -98,3 +98,58 @@ def test_merge_missing_source_col_raises(spark):
     source = spark.createDataFrame([(2,)], "k int")
     with pytest.raises(Exception):
         merge_dataframes(target, source, ["k"]).collect()
+
+
+def test_apply_cdc_insert_update_delete(spark):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.merge import apply_cdc
+
+    target = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")], "k int, ts int, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, 21, "b2", "U"),   # update existing
+            (3, 31, "c2", "D"),   # delete existing
+            (4, 40, "d", "I"),    # insert new
+        ],
+        "k int, ts int, v string, op string",
+    )
+    got = {
+        r["k"]: (r["ts"], r["v"])
+        for r in apply_cdc(target, changes, ["k"], order_by=["ts"]).collect()
+    }
+    assert got == {1: (10, "a"), 2: (21, "b2"), 4: (40, "d")}
+
+
+def test_apply_cdc_insert_then_delete_nets_to_delete(spark):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.merge import apply_cdc
+
+    target = spark.createDataFrame([(1, 10, "a")], "k int, ts int, v string")
+    changes = spark.createDataFrame(
+        [(2, 20, "b", "I"), (2, 21, "b", "D"), (1, 22, "a2", "D"), (1, 23, "z", "U")],
+        "k int, ts int, v string, op string",
+    )
+    # per key only the LATEST op applies: k=2 ends deleted, k=1 ends updated
+    got = {
+        r["k"]: r["v"]
+        for r in apply_cdc(target, changes, ["k"], order_by=["ts"]).collect()
+    }
+    assert got == {1: "z"}
+
+
+def test_blocked_levenshtein_pairs_block_bounded(spark):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.dedup import (
+        blocked_levenshtein_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [("red gear",), ("rad gear",), ("red bolt",), ("blue bolt",)],
+        "p_name string",
+    )
+    out = blocked_levenshtein_pairs(
+        df, "p_name", F.element_at(F.split(F.col("name"), " "), -1)
+    ).collect()
+    pairs = {(r["a_name"], r["b_name"]): r["lev"] for r in out}
+    # same-block typo pair found; cross-block pair (red gear vs red bolt,
+    # lev 3 anyway) and far same-block pair (red/blue bolt, lev 3) absent
+    assert pairs == {("rad gear", "red gear"): 1}
