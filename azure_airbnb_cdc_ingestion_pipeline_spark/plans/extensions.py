@@ -2430,3 +2430,39 @@ def q_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_distance=2,
         min_distance=1,
     )
+
+
+@query("stream_window_session")  # streaming session windows — rows-only
+def q_stream_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows on a STREAM: per-event-type sessions that close
+    after a 30-minute silence gap, emitted in append mode once the
+    watermark (1 day) passes the session end — the bounded-state
+    sessionization Structured Streaming runs with mergeable per-key
+    session state. availableNow drains the source; the trailing no-data
+    micro-batch advances the watermark so closed sessions flush.
+    Sessions newer than the watermark delay are (correctly) still open
+    and unemitted — the batch-equivalence test accounts for that."""
+    stream = _events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    stream = W.with_watermark(stream, "ts", "1 day")
+    agg = W.session(
+        stream,
+        "ts",
+        "30 minutes",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+    qname = "stream_session_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(qname)

@@ -632,3 +632,36 @@ def test_cosine_pairs_lsh_matches_all_pairs(emb):
     lsh = {(r.a_id, r.b_id, r.cos) for r in cosine_pairs_lsh(aug, "vec_id", "v", 0.95).collect()}
     assert len(exact) > 0
     assert lsh == exact
+
+
+def test_stream_session_window_matches_batch(spark, sf_dir):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.plans.extensions import (
+        q_stream_window_session,
+    )
+    from azure_airbnb_cdc_ingestion_pipeline_spark.sources.readers import read_events
+    from azure_airbnb_cdc_ingestion_pipeline_spark.streaming import windows as W
+
+    got = {
+        (r.event_type, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in q_stream_window_session(spark, sf_dir).collect()
+    }
+    ev = read_events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    batch = W.session(
+        ev,
+        "ts",
+        "30 minutes",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+    # append mode only emits sessions fully below the final watermark
+    # (max event time - 1 day); later sessions are still open state
+    want = {
+        (r.event_type, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in batch.collect()
+        if r.session_end < max_ts - __import__("datetime").timedelta(days=1)
+    }
+    assert got == want and len(want) > 0

@@ -200,3 +200,39 @@ def test_upsert_routes_to_pruned_for_partitioned_tables(spark, tmp_path):
     v2 = _inodes(t._version_dir(t.current_version()))
     untouched_v1 = {ino for rel, ino in v1.items() if "m=2" not in rel}
     assert untouched_v1 <= set(v2.values())  # hardlinked, not rewritten
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Co-located join via bucketing: both sides bucketed+sorted on the
+    join key produce a sort-merge join with NO shuffle exchange — the
+    co-location strategy that turns the nightly fact⋈dim join at 100 TB
+    into a map-side merge (each task reads matching bucket files)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    (
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", str(tmp_path / "orders_b"))
+        .mode("overwrite").saveAsTable("orders_bucketed")
+    )
+    (
+        lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", str(tmp_path / "lineitem_b"))
+        .mode("overwrite").saveAsTable("lineitem_bucketed")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        # forbid broadcast so the plan must rely on co-location
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("lineitem_bucketed").join(
+            spark.table("orders_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        n = joined.count()
+        assert n == lineitem.count()  # every lineitem has its order
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
