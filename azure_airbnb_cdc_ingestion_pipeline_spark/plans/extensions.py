@@ -2466,3 +2466,149 @@ def q_stream_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(180)
     return spark.table(qname)
+
+
+# ---------------------------------------------------------------------------
+# r2 widening IV: time-series gap fill, sessionization, histograms
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "timeseries_gap_fill",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, o_totalprice, o_orderkey
+      FROM orders
+    ),
+    daily AS (
+      SELECT d, round(sum(o_totalprice), 2) AS revenue
+      FROM src WHERE o_orderkey % 97 = 0 GROUP BY d
+    ),
+    b AS (SELECT min(d) AS lo, max(d) AS hi FROM src),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                 AS d
+      FROM b
+    ),
+    j AS (SELECT spine.d, daily.revenue FROM spine LEFT JOIN daily USING (d))
+    SELECT d,
+           last_value(revenue IGNORE NULLS) OVER (
+               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS revenue_filled,
+           revenue IS NULL AS is_gap
+    FROM j
+    """,
+)
+def q_timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid densification + forward fill: a generated date spine
+    (sequence/explode) left-joins sparse daily revenue, and
+    last-non-null carry-forward fills the gaps. The window runs over the
+    SPINE (days between min and max — thousands of rows even for a
+    decade), not the fact table, so the single-series global sort is
+    bounded; with many series, partition the window by the series key."""
+    src = _t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"), "o_totalprice", "o_orderkey"
+    )
+    daily = (
+        src.filter(F.col("o_orderkey") % 97 == 0)
+        .groupBy("d")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    spine = (
+        src.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("d")
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return spine.join(daily, "d", "left").select(
+        "d",
+        F.last("revenue", ignorenulls=True).over(w).alias("revenue_filled"),
+        F.col("revenue").isNull().alias("is_gap"),
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    lagged AS (
+      SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM e
+    ),
+    marked AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('microsecond', prev_ts, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM lagged
+    )
+    SELECT event_id, user_id,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS session_seq
+    FROM marked
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session assignment: a session break is >30 min of
+    per-user silence; the running sum of breaks numbers each user's
+    sessions 1..n. The complement of `window_session` (which aggregates
+    per session; this labels every event). One window shuffle keyed on
+    user_id; timestampdiff is NTZ-pure so the result is timezone-proof."""
+    ev = read_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    marked = lagged.withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > 1800000000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return marked.select(
+        "event_id",
+        "user_id",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 5) AS BIGINT) AS bin,
+           CAST(floor(value / 5) * 5 AS DOUBLE) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 4) AS mean_in_bin
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning — the profiling/EDA staple. The bin
+    id is a pure projection, so this is one hash aggregate on a tiny key
+    space: partial aggregation collapses everything map-side and the
+    shuffle carries only |bins| rows per task at any scale."""
+    ev = read_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    bin_col = F.floor(F.col("value") / 5)
+    return (
+        ev.groupBy(
+            bin_col.alias("bin"),
+            (bin_col * 5).cast("double").alias("bin_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("mean_in_bin"),
+        )
+    )
