@@ -163,15 +163,20 @@ def cosine_pairs_lsh(
     recover recall).
     """
     unit = normalized(vectors, id_col, vec_col)
-    tables = []
-    for t in range(num_tables):
-        b = lsh_bucket(
-            unit, "unit", dim, num_planes, bucket_col="bucket", seed=0xA11CE + t * 7919
+    # all tables' buckets in ONE projection over the persisted unit frame
+    # (explode, not a 4-way union: one scan instead of num_tables scans)
+    table_structs = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            lsh_bucket_expr("unit", dim, num_planes, seed=0xA11CE + t * 7919).alias(
+                "bucket"
+            ),
         )
-        tables.append(b.select("id", F.lit(t).alias("tbl"), "bucket"))
-    buckets = tables[0]
-    for b in tables[1:]:
-        buckets = buckets.unionByName(b)
+        for t in range(num_tables)
+    ]
+    buckets = unit.select(
+        "id", F.explode(F.array(*table_structs)).alias("tb")
+    ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     cand = (
         buckets.select(F.col("id").alias("a_id"), "tbl", "bucket")
         .join(
@@ -403,6 +408,17 @@ def _hyperplanes(dim: int, num_planes: int, seed: int = 0xA11CE) -> list[list[fl
     return planes
 
 
+def lsh_bucket_expr(
+    vec_col: str, dim: int, num_planes: int = 8, seed: int = 0xA11CE
+) -> Column:
+    """LSH bucket id as a bare Column: bit i = sign of ⟨v, plane_i⟩."""
+    bucket: Column = F.lit(0)
+    for i, plane in enumerate(_hyperplanes(dim, num_planes, seed)):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot(F.col(vec_col), p) >= 0, F.lit(1 << i)).otherwise(0)
+    return bucket
+
+
 def lsh_bucket(
     df: DataFrame,
     vec_col: str,
@@ -414,11 +430,7 @@ def lsh_bucket(
     """Append the LSH bucket id: bit i = sign of ⟨v, plane_i⟩. 2^num_planes
     buckets; cosine-close vectors collide with high probability. Distinct
     `seed`s give independent hash tables (multi-table recall boosting)."""
-    bucket: Column = F.lit(0)
-    for i, plane in enumerate(_hyperplanes(dim, num_planes, seed)):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bucket = bucket + F.when(dot(F.col(vec_col), p) >= 0, F.lit(1 << i)).otherwise(0)
-    return df.withColumn(bucket_col, bucket)
+    return df.withColumn(bucket_col, lsh_bucket_expr(vec_col, dim, num_planes, seed))
 
 
 def lsh_topk(
