@@ -2612,3 +2612,61 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 4).alias("mean_in_bin"),
         )
     )
+
+
+@query(
+    "approx_quantile_bounded",
+    # Invariant-style oracle (like approx_distinct_bounded): DuckDB
+    # recomputes the exact interpolated percentiles; the boolean
+    # certifies the sketch landed within ±2 % of each (measured ≲0.1 %
+    # at accuracy=10000 on this data — wide margin, sketch still real).
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_exact,
+           TRUE AS within_2pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_approx_quantile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (mergeable KLL-style sketch — the 100 TB
+    percentile path: fixed-size state, no full sort) gated against the
+    exact interpolated percentile it approximates."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def _within(p: float):
+        exact = F.expr(f"percentile(l_extendedprice, {p})")
+        approx = F.expr(f"approx_percentile(l_extendedprice, {p}, 10000)")
+        return F.abs(approx - exact) <= exact * 0.02
+
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_exact"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_exact"),
+        (_within(0.5) & _within(0.99)).alias("within_2pct"),
+    )
+
+
+@query(
+    "regexp_functions",
+    oracle="""
+    SELECT event_id,
+           regexp_extract(props, '[0-9]+') AS first_num,
+           len(regexp_extract_all(props, '[0-9]')) AS n_digits,
+           regexp_matches(props, '"k": [0-9]+') AS has_k,
+           regexp_replace(props, '[0-9]', '#', 'g') AS masked
+    FROM events
+    """,
+)
+def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-regex scalar suite: extract / extract-all / match /
+    global replace, char-class-only patterns (identical under Java regex
+    and RE2; DuckDB global replace needs the 'g' flag). Map-only
+    whole-stage-codegen projections."""
+    ev = read_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", "[0-9]+", 0).alias("first_num"),
+        F.size(F.expr("regexp_extract_all(props, '[0-9]', 0)")).alias("n_digits"),
+        F.col("props").rlike('"k": [0-9]+').alias("has_k"),
+        F.regexp_replace("props", "[0-9]", "#").alias("masked"),
+    )
