@@ -47,6 +47,10 @@ HEADLINE = [
     "sequence_pack_chunks",
     "profile_columns",
     "text_pii_redact",
+    # LLM-pipeline hygiene + event analytics added late r2
+    "corpus_decontaminate",
+    "sessionize_events",
+    "cdc_apply_changes",
 ]
 
 
