@@ -2670,3 +2670,36 @@ def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props").rlike('"k": [0-9]+').alias("has_k"),
         F.regexp_replace("props", "[0-9]", "#").alias("masked"),
     )
+
+
+@query("stream_static_enrich")  # stream⋈static broadcast join — rows-only
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a STATIC
+    dimension snapshot (per-user aggregate profile) — the canonical
+    lookup-enrichment pattern. The static side is broadcast, so the
+    stream side never shuffles: each micro-batch is a map-only pass at
+    any scale (the static table is re-read per batch, picking up dim
+    updates). No watermark needed — stream-static inner joins are
+    stateless."""
+    static_profile = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            "c_mktsegment",
+            "c_nationkey",
+        )
+    )
+    stream = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    enriched = stream.join(F.broadcast(static_profile), "user_id", "inner")
+    qname = "stream_static_sink"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(qname)

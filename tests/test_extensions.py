@@ -665,3 +665,24 @@ def test_stream_session_window_matches_batch(spark, sf_dir):
         if r.session_end < max_ts - __import__("datetime").timedelta(days=1)
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.plans.extensions import (
+        q_stream_static_enrich,
+    )
+    from azure_airbnb_cdc_ingestion_pipeline_spark.sources.readers import read_events
+
+    got = {
+        (r.event_id, r.c_mktsegment, r.c_nationkey)
+        for r in q_stream_static_enrich(spark, sf_dir).collect()
+    }
+    ev = read_events(spark, sf_dir).select("event_id", "user_id")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    want = {
+        (r.event_id, r.c_mktsegment, r.c_nationkey)
+        for r in ev.join(cust, "user_id").collect()
+    }
+    assert got == want and len(want) > 0

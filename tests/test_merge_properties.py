@@ -113,3 +113,59 @@ def test_merge_replay_idempotent(spark, batch):
         assert sorted(map(tuple, state2.collect())) == sorted(
             map(tuple, state1.collect())
         )
+
+
+# --- apply_cdc (delete-capable net-effect apply) vs executable model ------
+
+_cdc_event = st.tuples(
+    st.integers(min_value=0, max_value=5),   # key
+    st.integers(min_value=0, max_value=3),   # ts
+    st.sampled_from(["I", "U", "D"]),        # op
+)
+_cdc_batches = st.lists(
+    st.lists(_cdc_event, min_size=0, max_size=8), min_size=1, max_size=4
+)
+
+
+def _model_apply_cdc(tagged):
+    """Per batch: the latest (ts, seq) change per key decides — delete
+    removes the key, anything else upserts; keys untouched by a batch
+    keep their prior state."""
+    state = {}
+    for bi, rows in enumerate(tagged):
+        batch_best = {}
+        for (k, ts, seq, op) in rows:
+            if k not in batch_best or (ts, seq) > batch_best[k][1:3]:
+                batch_best[k] = (k, ts, seq, op)
+        for k, (kk, ts, seq, op) in batch_best.items():
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = (kk, ts, seq, f"b{bi}:{kk}:{ts}:{seq}")
+    return sorted(state.values())
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(batches=_cdc_batches)
+def test_apply_cdc_matches_model(spark, batches):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.merge import apply_cdc
+
+    # tag with global arrival seq, keeping each event's op
+    seq, tagged = 0, []
+    for rows in batches:
+        out = []
+        for (k, ts, op) in rows:
+            out.append((k, ts, seq, op))
+            seq += 1
+        tagged.append(out)
+
+    schema = "k long, ts long, seq long, payload string, op string"
+    state = spark.createDataFrame([], "k long, ts long, seq long, payload string")
+    for bi, rows in enumerate(tagged):
+        batch = spark.createDataFrame(
+            [(k, ts, s, f"b{bi}:{k}:{ts}:{s}", op) for (k, ts, s, op) in rows],
+            schema,
+        )
+        state = apply_cdc(state, batch, ["k"], op_col="op", order_by=["ts", "seq"])
+    got = sorted(tuple(r) for r in state.collect())
+    assert got == _model_apply_cdc(tagged)
