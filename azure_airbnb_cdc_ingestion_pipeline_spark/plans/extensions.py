@@ -2703,3 +2703,45 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(180)
     return spark.table(qname)
+
+
+@query(
+    "gold_incremental",
+    oracle="""
+    SELECT c.c_mktsegment AS country,
+           CAST(count(*) AS BIGINT) AS total_bookings,
+           round(sum(o.o_totalprice), 2) AS total_amount,
+           max(o.o_orderdate) AS last_booking_date
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_gold_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained gold aggregate: the fact arrives as
+    three append batches; each is aggregated alone and partial-MERGED
+    into the standing gold (count+count, sum+sum, greatest(max)). The
+    oracle recomputes from scratch — the fold must land on identical
+    state. Per-trigger cost is O(batch + |groups|), never O(fact)."""
+    from ..operators.aggregate import gold_booking_aggregation, merge_gold
+
+    o = _t(spark, sf_dir, "orders")
+    dim = _t(spark, sf_dir, "customer")
+    gold = None
+    for b in range(3):
+        batch = o.filter(F.col("o_orderkey") % 3 == b)
+        part = gold_booking_aggregation(
+            batch,
+            dim,
+            fact_key="o_custkey",
+            dim_key="c_custkey",
+            group_col="c_mktsegment",
+            amount_col="o_totalprice",
+            date_col="o_orderdate",
+        )
+        gold = part if gold is None else merge_gold(gold, part, "c_mktsegment")
+    return gold.select(
+        F.col("c_mktsegment").alias("country"),
+        "total_bookings",
+        F.round("total_amount", 2).alias("total_amount"),
+        "last_booking_date",
+    )

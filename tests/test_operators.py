@@ -153,3 +153,45 @@ def test_blocked_levenshtein_pairs_block_bounded(spark):
     # same-block typo pair found; cross-block pair (red gear vs red bolt,
     # lev 3 anyway) and far same-block pair (red/blue bolt, lev 3) absent
     assert pairs == {("rad gear", "red gear"): 1}
+
+
+def test_incremental_gold_with_retraction_matches_full_recompute(spark):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.aggregate import (
+        gold_booking_aggregation,
+        merge_gold,
+        signed_delta,
+    )
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.merge import (
+        merge_dataframes,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "US"), (2, "US"), (3, "DE")], "customer_id int, country string"
+    )
+    fact_schema = "booking_id int, customer_id int, amount double, booking_date int"
+    fact = spark.createDataFrame(
+        [(10, 1, 100.0, 1), (11, 2, 50.0, 2), (12, 3, 70.0, 3)], fact_schema
+    )
+    gold = gold_booking_aggregation(
+        fact, dim, amount_col="amount", date_col="booking_date"
+    )
+    # batch: update booking 11 (amount 50→80, date 2→5) + insert booking 13
+    batch = spark.createDataFrame(
+        [(11, 2, 80.0, 5), (13, 1, 10.0, 4)], fact_schema
+    )
+    before = fact.join(batch.select("booking_id"), "booking_id", "left_semi")
+    delta = signed_delta(
+        before, batch, dim, amount_col="amount", date_col="booking_date"
+    )
+    got = {
+        r["country"]: (r["total_bookings"], r["total_amount"], r["last_booking_date"])
+        for r in merge_gold(gold, delta).collect()
+    }
+    new_fact = merge_dataframes(fact, batch, ["booking_id"])
+    want = {
+        r["country"]: (r["total_bookings"], r["total_amount"], r["last_booking_date"])
+        for r in gold_booking_aggregation(
+            new_fact, dim, amount_col="amount", date_col="booking_date"
+        ).collect()
+    }
+    assert got == want
