@@ -2745,3 +2745,32 @@ def q_gold_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_amount", 2).alias("total_amount"),
         "last_booking_date",
     )
+
+
+@query("stream_sessionize_stateful")  # custom emit-on-close state — rows-only
+def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionizer (applyInPandasWithState +
+    EventTimeTimeout): per-user sessions merge across micro-batches and
+    emit exactly once when the watermark passes their close; open
+    sessions stay in state. The rows-only gate checks the drain; the
+    pytest equivalence test pins the emitted set to the batch
+    session-window result below the final watermark."""
+    from ..streaming.stateful import sessionize_stream
+
+    stream = (
+        _events_stream(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("user_id", "ts", "value")
+        .withWatermark("ts", "1 day")
+    )
+    out = sessionize_stream(stream, gap_ms=30 * 60 * 1000)
+    qname = "stream_sessionize_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(qname)

@@ -686,3 +686,49 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir):
         for r in ev.join(cust, "user_id").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_sessionize_stateful_matches_batch(spark, sf_dir):
+    import datetime
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.plans.extensions import (
+        q_stream_sessionize_stateful,
+    )
+    from azure_airbnb_cdc_ingestion_pipeline_spark.sources.readers import read_events
+    from azure_airbnb_cdc_ingestion_pipeline_spark.streaming import windows as W
+
+    got = {
+        (r.user_id, r.session_start_ms, r.session_end_ms, r.n_events,
+         round(r.total_value, 4))
+        for r in q_stream_sessionize_stateful(spark, sf_dir).collect()
+    }
+    ev = (
+        read_events(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("user_id", "ts", "value")
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - datetime.timedelta(days=1)
+    batch = W.session(
+        ev,
+        "ts",
+        "30 minutes",
+        keys=["user_id"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("total_value"),
+        ],
+    )
+    epoch = datetime.datetime(1970, 1, 1)
+    want = {
+        (
+            r.user_id,
+            int((r.session_start - epoch).total_seconds() * 1000),
+            int((r.session_end - epoch).total_seconds() * 1000),
+            r.n_events,
+            round(r.total_value, 4),
+        )
+        for r in batch.collect()
+        if r.session_end <= wm
+    }
+    assert got == want and len(want) > 0
