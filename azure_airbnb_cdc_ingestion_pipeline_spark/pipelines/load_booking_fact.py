@@ -56,16 +56,46 @@ def process_booking_batch(
     dim: DataFrame | None = None,
     gold: ParquetTable | None = None,
     partitioned: bool = True,
+    incremental_gold: bool = False,
 ) -> None:
     """One micro-batch: quarantine bad rows, MERGE good rows into the fact
-    (latest-per-booking_id wins), then rebuild gold if a dim is wired.
+    (latest-per-booking_id wins), then refresh gold if a dim is wired.
 
     `partitioned=True` uses the partition-pruned merge (only the months
     present in the batch are rewritten; the rest of the fact table is
-    hardlinked forward — the 100 TB steady state)."""
+    hardlinked forward — the 100 TB steady state).
+
+    `incremental_gold=True` maintains gold with retraction deltas
+    (operators.aggregate.merge_gold/signed_delta): O(batch + |groups|)
+    per trigger instead of re-aggregating the whole fact — the matching
+    steady state for the pruned merge. Falls back to a full refresh on
+    the first batch (no standing gold yet)."""
+    from ..operators.merge import latest_per_key
+
     derived, rejected = transform_bookings(batch)
     if not rejected.isEmpty():
         quarantine.append(rejected)  # O(batch), not read-union-rewrite
+    maintain_incrementally = (
+        incremental_gold and dim is not None and gold is not None and gold.exists()
+    )
+    if maintain_incrementally:
+        # before-image: current fact rows for the batch's keys, snapshotted
+        # against the pre-merge table version (version dirs are immutable,
+        # and _vacuum(keep=2) retains it across the one merge commit that
+        # lands before this plan materializes in gold.overwrite below)
+        after = latest_per_key(derived, FACT_KEYS, FACT_ORDER)
+        before = fact.read().join(
+            F.broadcast(after.select(*FACT_KEYS).distinct()),
+            on=FACT_KEYS,
+            how="left_semi",
+        )
+        from ..operators.aggregate import merge_gold, signed_delta
+
+        delta = signed_delta(before, after, dim)
+        new_gold = merge_gold(gold.read(), delta)
+        # no-op groups keep their rows; zero-count groups (possible only
+        # with retraction-to-empty) are dropped
+        new_gold = new_gold.filter(F.col("total_bookings") > 0)
     if partitioned:
         fact.upsert_pruned(
             derived,
@@ -76,8 +106,10 @@ def process_booking_batch(
     else:
         fact.upsert(derived, keys=FACT_KEYS, order_by=FACT_ORDER)
     if dim is not None and gold is not None:
-        result = gold_booking_aggregation(fact.read(), dim)
-        gold.overwrite(result)
+        if maintain_incrementally:
+            gold.overwrite(new_gold)
+        else:
+            gold.overwrite(gold_booking_aggregation(fact.read(), dim))
 
 
 def load_booking_fact_stream(

@@ -269,3 +269,48 @@ def test_schema_drift_passthrough_to_sink(spark, tmp_path):
     assert r2 == {}
     # typed fields still typed, missing-field contract unchanged
     assert back.schema["amount"].dataType.typeName() == "double"
+
+
+def test_incremental_gold_matches_full_refresh(spark, tmp_path):
+    """Three CDC batches (with cross-batch key updates) maintained with
+    retraction-based incremental gold land on EXACTLY the state a full
+    refresh computes from the final fact table."""
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.aggregate import (
+        gold_booking_aggregation,
+    )
+    from azure_airbnb_cdc_ingestion_pipeline_spark.pipelines.load_booking_fact import (
+        process_booking_batch,
+    )
+    from azure_airbnb_cdc_ingestion_pipeline_spark.schemas import BOOKING_DOC_SCHEMA
+    from azure_airbnb_cdc_ingestion_pipeline_spark.sources.tables import ParquetTable
+
+    events = gen_booking_events(n=300, n_keys=220, seed=7)
+    dim = spark.createDataFrame(
+        [(i, ["US", "DE", "JP", "PT"][i % 4]) for i in range(1, 101)],
+        "customer_id int, country string",
+    )
+    fact = ParquetTable(spark, str(tmp_path / "fact"))
+    quarantine = ParquetTable(spark, str(tmp_path / "quar"))
+    gold = ParquetTable(spark, str(tmp_path / "gold"))
+    for b in range(3):
+        batch = spark.createDataFrame(events[b * 100 : (b + 1) * 100], BOOKING_DOC_SCHEMA)
+        process_booking_batch(
+            batch, fact, quarantine, dim=dim, gold=gold, incremental_gold=True
+        )
+    got = {
+        r["country"]: (
+            r["total_bookings"],
+            round(r["total_amount"], 2),
+            r["last_booking_date"],
+        )
+        for r in gold.read().collect()
+    }
+    want = {
+        r["country"]: (
+            r["total_bookings"],
+            round(r["total_amount"], 2),
+            r["last_booking_date"],
+        )
+        for r in gold_booking_aggregation(fact.read(), dim).collect()
+    }
+    assert got == want and len(want) > 0
