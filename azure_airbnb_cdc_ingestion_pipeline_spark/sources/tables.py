@@ -326,3 +326,29 @@ class ParquetTable:
             )
         else:
             self.overwrite(df.repartition(n_files))
+
+
+# --- time travel -----------------------------------------------------------
+
+
+def _versions(table: ParquetTable) -> list[int]:
+    """Committed versions still on disk (within the vacuum retention)."""
+    out = []
+    for name in os.listdir(table.root):
+        if name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    cur = table.current_version()
+    return sorted(v for v in out if cur is not None and v <= cur)
+
+
+def read_version(table: ParquetTable, version: int) -> DataFrame:
+    """Snapshot (time-travel) read of a specific committed version —
+    the Delta/Iceberg `VERSION AS OF` analog the versioned-pointer
+    layout gives for free. Only versions within the vacuum retention
+    (keep=2 by default) are readable; older ones raise."""
+    if version not in _versions(table):
+        raise FileNotFoundError(
+            f"version v{version} of {table.root} is not available "
+            f"(retained: {_versions(table)})"
+        )
+    return table.spark.read.parquet(table._version_dir(version))

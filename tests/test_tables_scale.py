@@ -236,3 +236,30 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
         spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+
+
+def test_time_travel_read_previous_version(spark, tmp_path):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.sources.tables import (
+        ParquetTable,
+        _versions,
+        read_version,
+    )
+
+    t = ParquetTable(spark, str(tmp_path / "tt"))
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    v1 = t.current_version()
+    t.upsert(
+        spark.createDataFrame([(2, "b2"), (3, "c")], "k int, v string"), ["k"]
+    )
+    assert t.current_version() == v1 + 1
+    # current state reflects the merge; snapshot still shows pre-merge
+    assert {r["v"] for r in t.read().collect()} == {"a", "b2", "c"}
+    assert {r["v"] for r in read_version(t, v1).collect()} == {"a", "b"}
+    # a third commit vacuums v1 (keep=2) — time travel past retention raises
+    t.upsert(spark.createDataFrame([(4, "d")], "k int, v string"), ["k"])
+    assert v1 not in _versions(t)
+    try:
+        read_version(t, v1)
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError:
+        pass
