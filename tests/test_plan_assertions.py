@@ -1,0 +1,45 @@
+"""Physical-plan assertions guarding the 100 TB posture claims: pushdown
+reaches the parquet scan, projections prune the read schema, small dims
+broadcast, and map-only operators stay exchange-free. A regression here
+is invisible at sf0.001 correctness but fatal at scale."""
+
+import pyspark.sql.functions as F
+
+from azure_airbnb_cdc_ingestion_pipeline_spark.plans.queries import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_filter_and_projection_reach_the_scan(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderkey") < 100)
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,100)" in plan
+    # column pruning: the scan must read ONLY the two projected columns
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+    assert "o_orderdate" not in read_schema and "o_orderstatus" not in read_schema
+
+
+def test_flagship_agg_broadcasts_the_dim(spark, sf_dir):
+    plan = _plan(QUERIES["agg_groupby_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_map_only_queries_have_no_exchange(spark, sf_dir):
+    for name in ("text_pii_redact", "text_quality_score", "text_token_stats"):
+        plan_str = _plan(QUERIES[name](spark, sf_dir))
+        physical = plan_str.split("== Physical Plan ==")[-1]
+        assert "Exchange" not in physical, f"{name} plans a shuffle:\n{physical}"
+
+
+def test_topk_per_group_single_window_shuffle(spark, sf_dir):
+    physical = _plan(QUERIES["topk_per_group"](spark, sf_dir)).split(
+        "== Physical Plan =="
+    )[-1]
+    assert physical.count("Exchange hashpartitioning") == 1
