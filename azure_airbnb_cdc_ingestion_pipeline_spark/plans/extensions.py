@@ -2774,3 +2774,41 @@ def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(180)
     return spark.table(qname)
+
+
+@query(
+    "doc_chunk_overlap",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    ix AS (SELECT doc_id, t,
+                  unnest(generate_series(1, len(t), 24)) AS s
+           FROM tk)
+    SELECT doc_id,
+           CAST((s - 1) / 24 + 1 AS BIGINT) AS chunk_id,
+           CAST(len(t[s : s + 31]) AS BIGINT) AS n_tokens,
+           array_to_string(t[s : s + 31], ' ') AS chunk_text
+    FROM ix
+    """,
+)
+def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunking (size 32, stride 24 → 8-token overlap)
+    — the context-window splitter every RAG/pretraining pipeline needs.
+    Chunk starts come from a per-doc `sequence`, chunks from `slice`
+    over a pre-bound token column (no re-tokenization inside the HOF
+    lambda); row-multiplying but map-local — zero shuffle at any
+    scale."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "__toks", F.split(F.lower("text"), " ")
+    )
+    starts = F.sequence(F.lit(1), F.greatest(F.size("__toks"), F.lit(1)), F.lit(24))
+    return (
+        d.select("doc_id", "__toks", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (((F.col("s") - 1) / 24).cast("long") + 1).alias("chunk_id"),
+            F.size(F.slice("__toks", F.col("s"), 32)).cast("long").alias("n_tokens"),
+            F.concat_ws(" ", F.slice("__toks", F.col("s"), 32)).alias("chunk_text"),
+        )
+    )
