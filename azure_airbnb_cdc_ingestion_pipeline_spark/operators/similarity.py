@@ -411,12 +411,27 @@ def _hyperplanes(dim: int, num_planes: int, seed: int = 0xA11CE) -> list[list[fl
 def lsh_bucket_expr(
     vec_col: str, dim: int, num_planes: int = 8, seed: int = 0xA11CE
 ) -> Column:
-    """LSH bucket id as a bare Column: bit i = sign of ⟨v, plane_i⟩."""
-    bucket: Column = F.lit(0)
-    for i, plane in enumerate(_hyperplanes(dim, num_planes, seed)):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bucket = bucket + F.when(dot(F.col(vec_col), p) >= 0, F.lit(1 << i)).otherwise(0)
-    return bucket
+    """LSH bucket id as a bare Column: bit i = sign of ⟨v, plane_i⟩.
+
+    The planes ride along as ARRAY LITERALS (one numpy-backed literal per
+    plane — a single data constant), not per-element `F.lit` chains: an
+    unrolled formulation costs dim × num_planes py4j round-trips at plan
+    build and a 2000+-constant generated class that Janino compiles for
+    seconds; as data the plan builds in ~30 Column calls and the codegen
+    stays small. The sign fold is one zip_with over (planes, bit-weights)
+    with a nested dot — same arithmetic, same buckets."""
+    import numpy as np
+
+    planes = _hyperplanes(dim, num_planes, seed)
+    planes_col = F.array(*[F.lit(np.asarray(p, dtype=np.float64)) for p in planes])
+    weights = F.lit(np.asarray([float(1 << i) for i in range(num_planes)]))
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    signed = F.zip_with(
+        planes_col,
+        weights,
+        lambda p, w: F.when(dot(v, p) >= 0, w).otherwise(F.lit(0.0)),
+    )
+    return F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x).cast("long")
 
 
 def lsh_bucket(
