@@ -143,6 +143,20 @@ def redact_pii(col: str | Column) -> Column:
     return c
 
 
+def word_ngrams(col: str | Column, n: int = 2) -> Column:
+    """All word n-grams as strings, occurrence-preserving (NOT distinct —
+    frequency analysis needs multiplicity; `shingles` is the distinct
+    set variant). Empty array for docs shorter than n tokens."""
+    arr = tokens(col)
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(arr, i, n)),
+    )
+    return F.when(F.size(arr) >= n, joined).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def shingles(col: str | Column, n: int = 3) -> Column:
     """Distinct n-gram token shingles (strings), the unit of set-based
     near-dup similarity. Empty array for docs shorter than n tokens."""

@@ -134,6 +134,187 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_tfidf_topk",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, t.term, count(*) AS tf
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+      GROUP BY doc_id, t.term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 4) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 terms by smoothed tf-idf
+    (tf × ln((N+1)/(df+1))), ranked on the 4-dp-rounded score with a
+    term-asc tiebreak so the cut is engine-deterministic.
+
+    Scale: one explode→(doc,term) count (shuffle keyed on the pair — high
+    cardinality, parallel), the document-frequency side reduces to
+    |vocab| rows and the corpus count to ONE row, both broadcast back —
+    the corpus-size frames never shuffle the big side again."""
+    from ..functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+@query(
+    "text_ngram_topk",
+    oracle="""
+    WITH tok AS (SELECT string_split(lower(text), ' ') AS tk FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+      FROM tok
+    )
+    SELECT bigram, count(*) AS freq FROM bg
+    GROUP BY bigram ORDER BY freq DESC, bigram ASC LIMIT 20
+    """,
+)
+def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 word bigrams by occurrence count — the n-gram
+    frequency profile used for boilerplate detection and tokenizer
+    vocabulary studies. Full (freq desc, bigram asc) order makes the
+    20-row cut deterministic.
+
+    Scale: explode → one count shuffle keyed on the bigram; the global
+    top-20 is a TakeOrdered over the reduced |distinct-bigram| frame
+    (per-partition heaps + driver merge of 20-row heads), never a full
+    sort of the corpus."""
+    from ..functions.text import word_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(word_ngrams("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+_BM25_TERMS = ("join", "scan", "merge")
+
+
+@query(
+    "text_bm25_rank",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(lower(text), ' ')) AS dl FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, t.term, count(*) AS tf
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+      WHERE t.term IN {_BM25_TERMS!r}
+      GROUP BY doc_id, t.term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+               AS score
+      FROM tf
+      JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, round(score, 4) AS bm25,
+             row_number() OVER (ORDER BY round(score, 4) DESC, doc_id ASC)
+               AS rnk
+      FROM scored
+    )
+    SELECT doc_id, bm25, rnk FROM ranked WHERE rnk <= 20
+    """,
+)
+def q_text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed term set:
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf = ln(1 + (N−df+0.5)/(df+0.5)). Top-20 docs, ranked on the
+    rounded score with doc-id tiebreak.
+
+    Scale: the term filter lands BEFORE the tf aggregation, so only
+    matching postings shuffle; corpus stats (N, avgdl) reduce to one
+    broadcast row, per-term df to |terms| broadcast rows. The final
+    ranking is a TakeOrdered over |matching docs| scores — no global
+    sort, no corpus self-join."""
+    from ..functions.text import token_count, tokens
+
+    K1, B = 1.2, 0.75
+    docs = _t(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", token_count("text").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (K1 + 1.0) / denom).alias("score"))
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("bm25"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # dataset curation: stable splits + per-group quota sampling
 # ---------------------------------------------------------------------------

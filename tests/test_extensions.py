@@ -56,6 +56,19 @@ def test_token_count_and_quality_bounds(docs):
     assert 0.0 <= out[1] <= out[2] <= 1.0
 
 
+def test_word_ngrams_multiplicity_and_short_docs(spark):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.text import word_ngrams
+
+    df = spark.createDataFrame(
+        [("a b a b",), ("solo",), ("",)], "text string"
+    ).select(word_ngrams("text", 2).alias("bg"))
+    rows = [r.bg for r in df.collect()]
+    # occurrence-preserving: "a b" appears twice (shingles would dedupe)
+    assert rows[0] == ["a b", "b a", "a b"]
+    # shorter than n tokens -> empty array, not null / error
+    assert rows[1] == [] and rows[2] == []
+
+
 def test_langid_in_domain(docs):
     langs = {
         r[0]
