@@ -1774,6 +1774,198 @@ def q_sql_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sql_late_sole_suppliers",
+    oracle="""
+    WITH late AS (
+      SELECT l.l_suppkey, l.l_orderkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM late l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT 20
+    """,
+)
+def q_sql_late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers solely responsible for late orders),
+    adapted to this schema's columns (lateness = shipped > 60 days after
+    the order date; the reference TPC-H receipt/commit dates are not in
+    the corpus). The two correlated subqueries become a LEFT SEMI
+    (another supplier exists on the order) and a LEFT ANTI (no OTHER
+    supplier shipped late) keyed on the order — the standard
+    decorrelation Catalyst applies to EXISTS/NOT EXISTS, written as
+    explicit joins.
+
+    Scale: `late` is filtered before any self-join; both semi/anti
+    probes are keyed on l_orderkey (high-cardinality, parallel); the
+    supplier dim is broadcast; the final top-20 is a TakeOrdered over
+    |suppliers| aggregated rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_suppkey", "l_orderkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    )
+    sole_late = (
+        late.join(
+            others,
+            (late.l_orderkey == others.ok) & (late.l_suppkey != others.sk),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (late.l_orderkey == late_others.ok)
+            & (late.l_suppkey != late_others.sk),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(F.broadcast(s), sole_late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "sql_idle_rich_customers",
+    oracle="""
+    WITH thresh AS (
+      SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey, count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c CROSS JOIN thresh
+    WHERE c.c_acctbal > thresh.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000.0)
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_sql_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (rich customers who never ordered), keyed by
+    nation instead of the phone country code this schema lacks: an
+    uncorrelated scalar subquery (global positive-balance average)
+    gates the customer scan, a NOT EXISTS anti-join removes anyone who
+    ever placed a large (>300k) order, and the rest is one aggregate.
+
+    Scale: the scalar threshold reduces to ONE broadcast row; the
+    anti-join probes orders on its o_custkey key (the orders side is
+    projected to the key column only before shuffling). The sum is
+    over c_acctbal doubles — rounded at 2 dp AFTER the aggregate, and
+    the per-nation groups are small enough that summation-order drift
+    is below the rounding grain (asserted by the oracle gate)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    thresh = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            o.filter(F.col("o_totalprice") > 300000.0)
+            .select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "events_ohlc_hourly",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             value, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY event_type, hr
+                           ORDER BY ts ASC, event_id ASC) AS rn_open,
+        row_number() OVER (PARTITION BY event_type, hr
+                           ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM e
+    )
+    SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           round(min(CASE WHEN rn_open = 1 THEN value END), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(min(CASE WHEN rn_close = 1 THEN value END), 2) AS close,
+           count(*) AS n_events,
+           round(sum(value), 2) AS volume
+    FROM ranked
+    GROUP BY event_type, hr
+    """,
+)
+def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: per (event_type, hour) OHLC bars —
+    open/close are the first/last value by (ts, event_id) (deterministic
+    under same-timestamp ties), high/low/volume are plain aggregates.
+    The downsample every metrics pipeline runs before charting or
+    joining against coarser-grained data.
+
+    Scale: ONE shuffle keyed on (event_type, hour); open/close ride the
+    same exchange as window functions over that key, then the bar
+    aggregate reuses the partitioning — no second shuffle of the raw
+    events. Bars are tiny thereafter."""
+    ev = read_events(spark, sf_dir)
+    hr = F.date_trunc("hour", F.col("ts"))
+    w_open = Window.partitionBy("event_type", "hr").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_close = Window.partitionBy("event_type", "hr").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select("event_type", hr.alias("hr"), "value", "ts", "event_id")
+        .withColumn("rn_open", F.row_number().over(w_open))
+        .withColumn("rn_close", F.row_number().over(w_close))
+        .groupBy("event_type", "hr")
+        .agg(
+            F.round(F.min(F.when(F.col("rn_open") == 1, F.col("value"))), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.min(F.when(F.col("rn_close") == 1, F.col("value"))), 2).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("volume"),
+        )
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+            "open", "high", "low", "close", "n_events", "volume",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # data profiling + PII scrubbing — corpus-hygiene passes a training pipeline
 # runs before anything else touches 100 TB
