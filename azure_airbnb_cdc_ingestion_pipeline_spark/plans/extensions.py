@@ -2904,6 +2904,55 @@ def q_timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_ewma",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             list(value ORDER BY ts ASC, event_id ASC) AS vs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           round(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 4) AS ewma,
+           len(vs) AS n_events
+    FROM g
+    """,
+)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    (α = 0.3, seeded with the first value): the classic recursive
+    feature y_i = α·x_i + (1−α)·y_{i−1} that plain window frames cannot
+    express. Computed as ONE left-fold per key: collect the per-user
+    series as (ts, event_id, value) structs, array_sort (deterministic
+    under timestamp ties), then an `aggregate` fold with a null-seeded
+    coalesce so the first element seeds the recursion — identical
+    fold order to the DuckDB list_reduce oracle, so the doubles match
+    bit-for-bit before rounding.
+
+    Scale: one shuffle keyed on user_id; per-key state is that user's
+    series (bounded by per-user activity, the same bound any stateful
+    sessionizer carries). For unbounded per-key series, window the fold
+    by day and chain the seeds — same expression, one extra group key."""
+    ev = read_events(spark, sf_dir)
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    ewma = F.aggregate(
+        vals,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.coalesce(0.3 * x + 0.7 * acc, x),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(ewma, 4).alias("ewma"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "ewma", "n_events")
+    )
+
+
+@query(
     "sessionize_events",
     oracle="""
     WITH e AS (
