@@ -307,6 +307,36 @@ class ParquetTable:
                 )
         self._commit(new_v, expected_base=cur)
 
+    def overwrite_clustered(
+        self,
+        df: DataFrame,
+        cluster_by: list[str],
+        partition_by: list[str] | None = None,
+        num_files: int | None = None,
+    ) -> None:
+        """Overwrite with rows RANGE-CLUSTERED on ``cluster_by``: a range
+        repartition spreads the key space across files and a
+        sort-within-partitions orders rows inside each file, so every
+        parquet row group carries tight, near-disjoint min/max stats on
+        the cluster keys. Scans with predicates on those keys then skip
+        whole row groups / files at the reader (the ZORDER-lite layout
+        Delta's OPTIMIZE ... ZORDER BY and Iceberg's sort orders give).
+
+        Scale: the range exchange samples key quantiles (one extra job
+        over a sample), then writes fully in parallel; clustering cost is
+        one shuffle — paid once per compaction window, amortized over
+        every subsequent pruned scan. For multi-column clustering the
+        leading column dominates skipping (lexicographic order), so put
+        the most-filtered column first."""
+        parts = (
+            df.repartitionByRange(num_files, *cluster_by)
+            if num_files
+            else df.repartitionByRange(*cluster_by)
+        )
+        self.overwrite(
+            parts.sortWithinPartitions(*cluster_by), partition_by=partition_by
+        )
+
     def compact(
         self,
         target_rows_per_file: int = 1_000_000,

@@ -51,6 +51,9 @@ HEADLINE = [
     "corpus_decontaminate",
     "sessionize_events",
     "cdc_apply_changes",
+    # retrieval + recursive-fold families added r2
+    "text_bm25_rank",
+    "events_ewma",
 ]
 
 

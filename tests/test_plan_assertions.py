@@ -43,3 +43,29 @@ def test_topk_per_group_single_window_shuffle(spark, sf_dir):
         "== Physical Plan =="
     )[-1]
     assert physical.count("Exchange hashpartitioning") == 1
+
+
+def test_bm25_broadcasts_stats_and_df_sides(spark, sf_dir):
+    # corpus stats (1 row) and per-term document frequencies (|terms| rows)
+    # must come back as broadcasts — re-shuffling the postings against
+    # them would serialize the retrieval pipeline at scale
+    physical = _plan(QUERIES["text_bm25_rank"](spark, sf_dir)).split(
+        "== Physical Plan =="
+    )[-1]
+    assert physical.count("BroadcastExchange") >= 2
+
+
+def test_ohlc_single_shuffle_shared_by_windows_and_agg(spark, sf_dir):
+    # open/close windows and the bar aggregate all key on
+    # (event_type, hour): one hashpartitioning exchange, reused
+    physical = _plan(QUERIES["events_ohlc_hourly"](spark, sf_dir)).split(
+        "== Physical Plan =="
+    )[-1]
+    assert physical.count("Exchange hashpartitioning") == 1
+
+
+def test_ewma_single_shuffle_on_user(spark, sf_dir):
+    physical = _plan(QUERIES["events_ewma"](spark, sf_dir)).split(
+        "== Physical Plan =="
+    )[-1]
+    assert physical.count("Exchange hashpartitioning") == 1

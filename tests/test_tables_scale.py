@@ -263,3 +263,47 @@ def test_time_travel_read_previous_version(spark, tmp_path):
         raise AssertionError("expected FileNotFoundError")
     except FileNotFoundError:
         pass
+
+
+def test_clustered_write_produces_disjoint_rowgroup_stats(spark, sf_dir, tmp_path):
+    """Range-clustering must yield tight, near-disjoint per-file min/max on
+    the cluster key (the stats parquet readers use for data skipping); an
+    unclustered write of the same data has massively overlapping ranges."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.sources.tables import ParquetTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+    def key_ranges(table):
+        v = table.current_version()
+        spans = []
+        for f in glob.glob(os.path.join(table._version_dir(v), "*.parquet")):
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                col = meta.row_group(rg).column(0)  # o_orderkey
+                spans.append((col.statistics.min, col.statistics.max))
+        return sorted(spans)
+
+    clustered = ParquetTable(spark, str(tmp_path / "clustered"))
+    clustered.overwrite_clustered(orders, ["o_orderkey"], num_files=8)
+    plain = ParquetTable(spark, str(tmp_path / "plain"))
+    plain.overwrite(orders.repartition(8))
+
+    def overlap_count(spans):
+        return sum(
+            1 for (a, b) in zip(spans, spans[1:]) if b[0] <= a[1]
+        )
+
+    c_spans, p_spans = key_ranges(clustered), key_ranges(plain)
+    assert len(c_spans) >= 8
+    # clustered: consecutive row-group ranges never interleave
+    assert overlap_count(c_spans) == 0
+    # round-robin: nearly every range overlaps its neighbor (no skipping)
+    assert overlap_count(p_spans) >= len(p_spans) - 2
+    # and the layout is lossless
+    assert clustered.read().count() == orders.count()
