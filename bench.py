@@ -94,6 +94,12 @@ def main() -> None:
         out["delta_vs_prev"] = {
             n: round(t - prev[n], 3) for n, t in timings.items() if n in prev
         }
+        # apples-to-apples wall: the suite grows every round, so also emit
+        # this run's total over ONLY the queries the previous round timed
+        out["prev_subset_wall"] = round(
+            sum(t for n, t in timings.items() if n in prev), 3
+        )
+        out["prev_wall"] = round(sum(prev.values()), 3)
     print(json.dumps(out))
 
 
