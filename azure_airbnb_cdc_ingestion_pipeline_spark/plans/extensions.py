@@ -3234,3 +3234,111 @@ def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice("__toks", F.col("s"), 32)).alias("chunk_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Web-corpus curation: per-domain stats from URL parsing. A crawl-derived
+# corpus needs docs-per-domain counts to downsample overrepresented hosts
+# (the C4/RefinedWeb curation step); the testdata has no URL column, so the
+# query synthesizes a deterministic URL per doc from (source, lang, doc_id,
+# n_chars) and then REALLY parses it back with parse_url — the JVM-side
+# java.net.URI path a crawl pipeline would run, not string games.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "url_domain_stats",
+    oracle="""
+    WITH u AS (
+      SELECT 'https://' || source || '.example.com/docs/' || lang || '/'
+               || doc_id || '?ref=' || n_chars AS url,
+             n_chars, lang
+      FROM documents
+    )
+    SELECT split_part(split_part(url, '//', 2), '/', 1) AS host,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(DISTINCT lang) AS n_langs,
+           max(CAST(regexp_extract(url, 'ref=([0-9]+)', 1) AS BIGINT)) AS max_ref
+    FROM u
+    GROUP BY 1
+    """,
+)
+def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse host + query param out of URLs (parse_url → java.net.URI,
+    whole-stage codegen) and aggregate per domain. One map pass + one
+    hash-agg shuffle keyed on host (partial aggregation collapses each
+    domain to one row per task first, so the shuffle carries |domains|
+    rows per task, not |docs|). Skewed domains (one host = 40% of a
+    crawl) are exactly what AQE skew handling + the salted-agg variant
+    (operators/skew.py) are for."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), "source", F.lit(".example.com/docs/"), "lang",
+        F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("?ref="), F.col("n_chars").cast("string"),
+    )
+    u = d.select(url.alias("url"), "n_chars", "lang")
+    return (
+        u.select(
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            "n_chars",
+            "lang",
+            F.parse_url("url", F.lit("QUERY"), F.lit("ref"))
+            .cast("long")
+            .alias("ref"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.max("ref").alias("max_ref"),
+        )
+    )
+
+
+@query(
+    "map_functions",
+    oracle="""
+    SELECT c_custkey,
+           3 AS n_entries,
+           c_mktsegment AS seg,
+           'key,nat,seg' AS keys_sorted,
+           upper(c_mktsegment) AS seg_upper,
+           2 AS n_nonkey,
+           '1' AS extra,
+           CAST(c_nationkey AS VARCHAR) AS nat_val
+    FROM customer
+    """,
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed scalar suite: create_map / map_keys / map_values /
+    element_at / map_filter / transform_values / map_concat — the
+    attribute-bag pattern (typed metadata on multimodal rows, feature
+    maps). All JVM higher-order functions in one codegen projection;
+    the map is built from known columns so the DuckDB oracle states the
+    expected outputs directly from those columns. Map-only, no shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    m = F.create_map(
+        F.lit("seg"), F.col("c_mktsegment"),
+        F.lit("nat"), F.col("c_nationkey").cast("string"),
+        F.lit("key"), F.col("c_custkey").cast("string"),
+    )
+    return c.select(
+        "c_custkey",
+        F.size(m).alias("n_entries"),
+        F.element_at(m, F.lit("seg")).alias("seg"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_sorted"),
+        F.element_at(
+            F.transform_values(m, lambda _, v: F.upper(v)), F.lit("seg")
+        ).alias("seg_upper"),
+        F.size(F.map_filter(m, lambda k, _: k != F.lit("key"))).alias("n_nonkey"),
+        F.element_at(
+            F.map_concat(m, F.create_map(F.lit("extra"), F.lit("1"))),
+            F.lit("extra"),
+        ).alias("extra"),
+        F.concat_ws(
+            "|", F.map_values(F.map_filter(m, lambda k, _: k == F.lit("nat")))
+        ).alias("nat_val"),
+    )

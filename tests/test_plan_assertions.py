@@ -69,3 +69,34 @@ def test_ewma_single_shuffle_on_user(spark, sf_dir):
         "== Physical Plan =="
     )[-1]
     assert physical.count("Exchange hashpartitioning") == 1
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Spark injects a runtime bloom filter built from the SELECTIVE dim
+    side into the fact scan of a shuffle join, pruning fact rows before
+    the exchange. The application-side threshold defaults to 10 GB (a
+    cluster-scale guard), so local test data must lower it to observe the
+    rewrite; at 100 TB the default fires on its own."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        physical = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in physical
+        assert "might_contain" in physical.lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
