@@ -70,9 +70,34 @@ def process_booking_batch(
     per trigger instead of re-aggregating the whole fact — the matching
     steady state for the pruned merge. Falls back to a full refresh on
     the first batch (no standing gold yet)."""
+    # Materialize the micro-batch once: every consumer below (quarantine
+    # emptiness probe + append, merge, partition-combo collect, gold
+    # before-image) otherwise re-parses the landing JSON — at 4 consumers
+    # that's 4x the scan cost per trigger. A micro-batch fits in memory
+    # by construction (it's trigger-bounded).
+    batch = batch.persist()
+    try:
+        derived, rejected = transform_bookings(batch)
+        _process_transformed(
+            derived, rejected, fact, quarantine, dim, gold,
+            partitioned, incremental_gold,
+        )
+    finally:
+        batch.unpersist()
+
+
+def _process_transformed(
+    derived: DataFrame,
+    rejected: DataFrame,
+    fact: ParquetTable,
+    quarantine: ParquetTable,
+    dim: DataFrame | None,
+    gold: ParquetTable | None,
+    partitioned: bool,
+    incremental_gold: bool,
+) -> None:
     from ..operators.merge import latest_per_key
 
-    derived, rejected = transform_bookings(batch)
     if not rejected.isEmpty():
         quarantine.append(rejected)  # O(batch), not read-union-rewrite
     maintain_incrementally = (

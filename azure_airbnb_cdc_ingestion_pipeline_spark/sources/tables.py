@@ -71,13 +71,14 @@ class ParquetTable:
         return self.spark.read.parquet(self._version_dir(v))
 
     # -- writes --------------------------------------------------------------
-    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
+    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
         """Atomic full overwrite: parallel parquet write of v_{n+1}, then a
         POSIX-atomic pointer rename (the commit). Old versions are pruned
         lazily, never the one being read. A blind overwrite doesn't depend
         on the previous snapshot, so concurrent overwrites are
         last-committer-wins on the pointer — but each writer gets a UNIQUE
-        claimed version dir, so they never clobber each other's files."""
+        claimed version dir, so they never clobber each other's files.
+        Returns the committed version number."""
         _base, v = self._claim_version()
         target = self._version_dir(v)
         writer = df.write.mode("overwrite")
@@ -85,6 +86,7 @@ class ParquetTable:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target)
         self._commit(v)
+        return v
 
     # -- concurrency ---------------------------------------------------------
     def _claim_path(self, v: int) -> str:
@@ -333,9 +335,121 @@ class ParquetTable:
             if num_files
             else df.repartitionByRange(*cluster_by)
         )
-        self.overwrite(
+        v = self.overwrite(
             parts.sortWithinPartitions(*cluster_by), partition_by=partition_by
         )
+        # persist the per-file min/max manifest for the cluster keys so
+        # read_pruned can file-skip without touching footers again
+        self._write_stats(self._version_dir(v), cluster_by)
+
+    # -- file-skipping stats (the Delta/Iceberg data-skipping analog) --------
+    _STATS = "_file_stats.json"
+
+    def _collect_file_stats(self, vdir: str, cols: list[str]) -> dict:
+        """Per-file min/max for ``cols`` from parquet FOOTERS — O(files)
+        metadata reads (~KB each), never data. At real scale these stats
+        are collected by the writing executors into the commit log (Delta's
+        add-file stats); reading footers at commit time is the
+        single-process equivalent with the same asymptotics."""
+        import pyarrow.parquet as pq
+
+        stats: dict[str, dict] = {}
+        for dirpath, _dn, filenames in os.walk(vdir):
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                path = os.path.join(dirpath, fn)
+                meta = pq.ParquetFile(path).metadata
+                idx = {
+                    meta.schema.column(j).name: j
+                    for j in range(meta.num_columns)
+                }
+                per_file: dict[str, list] = {}
+                for c in cols:
+                    if c not in idx:
+                        continue
+                    lo = hi = None
+                    for rg in range(meta.num_row_groups):
+                        st = meta.row_group(rg).column(idx[c]).statistics
+                        if st is None or not st.has_min_max:
+                            lo = hi = None
+                            break
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                    if lo is not None:
+                        per_file[c] = [lo, hi]
+                if per_file:
+                    stats[os.path.relpath(path, vdir)] = per_file
+        # JSON round-trips str/int/float; anything else stored as str
+        def _js(v):
+            return v if isinstance(v, (int, float, str)) else str(v)
+
+        return {
+            f: {c: [_js(lo), _js(hi)] for c, (lo, hi) in cs.items()}
+            for f, cs in stats.items()
+        }
+
+    def _write_stats(self, vdir: str, cols: list[str]) -> dict:
+        import json as _json
+
+        stats = self._collect_file_stats(vdir, cols)
+        fd, tmp = tempfile.mkstemp(dir=vdir, prefix="._stats")
+        with os.fdopen(fd, "w") as f:
+            _json.dump(stats, f)
+        os.replace(tmp, os.path.join(vdir, self._STATS))
+        return stats
+
+    def pruned_files(self, col: str, lo=None, hi=None) -> tuple[list[str], int]:
+        """File paths of the current version whose [min,max] span for
+        ``col`` intersects [lo, hi] (None = unbounded). Files without
+        stats for the column are conservatively KEPT. Returns
+        (kept_paths, total_files). Stats are read from the version's
+        manifest, computed on demand (and persisted best-effort) if the
+        version was written without one."""
+        import json as _json
+
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"table at {self.root} has no committed version")
+        vdir = self._version_dir(v)
+        spath = os.path.join(vdir, self._STATS)
+        try:
+            with open(spath) as f:
+                stats = _json.load(f)
+        except (FileNotFoundError, ValueError):
+            stats = self._write_stats(vdir, [col])
+        kept, total = [], 0
+        for dirpath, _dn, filenames in os.walk(vdir):
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                total += 1
+                rel = os.path.relpath(os.path.join(dirpath, fn), vdir)
+                span = stats.get(rel, {}).get(col)
+                if span is None:
+                    kept.append(os.path.join(vdir, rel))
+                    continue
+                fmin, fmax = span
+                if (lo is None or fmax >= lo) and (hi is None or fmin <= hi):
+                    kept.append(os.path.join(vdir, rel))
+        return kept, total
+
+    def read_pruned(self, col: str, lo=None, hi=None) -> DataFrame:
+        """Range scan with FILE-LEVEL skipping: plans only the files whose
+        stats span intersects [lo, hi], then applies the exact predicate.
+        On a range-clustered table (overwrite_clustered) a narrow range
+        touches O(range/keyspace) of the files instead of all of them —
+        the scan cost a 100 TB point-lookup workload needs. Empty file
+        list short-circuits to an empty frame with the table schema."""
+        kept, _total = self.pruned_files(col, lo=lo, hi=hi)
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(col) <= F.lit(hi))
+        if not kept:
+            return self.read().filter(F.lit(False))
+        return self.spark.read.parquet(*kept).filter(pred)
 
     def compact(
         self,

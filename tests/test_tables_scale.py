@@ -307,3 +307,62 @@ def test_clustered_write_produces_disjoint_rowgroup_stats(spark, sf_dir, tmp_pat
     assert overlap_count(p_spans) >= len(p_spans) - 2
     # and the layout is lossless
     assert clustered.read().count() == orders.count()
+
+
+def test_read_pruned_skips_files_on_clustered_table(spark, sf_dir, tmp_path):
+    """File-level data skipping: on a range-clustered table a narrow key
+    range plans a fraction of the files (manifest min/max pruning), and
+    the pruned scan returns exactly what a full-scan filter returns."""
+    from azure_airbnb_cdc_ingestion_pipeline_spark.sources.tables import ParquetTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite_clustered(orders, ["o_orderkey"], num_files=8)
+    # manifest written at commit time
+    assert os.path.exists(
+        os.path.join(t._version_dir(t.current_version()), "_file_stats.json")
+    )
+
+    # a ~10%-of-keyspace slice must plan at most 2 of the 8 range files
+    # (12.5% each; the slice can straddle one boundary)
+    kmin, kmax = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).first()
+    lo = kmin + (kmax - kmin) // 10
+    hi = kmin + 2 * (kmax - kmin) // 10
+    kept, total = t.pruned_files("o_orderkey", lo, hi)
+    assert total >= 8
+    assert len(kept) <= 2, (len(kept), total)
+
+    expect = sorted(
+        r.o_orderkey
+        for r in orders.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi)
+        ).collect()
+    )
+    got = sorted(r.o_orderkey for r in t.read_pruned("o_orderkey", lo, hi).collect())
+    assert got == expect and len(got) > 0
+
+
+def test_read_pruned_on_statless_version_computes_manifest_on_demand(
+    spark, sf_dir, tmp_path
+):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.sources.tables import ParquetTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(orders.repartition(6))  # unclustered, no manifest
+    kept, total = t.pruned_files("o_orderkey", 100, 500)
+    # round-robin layout: every file spans the keyspace, nothing prunable,
+    # but correctness must hold and the manifest now exists
+    assert total == 6 and len(kept) == 6
+    n_full = orders.filter(
+        (F.col("o_orderkey") >= 100) & (F.col("o_orderkey") <= 500)
+    ).count()
+    assert t.read_pruned("o_orderkey", 100, 500).count() == n_full
+    # disjoint range prunes everything and still answers correctly
+    assert t.read_pruned("o_orderkey", -50, -10).count() == 0
