@@ -3342,3 +3342,50 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|", F.map_values(F.map_filter(m, lambda k, _: k == F.lit("nat")))
         ).alias("nat_val"),
     )
+
+
+@query(
+    "text_unigram_nll",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    freq AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+    tot AS (SELECT count(*) AS total FROM tok)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(-ln(cnt / total)), 4) AS nll,
+           round(exp(avg(-ln(cnt / total))), 4) AS ppl
+    FROM tok JOIN freq USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring: per-doc average negative log-likelihood
+    (and its exp, perplexity) under the corpus's own unigram model — the
+    classic cheap LM-based quality filter for pretraining data (docs with
+    outlier perplexity are boilerplate, gibberish, or wrong-language).
+
+    Scale: the model build is one explode→term agg whose output is
+    |vocab| rows (bounded, broadcast back); the corpus total is ONE row.
+    Scoring is then a map-side broadcast join + one hash-agg keyed on
+    doc_id with map-side partial aggregation — two bounded shuffles
+    total, no UDFs, all whole-stage codegen."""
+    from ..functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    neg_logp = -F.log(F.col("cnt") / F.col("total"))
+    return (
+        toks.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(neg_logp), 4).alias("nll"),
+            F.round(F.exp(F.avg(neg_logp)), 4).alias("ppl"),
+        )
+    )

@@ -71,13 +71,22 @@ def main() -> None:
     from azure_airbnb_cdc_ingestion_pipeline_spark.session import release_persisted
 
     timings: dict[str, float] = {}
+    io_stats: dict[str, dict] = {}
     names = [n for n in HEADLINE if n in QUERIES]
     extra = [n for n in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",") if n]
+    cum = _cumulative_stage_bytes(spark)
     for name in names + extra:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         release_persisted()  # free operator-persisted frames between queries
+        if cum is not None:
+            nxt = _cumulative_stage_bytes(spark)
+            if nxt is not None:
+                io_stats[name] = {
+                    k: round((nxt[k] - cum[k]) / 1e6, 2) for k in nxt
+                }
+                cum = nxt
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -100,7 +109,36 @@ def main() -> None:
             sum(t for n, t in timings.items() if n in prev), 3
         )
         out["prev_wall"] = round(sum(prev.values()), 3)
+    if io_stats:
+        # per-query shuffle/scan volume (MB) from the status API — the
+        # "is there a shuffle that shouldn't be here" signal at a glance
+        out["io_mb"] = io_stats
     print(json.dumps(out))
+
+
+def _cumulative_stage_bytes(spark) -> dict[str, float] | None:
+    """Cumulative shuffle-read/write and scan input bytes across all
+    completed stages, from the Spark UI REST API (None if the UI is
+    off). Successive deltas give per-query I/O volume."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=complete", timeout=5
+        ) as r:
+            stages = json.load(r)
+    except Exception:
+        return None
+    out = {"shuffle_read": 0.0, "shuffle_write": 0.0, "input": 0.0}
+    for s in stages:
+        out["shuffle_read"] += s.get("shuffleReadBytes", 0)
+        out["shuffle_write"] += s.get("shuffleWriteBytes", 0)
+        out["input"] += s.get("inputBytes", 0)
+    return out
 
 
 def _previous_round(sf) -> dict[str, float] | None:
