@@ -3389,3 +3389,50 @@ def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(F.avg(neg_logp)), 4).alias("ppl"),
         )
     )
+
+
+@query(
+    "heavy_hitters_gated",
+    # Invariant-style oracle (same contract as approx_distinct_bounded):
+    # the single-pass sketch must CONTAIN every true heavy hitter — the
+    # freqItems guarantee (no false negatives; false positives allowed
+    # and filtered by the exact join below). DuckDB recomputes the exact
+    # heavy-hitter set; the boolean certifies the superset guarantee held.
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ),
+    freq AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+    tot AS (SELECT count(*) AS total FROM tok)
+    SELECT term, cnt, TRUE AS in_sketch
+    FROM freq, tot WHERE cnt >= total * 0.03
+    """,
+)
+def q_heavy_hitters_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters over the corpus vocabulary:
+    `DataFrame.stat.freqItems` runs the one-pass Karp/Misra-Gries-style
+    summary (fixed 1/support counters per task, merged associatively —
+    the mergeable-sketch scale path; no full vocab shuffle), then the
+    candidate set (≤ 1/support items, driver-bounded) is verified
+    against exact counts. Output: every EXACT heavy hitter with the
+    sketch-containment flag — the algorithm's no-false-negative
+    guarantee makes the flag provably TRUE."""
+    from ..functions.text import tokens
+
+    support = 0.03
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("term"))
+    candidates = set(
+        toks.stat.freqItems(["term"], support=support).first()[0]
+    )  # bounded: at most ceil(1/support) items
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        freq.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.col("total") * support)
+        .select(
+            "term",
+            "cnt",
+            F.col("term").isin(*candidates).alias("in_sketch"),
+        )
+    )

@@ -64,11 +64,20 @@ class ParquetTable:
         return self.current_version() is not None
 
     # -- reads ---------------------------------------------------------------
-    def read(self) -> DataFrame:
+    def read(self, merge_schema: bool = False) -> DataFrame:
+        """Snapshot read of the current version. ``merge_schema=True``
+        unions the schemas of all files in the version (parquet
+        mergeSchema) — the additive schema-evolution read: after an
+        append() whose batch carries NEW columns, old files surface them
+        as nulls instead of the reader pinning one file's schema.
+        Costs one footer read per file at planning (why it's opt-in)."""
         v = self.current_version()
         if v is None:
             raise FileNotFoundError(f"table at {self.root} has no committed version")
-        return self.spark.read.parquet(self._version_dir(v))
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(self._version_dir(v))
 
     # -- writes --------------------------------------------------------------
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:

@@ -100,3 +100,39 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """AQE skew-join handling: a hot key that dwarfs the median partition
+    is split into multiple tasks at runtime (skew=true in the final
+    plan) instead of serializing the join on one straggler task — the
+    no-manual-salting answer to skewed join keys at 100 TB. Thresholds
+    are lowered to make local-scale data register as skewed; production
+    defaults (256 MB / factor 5) fire on real skew unaided."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(400_000).select(
+            # 90% of rows share one key; the rest spread over 1000 keys
+            F.when(F.col("id") % 10 < 9, 7)
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("p"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        j = left.join(right, "k").select(F.sum(F.length("p")).alias("n"))
+        j.collect()  # AQE decides at runtime — must execute
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -366,3 +366,24 @@ def test_read_pruned_on_statless_version_computes_manifest_on_demand(
     assert t.read_pruned("o_orderkey", 100, 500).count() == n_full
     # disjoint range prunes everything and still answers correctly
     assert t.read_pruned("o_orderkey", -50, -10).count() == 0
+
+
+def test_append_with_new_column_and_merge_schema_read(spark, tmp_path):
+    """Additive schema evolution: an appended batch may carry columns the
+    table didn't have; read(merge_schema=True) surfaces the union schema
+    with nulls for pre-evolution rows (the allowSchemaDrift sink analog
+    on the table layer)."""
+    from azure_airbnb_cdc_ingestion_pipeline_spark.sources.tables import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(5).select("id", (F.col("id") * 2).alias("a")))
+    t.append(
+        spark.range(5, 8).select(
+            "id", (F.col("id") * 2).alias("a"), F.lit("drifted").alias("b")
+        )
+    )
+    df = t.read(merge_schema=True)
+    assert set(df.columns) == {"id", "a", "b"}
+    rows = {r.id: r.b for r in df.collect()}
+    assert len(rows) == 8
+    assert rows[0] is None and rows[7] == "drifted"
