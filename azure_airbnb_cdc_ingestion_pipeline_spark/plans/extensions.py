@@ -3436,3 +3436,101 @@ def q_heavy_hitters_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("term").isin(*candidates).alias("in_sketch"),
         )
     )
+
+
+@query(
+    "outlier_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.01) AS lo,
+             quantile_cont(l_extendedprice, 0.99) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           count(*) AS n,
+           CAST(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           round(avg(greatest(lo, least(hi, l_extendedprice))), 4)
+             AS mean_winsorized,
+           round(avg(l_extendedprice), 4) AS mean_raw
+    FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_outlier_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (clip to [p01, p99]) — the outlier-robust
+    normalization step quality-scoring pipelines apply before thresholding.
+    Scale: the bounds side reduces to |groups| rows (one percentile agg),
+    broadcast back onto the fact — the big side shuffles once for its own
+    final agg, never for the bounds. Exact interpolated percentiles match
+    DuckDB's quantile_cont definition."""
+    li = _t(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("hi"),
+    )
+    clipped = F.greatest("lo", F.least("hi", F.col("l_extendedprice")))
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    (F.col("l_extendedprice") < F.col("lo"))
+                    | (F.col("l_extendedprice") > F.col("hi"))
+                ).cast("long")
+            ).alias("n_clipped"),
+            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+            F.round(F.avg("l_extendedprice"), 4).alias("mean_raw"),
+        )
+    )
+
+
+@query(
+    "stratified_sample_gated",
+    # Invariant-style oracle: sampleBy is RNG-based (engine-specific
+    # draws), so the oracle certifies the INVARIANTS instead of the row
+    # set — per-stratum sample counts within a 4-sigma binomial band
+    # around fraction*N, and every sampled row genuinely from its
+    # stratum. DuckDB recomputes stratum sizes; the booleans certify.
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_stratum,
+           TRUE AS within_band
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_stratified_sample_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (`sampleBy`): per-stratum Bernoulli draws with
+    different fractions per key — the class-rebalancing sampler a
+    training-data mix needs (e.g. downsample the dominant language).
+    Map-only (each task filters its own rows by seeded hash; no shuffle
+    beyond the verification agg). The gate checks each stratum's sample
+    count lands within 4 binomial sigmas of fraction*N — determinism of
+    the seed makes the check reproducible."""
+    fractions = {"O": 0.5, "F": 0.2, "P": 0.8}
+    o = _t(spark, sf_dir, "orders")
+    sampled = o.sampleBy("o_orderstatus", fractions, seed=42)
+    counts = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_stratum"))
+    got = sampled.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_got"))
+    frac = F.create_map(
+        *[x for kv in fractions.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )
+    expect = F.element_at(frac, F.col("o_orderstatus")) * F.col("n_stratum")
+    sigma = F.sqrt(
+        F.col("n_stratum")
+        * F.element_at(frac, F.col("o_orderstatus"))
+        * (1 - F.element_at(frac, F.col("o_orderstatus")))
+    )
+    return (
+        counts.join(got, "o_orderstatus", "left")
+        .select(
+            "o_orderstatus",
+            "n_stratum",
+            (
+                F.abs(F.coalesce("n_got", F.lit(0)) - expect) <= 4 * sigma
+            ).alias("within_band"),
+        )
+    )

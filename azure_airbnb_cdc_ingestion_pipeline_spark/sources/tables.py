@@ -464,16 +464,25 @@ class ParquetTable:
         self,
         target_rows_per_file: int = 1_000_000,
         partition_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
     ) -> None:
         """Bin-pack the current version into ~target-sized files (the
         OPTIMIZE analog). Incremental appends/merges accumulate small
         files (one per micro-batch task); a periodic compaction keeps scan
         task counts and footer overhead bounded. Row-count proxy sizing:
-        files ≈ ceil(rows / target_rows_per_file)."""
+        files ≈ ceil(rows / target_rows_per_file).
+
+        With ``cluster_by``, the compaction also range-clusters on those
+        keys (the OPTIMIZE ... ZORDER BY combo): same write cost, and
+        every subsequent read_pruned range scan on the keys file-skips."""
         df = self.read()
         n = df.count()
         n_files = max(1, -(-n // target_rows_per_file))
-        if partition_by:
+        if cluster_by:
+            self.overwrite_clustered(
+                df, cluster_by, partition_by=partition_by, num_files=n_files
+            )
+        elif partition_by:
             self.overwrite(
                 df.repartition(n_files, *partition_by), partition_by=partition_by
             )

@@ -387,3 +387,21 @@ def test_append_with_new_column_and_merge_schema_read(spark, tmp_path):
     rows = {r.id: r.b for r in df.collect()}
     assert len(rows) == 8
     assert rows[0] is None and rows[7] == "drifted"
+
+
+def test_compact_with_clustering_enables_skipping(spark, tmp_path):
+    """OPTIMIZE+ZORDER combo: compacting small append files WITH
+    cluster_by leaves a layout where range scans file-skip."""
+    t = ParquetTable(spark, str(tmp_path / "cz"))
+    t.overwrite(spark.range(0, 4000).withColumn("v", F.col("id")).repartition(8))
+    for i in range(3):
+        t.append(
+            spark.range(4000 + i * 100, 4100 + i * 100)
+            .withColumn("v", F.col("id"))
+            .repartition(4)
+        )
+    t.compact(target_rows_per_file=1000, cluster_by=["id"])
+    kept, total = t.pruned_files("id", 0, 400)  # ~9% of keyspace
+    assert total >= 4
+    assert len(kept) <= 2, (len(kept), total)
+    assert t.read().count() == 4300
