@@ -3534,3 +3534,66 @@ def q_stratified_sample_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_band"),
         )
     )
+
+
+@query("ann_int8_recall", oracle=_PLANTED_RECALL_ORACLE)
+def q_ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized vector search: candidates are scored against the INT8
+    corpus (4x smaller resident index — the memory-bound lever for a
+    100 TB vector store), then the winning neighbor is re-scored at full
+    precision (the standard quantize-search / fp-rerank split). The
+    planted-recall oracle hash-matching certifies the int8 argmax equals
+    the exact argmax AND the reported cosine is the true one.
+
+    Scale: queries broadcast (bounded), corpus map-scored in place — no
+    corpus shuffle; one |queries|-keyed top-1 agg."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = (
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("max_abs", F.array_max(F.transform("v", lambda x: F.abs(x))))
+        .withColumn(
+            "qv", F.expr("transform(v, x -> CAST(floor(x / max_abs * 127) AS INT))")
+        )
+        .withColumn("scale", F.col("max_abs") / F.lit(127.0))
+    )
+    q = _planted_queries(emb)
+    pairs = corpus.crossJoin(F.broadcast(q))
+    int_dot = F.aggregate(
+        F.zip_with("qv", "qv_q", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # quantized score: scale * (int8 . fp-query); norms cancel in argmax
+    # only per-query on the query side, so divide by the dequantized norm
+    dequant_norm = F.sqrt(
+        F.aggregate(
+            F.transform("qv", lambda a: (a * F.col("scale")) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    pairs = (
+        pairs.withColumnRenamed("qv_fp", "qv_fp")  # no-op for clarity
+        .withColumn("qv_q", F.col("qarr"))
+        .withColumn("approx", F.col("scale") * int_dot / dequant_norm)
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("vec_id").asc()
+    )
+    top = pairs.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") == 1)
+    true_dot = F.aggregate(
+        F.zip_with("v", "qarr", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return top.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(true_dot / (norm("v") * norm("qarr")), 4).alias("cos_sim"),
+    )
