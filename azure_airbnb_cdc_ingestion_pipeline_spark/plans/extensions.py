@@ -3559,10 +3559,12 @@ def q_ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("scale", F.col("max_abs") / F.lit(127.0))
     )
-    q = _planted_queries(emb)
+    # rename the query-side vector so it cannot collide with the corpus's
+    # int8 `qv` column after the broadcast cross join
+    q = _planted_queries(emb).withColumnRenamed("qv", "qarr")
     pairs = corpus.crossJoin(F.broadcast(q))
     int_dot = F.aggregate(
-        F.zip_with("qv", "qv_q", lambda a, b: a * b),
+        F.zip_with("qv", "qarr", lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -3575,11 +3577,7 @@ def q_ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
     )
-    pairs = (
-        pairs.withColumnRenamed("qv_fp", "qv_fp")  # no-op for clarity
-        .withColumn("qv_q", F.col("qarr"))
-        .withColumn("approx", F.col("scale") * int_dot / dequant_norm)
-    )
+    pairs = pairs.withColumn("approx", F.col("scale") * int_dot / dequant_norm)
     from pyspark.sql import Window as _W
 
     w = _W.partitionBy("query_id").orderBy(

@@ -96,11 +96,16 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # round-over-round regression visibility: per-query delta vs the
-    # previous round's recorded bench (same sf only)
+    # Diagnostics go to stderr + a sidecar file, NOT the stdout metric
+    # line: the driver tail-captures ~2000 chars of stdout and must always
+    # see the final JSON line intact (BENCH_r02 lost its record when io_mb
+    # pushed the line past the window).
+    diag: dict[str, object] = {}
     prev = _previous_round(out["sf"])
     if prev:
-        out["delta_vs_prev"] = {
+        # round-over-round regression visibility: per-query delta vs the
+        # previous round's recorded bench (same sf only)
+        diag["delta_vs_prev"] = {
             n: round(t - prev[n], 3) for n, t in timings.items() if n in prev
         }
         # apples-to-apples wall: the suite grows every round, so also emit
@@ -112,7 +117,15 @@ def main() -> None:
     if io_stats:
         # per-query shuffle/scan volume (MB) from the status API — the
         # "is there a shuffle that shouldn't be here" signal at a glance
-        out["io_mb"] = io_stats
+        diag["io_mb"] = io_stats
+    if diag:
+        print(json.dumps(diag), file=sys.stderr)
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, "BENCH_DIAG.json"), "w") as f:
+                json.dump({**out, **diag}, f, indent=1)
+        except OSError:
+            pass
     print(json.dumps(out))
 
 
