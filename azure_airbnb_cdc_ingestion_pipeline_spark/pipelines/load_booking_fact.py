@@ -57,9 +57,15 @@ def process_booking_batch(
     gold: ParquetTable | None = None,
     partitioned: bool = True,
     incremental_gold: bool = False,
+    event_time_wins: bool = False,
 ) -> None:
     """One micro-batch: quarantine bad rows, MERGE good rows into the fact
     (latest-per-booking_id wins), then refresh gold if a dim is wired.
+
+    `event_time_wins=True` switches the merge's matched-row conflict rule
+    from arrival order (the reference's alter-row behavior) to max event
+    `timestamp`: out-of-order micro-batches then converge to the same
+    fact state regardless of delivery order.
 
     `partitioned=True` uses the partition-pruned merge (only the months
     present in the batch are rewritten; the rest of the fact table is
@@ -80,7 +86,7 @@ def process_booking_batch(
         derived, rejected = transform_bookings(batch)
         _process_transformed(
             derived, rejected, fact, quarantine, dim, gold,
-            partitioned, incremental_gold,
+            partitioned, incremental_gold, event_time_wins,
         )
     finally:
         batch.unpersist()
@@ -95,6 +101,7 @@ def _process_transformed(
     gold: ParquetTable | None,
     partitioned: bool,
     incremental_gold: bool,
+    event_time_wins: bool = False,
 ) -> None:
     from ..operators.merge import latest_per_key
 
@@ -127,9 +134,13 @@ def _process_transformed(
             keys=FACT_KEYS,
             partition_by=FACT_PARTITIONING,
             order_by=FACT_ORDER,
+            event_time_wins=event_time_wins,
         )
     else:
-        fact.upsert(derived, keys=FACT_KEYS, order_by=FACT_ORDER)
+        fact.upsert(
+            derived, keys=FACT_KEYS, order_by=FACT_ORDER,
+            event_time_wins=event_time_wins,
+        )
     if dim is not None and gold is not None:
         if maintain_incrementally:
             gold.overwrite(new_gold)
@@ -148,9 +159,15 @@ def load_booking_fact_stream(
     available_now: bool = True,
     partitioned: bool = True,
     max_files_per_trigger: int | None = None,
+    event_time_wins: bool = False,
 ):
     """Streaming entry: drain the change-feed landing dir through the merge
-    (exactly-once via checkpoint + idempotent merge)."""
+    (exactly-once via checkpoint + idempotent merge).
+
+    ``event_time_wins=True``: matched keys resolve to the max event
+    ``timestamp`` instead of arrival order, so a replayed or out-of-order
+    landing drain converges to the same fact state (the `WHEN MATCHED AND
+    s.ts >= t.ts` conditional-MERGE guard)."""
     stream = read_change_feed(
         spark, landing_dir, BOOKING_DOC_SCHEMA,
         max_files_per_trigger=max_files_per_trigger,
@@ -158,7 +175,8 @@ def load_booking_fact_stream(
 
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
         process_booking_batch(
-            batch_df, fact, quarantine, dim=dim, gold=gold, partitioned=partitioned
+            batch_df, fact, quarantine, dim=dim, gold=gold,
+            partitioned=partitioned, event_time_wins=event_time_wins,
         )
 
     q = run_foreach_batch_merge(

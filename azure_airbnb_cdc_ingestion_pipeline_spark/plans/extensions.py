@@ -307,12 +307,17 @@ def q_text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(idf * F.col("tf") * (K1 + 1.0) / denom).alias("score"))
     )
-    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-    return (
+    # orderBy().limit() plans a TakeOrderedAndProject (per-partition top-20
+    # reduced on the driver) — an unpartitioned row_number window would
+    # funnel every matching doc's score through ONE task first. The rank
+    # window after the limit only ever sees 20 rows.
+    top = (
         scored.select("doc_id", F.round("score", 4).alias("bm25"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
     )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 # ---------------------------------------------------------------------------
@@ -3405,7 +3410,7 @@ def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
     tot AS (SELECT count(*) AS total FROM tok)
     SELECT term, cnt, TRUE AS in_sketch
-    FROM freq, tot WHERE cnt >= total * 0.03
+    FROM freq, tot WHERE cnt > total * 0.03
     """,
 )
 def q_heavy_hitters_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3427,9 +3432,12 @@ def q_heavy_hitters_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # bounded: at most ceil(1/support) items
     freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     total = toks.agg(F.count(F.lit(1)).alias("total"))
+    # Strictly > threshold on BOTH sides (Spark + oracle): the Misra-Gries
+    # guarantee only covers items strictly above support·total — an
+    # exact-boundary item may legitimately be absent from the sketch.
     return (
         freq.crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") >= F.col("total") * support)
+        .filter(F.col("cnt") > F.col("total") * support)
         .select(
             "term",
             "cnt",

@@ -165,6 +165,7 @@ class ParquetTable:
         keys: list[str],
         order_by: list[str] | None = None,
         partition_by: list[str] | None = None,
+        event_time_wins: bool = False,
     ) -> None:
         """Keyed insert-or-update (MERGE). Creates the table if absent.
 
@@ -184,7 +185,10 @@ class ParquetTable:
 
         parts = partition_by or self._partition_columns()
         if parts:
-            self.upsert_pruned(source, keys, parts, order_by=order_by)
+            self.upsert_pruned(
+                source, keys, parts, order_by=order_by,
+                event_time_wins=event_time_wins,
+            )
             return
         if not self.exists():
             first = (
@@ -199,7 +203,10 @@ class ParquetTable:
             self.root,
         )
         base, v = self._claim_version()
-        merged = merge_dataframes(self.read(), source, keys, order_by=order_by)
+        merged = merge_dataframes(
+            self.read(), source, keys, order_by=order_by,
+            event_time_wins=event_time_wins,
+        )
         merged.write.mode("overwrite").parquet(self._version_dir(v))
         self._commit(v, expected_base=base)
 
@@ -258,12 +265,17 @@ class ParquetTable:
         self._link_tree(self._version_dir(base), target)
         self._commit(v, expected_base=base)
 
+    # Above this many touched partition combos, upsert_pruned abandons the
+    # OR-predicate (static pruning) for a broadcast semi-join (bounded plan).
+    _PRUNE_COMBO_LIMIT = 100
+
     def upsert_pruned(
         self,
         source: DataFrame,
         keys: list[str],
         partition_by: list[str],
         order_by: list[str] | None = None,
+        event_time_wins: bool = False,
     ) -> None:
         """Partition-pruned MERGE: rewrite ONLY the partitions the source
         batch touches; untouched partitions are hardlinked into the new
@@ -285,23 +297,45 @@ class ParquetTable:
             self.overwrite(src, partition_by=partition_by)
             return
 
-        combos = [tuple(r) for r in src.select(*partition_by).distinct().collect()]
+        combo_df = src.select(*partition_by).distinct()
+        # Peek at most LIMIT+1 combos: a normal CDC batch touches a handful
+        # of partitions (small OR predicate → static partition pruning at
+        # the scan); a pathological backfill spanning hundreds would build
+        # a thousands-term driver predicate, so past the limit we switch to
+        # a broadcast LEFT SEMI join on the partition columns instead — the
+        # plan stays bounded and the driver never materializes the combos.
+        combos = [
+            tuple(r)
+            for r in combo_df.limit(self._PRUNE_COMBO_LIMIT + 1).collect()
+        ]
         cur, new_v = self._claim_version()
         cur_dir = self._version_dir(cur)
 
         tgt = self.read()
-        pred = F.lit(False)
-        for combo in combos:
-            match = F.lit(True)
-            for c, v in zip(partition_by, combo):
-                # eqNullSafe: a null partition value (e.g. a malformed date
-                # that cast to null year/month) must still SELECT the
-                # existing null-partition rows — plain == yields null and
-                # silently drops them from the merge, duplicating keys.
-                match = match & F.col(c).eqNullSafe(F.lit(v))
-            pred = pred | match
-        affected_tgt = tgt.filter(pred)  # partition-pruned scan
-        merged = merge_dataframes(affected_tgt, src, keys, order_by=order_by)
+        if len(combos) > self._PRUNE_COMBO_LIMIT:
+            t, s = tgt.alias("__t"), combo_df.alias("__s")
+            cond = F.lit(True)
+            for c in partition_by:
+                # eqNullSafe for the same reason as the predicate path below
+                cond = cond & F.col(f"__t.{c}").eqNullSafe(F.col(f"__s.{c}"))
+            affected_tgt = t.join(F.broadcast(s), cond, "leftsemi")
+        else:
+            pred = F.lit(False)
+            for combo in combos:
+                match = F.lit(True)
+                for c, v in zip(partition_by, combo):
+                    # eqNullSafe: a null partition value (e.g. a malformed
+                    # date that cast to null year/month) must still SELECT
+                    # the existing null-partition rows — plain == yields
+                    # null and silently drops them from the merge,
+                    # duplicating keys.
+                    match = match & F.col(c).eqNullSafe(F.lit(v))
+                pred = pred | match
+            affected_tgt = tgt.filter(pred)  # partition-pruned scan
+        merged = merge_dataframes(
+            affected_tgt, src, keys, order_by=order_by,
+            event_time_wins=event_time_wins,
+        )
 
         target = self._version_dir(new_v)
         merged.write.mode("overwrite").partitionBy(*partition_by).parquet(target)
@@ -439,9 +473,37 @@ class ParquetTable:
                     kept.append(os.path.join(vdir, rel))
                     continue
                 fmin, fmax = span
-                if (lo is None or fmax >= lo) and (hi is None or fmin <= hi):
+                if self._span_intersects(fmin, fmax, lo, hi):
                     kept.append(os.path.join(vdir, rel))
         return kept, total
+
+    @staticmethod
+    def _span_intersects(fmin, fmax, lo, hi) -> bool:
+        """Whether a file's [fmin, fmax] stats span can intersect [lo, hi].
+        Stats are JSON-round-tripped (dates/decimals stored via str()), so a
+        typed bound may not be comparable to the stored value — mismatched
+        type categories (or a raising comparison) conservatively KEEP the
+        file rather than mis-skip it."""
+        def _compat(a, b):
+            num = (int, float)
+            if isinstance(a, num) and isinstance(b, num):
+                return True
+            return type(a) is type(b)
+
+        try:
+            if lo is not None:
+                if not _compat(fmax, lo):
+                    return True
+                if fmax < lo:
+                    return False
+            if hi is not None:
+                if not _compat(fmin, hi):
+                    return True
+                if fmin > hi:
+                    return False
+        except TypeError:
+            return True
+        return True
 
     def read_pruned(self, col: str, lo=None, hi=None) -> DataFrame:
         """Range scan with FILE-LEVEL skipping: plans only the files whose
@@ -458,7 +520,16 @@ class ParquetTable:
             pred = pred & (F.col(col) <= F.lit(hi))
         if not kept:
             return self.read().filter(F.lit(False))
-        return self.spark.read.parquet(*kept).filter(pred)
+        # basePath: explicit leaf-file reads on a partitioned table would
+        # otherwise DROP the Hive-style partition columns from the schema
+        # (and silently break filters on them) — anchoring the base dir
+        # makes Spark reconstruct them exactly as read() does.
+        v = self.current_version()
+        return (
+            self.spark.read.option("basePath", self._version_dir(v))
+            .parquet(*kept)
+            .filter(pred)
+        )
 
     def compact(
         self,

@@ -314,3 +314,104 @@ def test_incremental_gold_matches_full_refresh(spark, tmp_path):
         for r in gold_booking_aggregation(fact.read(), dim).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_event_time_wins_out_of_order_batches_converge(spark, tmp_path):
+    """event_time_wins=True through the streaming surface: an out-of-order
+    drain (newer events land FIRST, older updates for the same keys arrive
+    in a later micro-batch) must keep the newer state — and applying the
+    same two batches in either order converges to identical fact tables.
+    Default arrival-wins would let the late older batch clobber it."""
+    import json
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.pipelines.load_booking_fact import (
+        process_booking_batch,
+    )
+    from azure_airbnb_cdc_ingestion_pipeline_spark.schemas import BOOKING_DOC_SCHEMA
+
+    events = gen_booking_events(n=60, n_keys=60, seed=11)
+    good = [e for e in events if e["check_out_date"] >= e["check_in_date"]][:20]
+
+    def _variant(e, amount, ts):
+        out = dict(e)
+        out["amount"] = amount
+        out["timestamp"] = ts
+        return out
+
+    newer = [_variant(e, 222.22, "2025-06-01 00:00:00") for e in good]
+    older = [_variant(e, 111.11, "2024-06-01 00:00:00") for e in good]
+
+    # streaming surface: newer batch drains first, older arrives later
+    landing = str(tmp_path / "feed")
+    os.makedirs(landing)
+    with open(os.path.join(landing, "f1.json"), "w") as f:
+        for e in newer:
+            f.write(json.dumps(e) + "\n")
+    fact = ParquetTable(spark, str(tmp_path / "wh/fact"))
+    quar = ParquetTable(spark, str(tmp_path / "wh/rej"))
+    ckpt = str(tmp_path / "ckpt")
+    load_booking_fact_stream(
+        spark, landing, fact, quar, ckpt, event_time_wins=True
+    )
+    with open(os.path.join(landing, "f2.json"), "w") as f:
+        for e in older:
+            f.write(json.dumps(e) + "\n")
+    load_booking_fact_stream(
+        spark, landing, fact, quar, ckpt, event_time_wins=True
+    )
+    out = fact.read()
+    assert out.count() == 20
+    assert out.filter(F.col("amount") == 222.22).count() == 20  # newer kept
+
+    # permutation convergence on the batch surface
+    fact_a = ParquetTable(spark, str(tmp_path / "a"))
+    fact_b = ParquetTable(spark, str(tmp_path / "b"))
+    quar2 = ParquetTable(spark, str(tmp_path / "q2"))
+    for tbl, order in ((fact_a, (newer, older)), (fact_b, (older, newer))):
+        for batch_events in order:
+            batch = spark.createDataFrame(batch_events, BOOKING_DOC_SCHEMA)
+            process_booking_batch(batch, tbl, quar2, event_time_wins=True)
+    a = {r["booking_id"]: r["amount"] for r in fact_a.read().collect()}
+    b = {r["booking_id"]: r["amount"] for r in fact_b.read().collect()}
+    assert a == b and set(a.values()) == {222.22}
+
+
+def test_incremental_gold_before_image_survives_vacuum(spark, tmp_path):
+    """Guards the vacuum-retention coupling (keep=2): the incremental-gold
+    before-image plan reads the PRE-merge fact version and only
+    materializes inside gold.overwrite, after the merge commit has already
+    landed. With default retention that version must still be on disk —
+    per-batch gold must equal a full refresh after EVERY consecutive
+    batch, not just the last."""
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.aggregate import (
+        gold_booking_aggregation,
+    )
+    from azure_airbnb_cdc_ingestion_pipeline_spark.pipelines.load_booking_fact import (
+        process_booking_batch,
+    )
+    from azure_airbnb_cdc_ingestion_pipeline_spark.schemas import BOOKING_DOC_SCHEMA
+
+    events = gen_booking_events(n=200, n_keys=120, seed=13)
+    dim = spark.createDataFrame(
+        [(i, ["US", "DE"][i % 2]) for i in range(1, 101)],
+        "customer_id int, country string",
+    )
+    fact = ParquetTable(spark, str(tmp_path / "fact"))
+    quar = ParquetTable(spark, str(tmp_path / "quar"))
+    gold = ParquetTable(spark, str(tmp_path / "gold"))
+    for b in range(2):
+        batch = spark.createDataFrame(
+            events[b * 100 : (b + 1) * 100], BOOKING_DOC_SCHEMA
+        )
+        process_booking_batch(
+            batch, fact, quar, dim=dim, gold=gold, incremental_gold=True
+        )
+        got = {
+            r["country"]: (r["total_bookings"], round(r["total_amount"], 2))
+            for r in gold.read().collect()
+        }
+        want = {
+            r["country"]: (r["total_bookings"], round(r["total_amount"], 2))
+            for r in gold_booking_aggregation(fact.read(), dim).collect()
+        }
+        assert got == want, f"batch {b}: incremental gold diverged"

@@ -405,3 +405,79 @@ def test_compact_with_clustering_enables_skipping(spark, tmp_path):
     assert total >= 4
     assert len(kept) <= 2, (len(kept), total)
     assert t.read().count() == 4300
+
+
+def test_upsert_pruned_semi_join_fallback_many_partitions(spark, tmp_path):
+    """A backfill batch spanning 500 partitions must NOT build a 500-term
+    OR predicate: past _PRUNE_COMBO_LIMIT the merge prunes via a broadcast
+    LEFT SEMI join on the partition columns. Correctness: updates land,
+    untouched partitions survive as hardlinks."""
+    t = ParquetTable(spark, str(tmp_path / "wide"))
+    base = spark.range(1200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 600).cast("int").alias("pm"),
+        F.lit(1).alias("ver"),
+        F.col("id").cast("timestamp").alias("ts"),
+    )
+    t.upsert_pruned(base, keys=["k"], partition_by=["pm"], order_by=["ts"])
+    v1 = _inodes(t._version_dir(t.current_version()))
+
+    # batch touches partitions 0..499 (500 combos > the 100-combo limit)
+    batch = spark.range(500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 600).cast("int").alias("pm"),
+        F.lit(2).alias("ver"),
+        (F.col("id") + 10_000).cast("timestamp").alias("ts"),
+    )
+    assert batch.select("pm").distinct().count() == 500 > t._PRUNE_COMBO_LIMIT
+    t.upsert_pruned(batch, keys=["k"], partition_by=["pm"], order_by=["ts"])
+    out = t.read()
+    assert out.count() == 1200
+    assert out.filter("ver = 2").count() == 500
+    # the 100 partitions the batch did not touch (pm 500..599) are
+    # hardlinked forward, not rewritten
+    v2 = _inodes(t._version_dir(t.current_version()))
+    linked = [r for r in v2 if v2[r] in set(v1.values())]
+    assert any(r.startswith("pm=5") for r in linked)
+
+
+def test_read_pruned_reconstructs_partition_columns(spark, tmp_path):
+    """read_pruned plans explicit leaf files; on a partitioned table the
+    basePath option must reconstruct the Hive-style partition columns so
+    the pruned frame's schema matches read() and partition-column filters
+    still work."""
+    t = ParquetTable(spark, str(tmp_path / "pt"))
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("pm"),
+        (F.col("id") * 10).alias("val"),
+    )
+    t.overwrite(df, partition_by=["pm"])
+    pruned = t.read_pruned("val", 0, 1000)
+    assert set(pruned.columns) == set(t.read().columns)
+    got = pruned.filter(F.col("pm") == 1).count()
+    expect = df.filter((F.col("pm") == 1) & (F.col("val") <= 1000)).count()
+    assert got == expect and got > 0
+
+
+def test_pruned_files_type_mismatch_keeps_file(spark, tmp_path):
+    """Stats are JSON-round-tripped (dates stored via str()); a typed bound
+    that cannot be compared to the stored value must conservatively KEEP
+    the file, never skip it (and never raise)."""
+    import datetime
+
+    t = ParquetTable(spark, str(tmp_path / "dt"))
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+    )
+    t.overwrite(df)
+    # date stats stored as strings; a datetime.date bound is incomparable
+    kept, total = t.pruned_files(
+        "d", datetime.date(2024, 1, 3), datetime.date(2024, 1, 5)
+    )
+    assert len(kept) == total  # conservative keep
+    n = t.read_pruned(
+        "d", datetime.date(2024, 1, 3), datetime.date(2024, 1, 5)
+    ).count()
+    assert n == 3
