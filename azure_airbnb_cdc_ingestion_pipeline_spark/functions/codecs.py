@@ -195,3 +195,62 @@ def encode_wav(
         wf.setframerate(sample_rate)
         wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
     return buf.getvalue()
+
+
+JPEG_SIG = b"\xff\xd8"
+
+# SOF (start-of-frame) markers carrying image dimensions. C4=DHT, C8=JPG
+# extension, CC=DAC are structural markers in the same range — not frames.
+_JPEG_SOF = {
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+}
+
+
+def jpeg_info(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from a JPEG's SOF header — a pure marker
+    walk (segment lengths are explicit), no entropy decode. This is the
+    detect-and-degrade path for the codec-less container: dimensions and
+    channel count are REAL, pixel decode stays behind NotImplementedError
+    (a baseline-JPEG IDCT in pure Python would be both heavy and slow
+    inside an Arrow worker)."""
+    if payload is None or not payload.startswith(JPEG_SIG):
+        raise ValueError("not a JPEG payload (bad SOI marker)")
+    i, n = 2, len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError(f"malformed JPEG: expected marker at {i}")
+        marker = payload[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / RSTn: bare
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        if marker in _JPEG_SOF:
+            if i + 4 + 6 > n:
+                raise ValueError("malformed JPEG: truncated SOF segment")
+            _precision, h, w, ncomp = struct.unpack(
+                ">BHHB", payload[i + 4 : i + 10]
+            )
+            return w, h, ncomp
+        i += 2 + seg_len
+    raise ValueError("malformed JPEG: no SOF marker found")
+
+
+def encode_jpeg_header(
+    width: int, height: int, channels: int = 3
+) -> bytes:
+    """Minimal structurally-valid JPEG prefix (SOI + APP0 + SOF0 + EOI)
+    for tests — parseable by jpeg_info (and any header reader), carries
+    no scan data."""
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    sof += b"".join(
+        struct.pack(">BBB", c + 1, 0x11, 0) for c in range(channels)
+    )
+    return (
+        JPEG_SIG
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+        + b"\xff\xd9"
+    )

@@ -110,10 +110,22 @@ def decode_media(payload: bytes, mime: str, fake: bool = False) -> dict[str, Any
             "mean_intensity": au["mean_intensity"],
             "duration_ms": au["duration_ms"],
         }
+    if mime in ("image/jpeg", "image/jpg"):
+        # detect-and-degrade: SOF header walk gives REAL dimensions and
+        # channel count stdlib-only; pixel decode (mean_intensity) still
+        # needs a real codec, so it stays null rather than fake.
+        w, h, ncomp = codecs.jpeg_info(payload)
+        return {
+            "width": w,
+            "height": h,
+            "channels": ncomp,
+            "mean_intensity": None,
+            "duration_ms": None,
+        }
     raise NotImplementedError(
         f"no codec for {mime} in this environment (stdlib codecs cover "
-        "image/png and audio/wav) — pass fake=True for the deterministic "
-        "stub decoder"
+        "image/png and audio/wav fully, image/jpeg header-only) — pass "
+        "fake=True for the deterministic stub decoder"
     )
 
 

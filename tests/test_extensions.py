@@ -745,3 +745,33 @@ def test_stream_sessionize_stateful_matches_batch(spark, sf_dir):
         if r.session_end <= wm
     }
     assert got == want and len(want) > 0
+
+
+def test_jpeg_header_dimensions_real_in_spark(spark):
+    """JPEG detect-and-degrade: SOF header parse yields REAL dimensions
+    and channel count through the Spark decode stage (no fake flag);
+    pixel-level mean_intensity stays null (no full decoder here)."""
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.codecs import (
+        encode_jpeg_header,
+        jpeg_info,
+    )
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.multimodal import (
+        decode_features,
+    )
+
+    assert jpeg_info(encode_jpeg_header(1920, 1080, 3)) == (1920, 1080, 3)
+    assert jpeg_info(encode_jpeg_header(8, 8, 1)) == (8, 8, 1)
+    with pytest.raises(ValueError):
+        jpeg_info(b"\x89PNG not a jpeg")
+
+    jpg = encode_jpeg_header(640, 480, 3)
+    media = spark.createDataFrame(
+        [
+            (7, bytearray(jpg), {"mime": "image/jpeg", "source": "t",
+                                 "width": None, "height": None, "duration_ms": None}),
+        ],
+        "media_id long, payload binary, meta struct<mime:string,source:string,width:int,height:int,duration_ms:bigint>",
+    )
+    r = decode_features(media).first()
+    assert (r.width, r.height, r.channels) == (640, 480, 3)
+    assert r.mean_intensity is None
