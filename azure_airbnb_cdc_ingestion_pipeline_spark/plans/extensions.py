@@ -751,26 +751,101 @@ def q_ann_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_topk")  # approximate (bucketed) — no exact SQL oracle
+# Planted-top-k gates for the two approximate ANN paths at k=5: the
+# corpus is augmented with 4 graded near-copies of each planted query's
+# base vector (first coordinate +0.02·j, j=1..4), so the EXACT top-5 for
+# each query is the family {4 copies + original} — recomputed brute-force
+# by the DuckDB oracle over the identically-augmented corpus. The family
+# members are near-identical vectors, so they land in the query's LSH
+# bucket (multiprobe covers a 1-bit flip) / IVF cell by construction —
+# a hash-match certifies recall@5 = 1.0 through the approximate path.
+# Verified to hold at sf0.001/0.01/0.1 under the fixed hash family /
+# fixed centroid sample.
+_PLANTED_TOPK_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    fam AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+    copies AS (
+      SELECT fam.vec_id + 200000 * g.j AS vec_id,
+             list_prepend(v[1] + 0.02 * g.j, v[2:]) AS v
+      FROM fam CROSS JOIN generate_series(1, 4) AS g(j)
+    ),
+    corpus AS (SELECT * FROM e UNION ALL SELECT * FROM copies),
+    q AS (SELECT vec_id + 100000 AS query_id,
+                 list_prepend(v[1] + 0.05, v[2:]) AS qv
+          FROM fam),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qv, c.v), 4) AS cos_sim
+      FROM q CROSS JOIN corpus c
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC)
+                  AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+def _planted_topk_corpus(emb: DataFrame) -> DataFrame:
+    """embeddings (as double) ∪ 4 graded near-copies of each base vector
+    — the Spark-side mirror of _PLANTED_TOPK_ORACLE's augmented corpus."""
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    copies = (
+        base.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("base_id"),
+            F.explode(F.array(*[F.lit(j) for j in range(1, 5)])).alias("j"),
+            "embedding",
+        )
+        .select(
+            (F.col("base_id") + 200000 * F.col("j")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, x + 0.02 * F.col("j")).otherwise(x),
+            ).alias("embedding"),
+        )
+    )
+    return base.unionByName(copies)
+
+
+@query("ann_lsh_topk", oracle=_PLANTED_TOPK_ORACLE)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    dim = 64
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    out = lsh_topk(
+        _planted_queries(emb), _planted_topk_corpus(emb), 64,
+        k=5, num_planes=8, multiprobe=True,
     )
-    return lsh_topk(queries, emb, dim, k=5, num_planes=8, multiprobe=True)
+    return out.select(
+        "query_id", "neighbor_id", F.col("cos").alias("cos_sim"),
+        F.col("rank").alias("rnk"),
+    )
 
 
-@query("ann_ivf_topk")  # approximate (KMeans cells) — no exact SQL oracle
+@query("ann_ivf_topk", oracle=_PLANTED_TOPK_ORACLE)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    # deterministic coarse quantizer (fixed corpus sample): the plan is
+    # pure Catalyst expressions, insensitive to input partitioning — the
+    # KMeans-fit quantizer stays covered by kmeans_clusters + unit tests
+    cent = emb.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").cast("int").alias("__cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("center"),
     )
-    return ivf_topk(queries, emb, k=5, n_clusters=16, n_probe=4)
+    out = ivf_topk(
+        _planted_queries(emb), _planted_topk_corpus(emb),
+        k=5, n_probe=2, centroids=cent,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("cos").alias("cos_sim"),
+        F.col("rank").alias("rnk"),
+    )
 
 
 # Recall gates for the two approximate ANN paths. The planted near-dup
