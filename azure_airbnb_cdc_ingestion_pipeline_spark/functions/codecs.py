@@ -254,3 +254,147 @@ def encode_jpeg_header(
         + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
         + b"\xff\xd9"
     )
+
+
+# -- MP3 / MP4 header metadata (detect-and-degrade, like jpeg_info) ---------
+
+# MPEG-1 Layer III frame-header tables
+_MP3_BITRATES = [
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0,
+]  # kbps; 0 = free/bad
+_MP3_RATES = [44100, 48000, 32000, 0]
+
+
+def mp3_info(payload: bytes) -> dict:
+    """{channels, sample_rate, bitrate_kbps, duration_ms} from the first
+    MPEG-1 Layer III frame header (ID3v2 tag skipped). Duration is the
+    CBR estimate audio_bytes·8/bitrate — exact for constant-bitrate
+    files, approximate for VBR (a full frame walk would need the whole
+    payload; header-only is the point here). No entropy decode."""
+    if payload is None or len(payload) < 10:
+        raise ValueError("not an MP3 payload (too short)")
+    i = 0
+    if payload[:3] == b"ID3":  # ID3v2: 10-byte header + syncsafe size
+        size = 0
+        for b in payload[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        i = 10 + size
+    n = len(payload)
+    while i + 4 <= n and not (
+        payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0
+    ):
+        i += 1
+    if i + 4 > n:
+        raise ValueError("not an MP3 payload (no frame sync)")
+    b1, b2, b3 = payload[i + 1], payload[i + 2], payload[i + 3]
+    version = (b1 >> 3) & 0x3  # 3 = MPEG-1
+    layer = (b1 >> 1) & 0x3  # 1 = Layer III
+    if version != 3 or layer != 1:
+        raise NotImplementedError(
+            "only MPEG-1 Layer III frame headers are parsed"
+        )
+    bitrate = _MP3_BITRATES[(b2 >> 4) & 0xF]
+    rate = _MP3_RATES[(b2 >> 2) & 0x3]
+    if not bitrate or not rate:
+        raise ValueError("malformed MP3 frame header (bad bitrate/rate)")
+    channels = 1 if ((b3 >> 6) & 0x3) == 3 else 2
+    audio_bytes = n - i
+    return {
+        "channels": channels,
+        "sample_rate": rate,
+        "bitrate_kbps": bitrate,
+        "duration_ms": int(audio_bytes * 8 / bitrate),  # kbps → ms
+    }
+
+
+def encode_mp3_header(
+    duration_ms: int, bitrate_kbps: int = 128, channels: int = 2
+) -> bytes:
+    """Minimal MP3 prefix (one CBR frame header + zero padding sized to
+    the target duration) for tests — parseable by mp3_info."""
+    br_idx = _MP3_BITRATES.index(bitrate_kbps)
+    mode = 3 if channels == 1 else 0
+    hdr = bytes(
+        [0xFF, 0xFB, (br_idx << 4) | (0 << 2), mode << 6]
+    )  # MPEG-1 L3, 44.1 kHz
+    total = max(4, int(duration_ms * bitrate_kbps / 8))
+    return hdr + b"\x00" * (total - 4)
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for ISO-BMFF boxes in a range."""
+    i = start
+    while i + 8 <= end:
+        size, btype = struct.unpack(">I4s", buf[i : i + 8])
+        hdr = 8
+        if size == 1 and i + 16 <= end:  # 64-bit largesize
+            size = struct.unpack(">Q", buf[i + 8 : i + 16])[0]
+            hdr = 16
+        elif size == 0:  # box extends to end
+            size = end - i
+        if size < hdr:
+            raise ValueError("malformed MP4: box smaller than its header")
+        yield btype, i + hdr, min(i + size, end)
+        i += size
+
+
+def mp4_info(payload: bytes) -> dict:
+    """{width, height, duration_ms} from the moov box — mvhd gives
+    timescale+duration, the first video tkhd gives 16.16-fixed
+    dimensions. A pure box walk (sizes are explicit); no sample decode."""
+    if payload is None or len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload (no ftyp box)")
+    duration_ms = width = height = None
+    for btype, s, e in _mp4_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ityp, is_, ie in _mp4_boxes(payload, s, e):
+            if ityp == b"mvhd":
+                ver = payload[is_]
+                if ver == 1:
+                    scale = struct.unpack(">I", payload[is_ + 20 : is_ + 24])[0]
+                    dur = struct.unpack(">Q", payload[is_ + 24 : is_ + 32])[0]
+                else:
+                    scale = struct.unpack(">I", payload[is_ + 12 : is_ + 16])[0]
+                    dur = struct.unpack(">I", payload[is_ + 16 : is_ + 20])[0]
+                if scale:
+                    duration_ms = int(dur * 1000 / scale)
+            elif ityp == b"trak":
+                for ttyp, ts, te in _mp4_boxes(payload, is_, ie):
+                    if ttyp != b"tkhd":
+                        continue
+                    off = 88 if payload[ts] == 1 else 76
+                    w, h = struct.unpack(
+                        ">II", payload[ts + off : ts + off + 8]
+                    )
+                    if w and h and width is None:  # first visual track
+                        width, height = w >> 16, h >> 16
+    if duration_ms is None:
+        raise ValueError("malformed MP4: no mvhd box in moov")
+    return {"width": width, "height": height, "duration_ms": duration_ms}
+
+
+def encode_mp4_header(
+    width: int, height: int, duration_ms: int, timescale: int = 1000
+) -> bytes:
+    """Minimal ftyp+moov(mvhd+trak(tkhd)) prefix for tests — parseable
+    by mp4_info; carries no media data."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I4s", len(body) + 8, btype) + body
+
+    mvhd = (
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", timescale, int(duration_ms * timescale / 1000))
+        + b"\x00" * 80  # rate/volume/reserved/matrix/predefines/next id
+    )
+    tkhd = (
+        b"\x00\x00\x00\x07"  # version 0 + enabled flags
+        + struct.pack(">IIII", 0, 0, 1, 0)  # ctime, mtime, track, reserved
+        + struct.pack(">I", int(duration_ms * timescale / 1000))
+        + b"\x00" * 52  # reserved/layer/group/volume/matrix
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov

@@ -408,12 +408,17 @@ def simhash_pairs(
     b = blocked.select(
         F.col("id").alias("b_id"), F.col("simhash").alias("fb"), "ci", "cv"
     )
+    # Hamming filter BEFORE the pair-dedup shuffle: a pair agreeing on m
+    # chunks surfaces m times from the block join, but only pairs inside
+    # the distance budget need the dropDuplicates exchange — filtering
+    # first keeps that shuffle proportional to true near-dups, not to all
+    # block-join candidates.
     return (
         a.join(b, ["ci", "cv"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"))
-        .dropDuplicates(["a_id", "b_id"])
         .filter(F.col("hamming") <= max_distance)
+        .dropDuplicates(["a_id", "b_id"])
     )
 
 

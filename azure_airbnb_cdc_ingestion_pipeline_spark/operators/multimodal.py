@@ -122,10 +122,31 @@ def decode_media(payload: bytes, mime: str, fake: bool = False) -> dict[str, Any
             "mean_intensity": None,
             "duration_ms": None,
         }
+    if mime in ("audio/mpeg", "audio/mp3"):
+        # frame-header walk: real channels/duration, no entropy decode
+        au = codecs.mp3_info(payload)
+        return {
+            "width": None,
+            "height": None,
+            "channels": au["channels"],
+            "mean_intensity": None,
+            "duration_ms": au["duration_ms"],
+        }
+    if mime == "video/mp4":
+        # moov box walk: real dimensions + duration, no sample decode
+        vi = codecs.mp4_info(payload)
+        return {
+            "width": vi["width"],
+            "height": vi["height"],
+            "channels": None,
+            "mean_intensity": None,
+            "duration_ms": vi["duration_ms"],
+        }
     raise NotImplementedError(
         f"no codec for {mime} in this environment (stdlib codecs cover "
-        "image/png and audio/wav fully, image/jpeg header-only) — pass "
-        "fake=True for the deterministic stub decoder"
+        "image/png and audio/wav fully; image/jpeg, audio/mpeg and "
+        "video/mp4 header-only) — pass fake=True for the deterministic "
+        "stub decoder"
     )
 
 

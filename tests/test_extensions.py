@@ -775,3 +775,48 @@ def test_jpeg_header_dimensions_real_in_spark(spark):
     r = decode_features(media).first()
     assert (r.width, r.height, r.channels) == (640, 480, 3)
     assert r.mean_intensity is None
+
+
+def test_mp3_mp4_header_metadata_real_in_spark(spark):
+    """MP3 frame-header + MP4 moov-box walks yield REAL duration /
+    dimensions / channels through the Spark decode stage (no fake flag)."""
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.codecs import (
+        encode_mp3_header,
+        encode_mp4_header,
+        mp3_info,
+        mp4_info,
+    )
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.multimodal import (
+        decode_features,
+    )
+
+    assert mp3_info(encode_mp3_header(2500, 128, 1))["channels"] == 1
+    # ID3v2 tag is skipped before the sync scan
+    tagged = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 + \
+        encode_mp3_header(1000, 64, 2)
+    assert mp3_info(tagged)["duration_ms"] == 1000
+    assert mp4_info(encode_mp4_header(640, 360, 9000)) == {
+        "width": 640, "height": 360, "duration_ms": 9000,
+    }
+    with pytest.raises(ValueError):
+        mp3_info(b"\x00" * 64)
+    with pytest.raises(ValueError):
+        mp4_info(b"\x00" * 64)
+
+    meta_t = ("struct<mime:string,source:string,width:int,height:int,"
+              "duration_ms:bigint>")
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_mp3_header(2500, 128, 2)),
+             {"mime": "audio/mpeg", "source": "t",
+              "width": None, "height": None, "duration_ms": None}),
+            (2, bytearray(encode_mp4_header(1280, 720, 5400)),
+             {"mime": "video/mp4", "source": "t",
+              "width": None, "height": None, "duration_ms": None}),
+        ],
+        f"media_id long, payload binary, meta {meta_t}",
+    )
+    rows = {r.media_id: r for r in decode_features(media).collect()}
+    assert (rows[1].channels, rows[1].duration_ms) == (2, 2500)
+    assert (rows[2].width, rows[2].height, rows[2].duration_ms) == (1280, 720, 5400)
+    assert rows[2].mean_intensity is None
