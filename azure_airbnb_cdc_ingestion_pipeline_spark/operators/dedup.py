@@ -551,3 +551,61 @@ def blocked_levenshtein_pairs(
         )
         .select("a_name", "b_name", "lev")
     )
+
+
+def boilerplate_ratio(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    df_frac: float = 0.003,
+    min_df: int = 3,
+    keep_max_ratio: float = 0.5,
+) -> DataFrame:
+    """Corpus-level boilerplate detection: an n-gram shingle present in
+    more than max(min_df, df_frac·|docs|) documents is boilerplate
+    (headers, footers, license blurbs, templated spans — the text that
+    line-level dedup removes in web-corpus pipelines). Per doc, reports
+    its distinct-shingle count, how many are boilerplate, the ratio, and
+    a keep flag (ratio ≤ keep_max_ratio) — the standard pre-training
+    quality gate on templated content.
+
+    Scale: shingle document-frequency is one shingle-keyed aggregation
+    (map-side combine on distinct-per-doc shingles); the boilerplate set
+    is bounded by total_shingle_instances / df_threshold — at a fixed
+    df_frac that is ≤ avg_shingles_per_doc / df_frac rows regardless of
+    corpus size, so it broadcasts back. Per-doc scoring is then one
+    doc-keyed aggregation. Docs shorter than n tokens have no shingles
+    and are absent from the output (no spurious 0/0 rows).
+    """
+    from ..functions.text import shingles
+
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s")
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    boiler = (
+        df_counts.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("df")
+            > F.greatest(F.lit(min_df), F.col("n_docs") * F.lit(df_frac))
+        )
+        .select("s", F.lit(1).alias("is_b"))
+    )
+    ratio = F.round(F.col("n_boiler") / F.col("n_shingles"), 4)
+    return (
+        sh.join(F.broadcast(boiler), "s", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("is_b").alias("n_boiler"),
+        )
+        .select(
+            "id",
+            "n_shingles",
+            "n_boiler",
+            ratio.alias("boiler_ratio"),
+            (ratio <= keep_max_ratio).alias("keep"),
+        )
+    )

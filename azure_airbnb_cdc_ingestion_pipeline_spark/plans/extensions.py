@@ -3678,3 +3678,80 @@ def q_ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         F.round(true_dot / (norm("v") * norm("qarr")), 4).alias("cos_sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: boilerplate detection + domain mixture weighting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_boilerplate_ratio",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                FROM documents),
+    ix AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+           FROM tk WHERE len(t) >= 3),
+    sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+           FROM ix),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+    boiler AS (SELECT s FROM df, n WHERE df > greatest(3, n_docs * 0.003)),
+    per AS (
+      SELECT sh.doc_id AS doc_id, count(*) AS n_shingles,
+             count(b.s) AS n_boiler
+      FROM sh LEFT JOIN boiler b ON sh.s = b.s
+      GROUP BY sh.doc_id
+    )
+    SELECT doc_id, n_shingles, n_boiler,
+           round(n_boiler / n_shingles, 4) AS boiler_ratio,
+           round(n_boiler / n_shingles, 4) <= 0.5 AS keep
+    FROM per
+    """,
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate 3-gram detection + per-doc templated-span
+    ratio and keep gate (operators.dedup.boilerplate_ratio) — the
+    line/span-level dedup web-corpus pipelines run before training."""
+    from ..operators.dedup import boilerplate_ratio
+
+    out = boilerplate_ratio(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, df_frac=0.003, min_df=3, keep_max_ratio=0.5,
+    )
+    return out.withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "domain_mixture_weights",
+    oracle="""
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents
+               GROUP BY source),
+    t AS (SELECT sum(pow(n_docs, 0.7)) AS z FROM c)
+    SELECT source, n_docs,
+           round(pow(n_docs, 0.7) / z, 6) AS weight,
+           CAST(floor(10000 * pow(n_docs, 0.7) / z + 1e-6) AS BIGINT)
+             AS expected_docs
+    FROM c, t
+    """,
+)
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixture weighting (α = 0.7): sampling
+    weight ∝ count^α — the standard pre-training data-mixing rule that
+    upweights small domains relative to proportional sampling. Output:
+    per-source weight and expected docs drawn for a 10 000-doc budget.
+
+    Scale: one source-keyed count agg; the normalizer reduces to a single
+    broadcast scalar — no second pass over the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    z = c.agg(F.sum(F.pow("n_docs", 0.7)).alias("z"))
+    w = F.pow("n_docs", 0.7) / F.col("z")
+    return c.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.round(w, 6).alias("weight"),
+        # +1e-6 before floor: engines may land on either side of an exact
+        # integer (e.g. 20 equal domains → weight exactly 1/20) by ~1 ulp
+        F.floor(F.lit(10000) * w + F.lit(1e-6)).cast("long").alias("expected_docs"),
+    )

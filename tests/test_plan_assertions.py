@@ -136,3 +136,12 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_boilerplate_scoring_broadcasts_boiler_set(spark, sf_dir):
+    """The boilerplate set is bounded (≤ shingle_instances/df_threshold),
+    so the per-doc scoring join must be a broadcast — re-shuffling the
+    full posting list against it would add a corpus-sized exchange."""
+    plan = _plan(QUERIES["text_boilerplate_ratio"](spark, sf_dir))
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in physical
