@@ -3755,3 +3755,34 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         # integer (e.g. 20 equal domains → weight exactly 1/20) by ~1 ulp
         F.floor(F.lit(10000) * w + F.lit(1e-6)).cast("long").alias("expected_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-string entry point (sql.py): dialect-portable passthrough parity
+# ---------------------------------------------------------------------------
+
+# ONE string, both engines: Spark executes it via sql.run_sql (temp views +
+# spark.sql), DuckDB runs it verbatim as the oracle — proving the SQL
+# surface plans the same results as the DataFrame catalog with zero
+# translation.
+_SQL_PASSTHROUGH = """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+@query("sql_passthrough_revenue", oracle=_SQL_PASSTHROUGH)
+def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-SQL entry point (sql.run_sql): the exact oracle string handed
+    to spark.sql over registered temp views. Catalyst gives the same
+    physical plan class as the DataFrame twin (broadcast dim joins,
+    map-side-combined agg) — SQL is a front-end, not a second engine."""
+    from ..sql import run_sql
+
+    return run_sql(spark, sf_dir, _SQL_PASSTHROUGH)

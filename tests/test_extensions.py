@@ -820,3 +820,23 @@ def test_mp3_mp4_header_metadata_real_in_spark(spark):
     assert (rows[1].channels, rows[1].duration_ms) == (2, 2500)
     assert (rows[2].width, rows[2].height, rows[2].duration_ms) == (1280, 720, 5400)
     assert rows[2].mean_intensity is None
+
+
+def test_sql_entry_point_registers_views_and_plans_broadcast(spark, sf_dir):
+    """sql.run_sql: temp-view registration is metadata-only, the planned
+    SQL gets the same Catalyst treatment as the DataFrame catalog
+    (broadcast joins on the small dims), and events arrives with a proper
+    µs timestamp column."""
+    from azure_airbnb_cdc_ingestion_pipeline_spark.sql import register_tables, run_sql
+
+    df = run_sql(
+        spark, sf_dir,
+        "SELECT n_name, count(*) AS n FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+    )
+    assert df.count() == 25
+    plan = df._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan
+    register_tables(spark, sf_dir)
+    ev = spark.sql("SELECT min(ts) AS lo, max(ts) AS hi FROM events").first()
+    assert ev.lo is not None and str(ev.lo.year).startswith("20")
