@@ -496,3 +496,60 @@ def lsh_topk(
         keep_rank=True,
     )
     return ranked.select(query_id, "neighbor_id", "cos", F.col("rn").alias("rank"))
+
+
+def semdedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by cluster-then-prune.
+    Each vector is assigned to its nearest centroid cell; within a cell,
+    any vector with a LOWER-id neighbor at cosine ≥ threshold is marked a
+    semantic duplicate (greedy min-id survivor — deterministic, and
+    SQL-expressible for the oracle, unlike full connected components which
+    `cluster_pairs` already covers for the pair-based dedups). Returns
+    (id, cell, keep).
+
+    Scale: the quadratic pairing is confined WITHIN cells — the standard
+    SemDeDup trade (|cell|² ≪ |corpus|² for any reasonable cell count);
+    centroids are broadcast metadata; assignment is one map over the
+    corpus + a per-id top-1. Cell sizes are data-dependent — skewed cells
+    are AQE's skew-join case, same as any grouped self-join.
+
+    Assignment ties/jitter: the centroid score is rounded to 9 dp and
+    tie-broken on cell id so Spark and the DuckDB oracle agree on the
+    argmax even when two centroids are equidistant to ~1 ulp.
+    """
+    from .windows import topk_per_group
+
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vv"),
+        "cell",
+        F.round(cosine(F.col(vec_col), F.col("center")), 9).alias("cd"),
+    )
+    assigned = topk_per_group(
+        scored, ["id"], [F.col("cd"), -F.col("cell")], k=1, descending=True
+    ).drop("cd")
+    a = assigned.select(
+        F.col("id").alias("a_id"), F.col("vv").alias("va"), "cell"
+    )
+    b = assigned.select(
+        F.col("id").alias("b_id"), F.col("vv").alias("vb"), "cell"
+    )
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 4) >= threshold)
+        .select(F.col("b_id").alias("id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return assigned.join(dup, "id", "left").select(
+        F.col("id").alias(id_col),
+        "cell",
+        F.col("is_dup").isNull().alias("keep"),
+    )

@@ -3786,3 +3786,37 @@ def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sql import run_sql
 
     return run_sql(spark, sf_dir, _SQL_PASSTHROUGH)
+
+
+@query(
+    "semdedup_cells",
+    oracle=f"""
+    WITH aug AS ({_EMB_AUG_SQL}),
+    c AS (SELECT vec_id AS cell, v AS center FROM aug WHERE vec_id % 31 = 0),
+    scored AS (SELECT a.vec_id, a.v, c.cell,
+                      round(list_cosine_similarity(a.v, c.center), 9) AS cd
+               FROM aug a CROSS JOIN c),
+    assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cd DESC, cell ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    dup AS (SELECT DISTINCT b.vec_id
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.95)
+    SELECT a.vec_id, a.cell, d.vec_id IS NULL AS keep
+    FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the augmented embedding corpus: deterministic
+    corpus-sample centroids (vec_id % 31), within-cell cosine pruning at
+    0.95, greedy min-id survivor (operators.similarity.semdedup)."""
+    from ..operators.similarity import semdedup
+
+    aug = _emb_aug(spark, sf_dir)
+    cent = aug.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("center")
+    )
+    return semdedup(aug, cent, id_col="vec_id", vec_col="v", threshold=0.95)

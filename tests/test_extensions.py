@@ -840,3 +840,31 @@ def test_sql_entry_point_registers_views_and_plans_broadcast(spark, sf_dir):
     register_tables(spark, sf_dir)
     ev = spark.sql("SELECT min(ts) AS lo, max(ts) AS hi FROM events").first()
     assert ev.lo is not None and str(ev.lo.year).startswith("20")
+
+
+def test_semdedup_drops_planted_near_dups(spark, sf_dir):
+    """A planted +0.05-perturbed copy (vec_id ≥ 100000) that lands in the
+    SAME cell as its base must be marked keep=False (lower-id neighbor at
+    cosine ≥ 0.95). Copies that straddle a cell boundary may survive —
+    the known SemDeDup recall trade — but must be rare with 1/31 cells."""
+    from azure_airbnb_cdc_ingestion_pipeline_spark.plans.queries import QUERIES
+
+    out = QUERIES["semdedup_cells"](spark, sf_dir)
+    planted = out.filter(F.col("vec_id") >= 100000)
+    n_planted = planted.count()
+    assert n_planted > 0
+    # within-cell guarantee is absolute
+    base_cells = out.filter(F.col("vec_id") < 100000).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.col("cell").alias("base_cell"),
+    )
+    same_cell = planted.join(base_cells, "vec_id").filter(
+        F.col("cell") == F.col("base_cell")
+    )
+    assert same_cell.count() > 0
+    assert same_cell.filter(F.col("keep")).count() == 0
+    # boundary-straddling misses stay rare (recall ≥ 90% on planted dups)
+    assert planted.filter(F.col("keep")).count() <= 0.1 * n_planted
+    # base vectors without a planted twin and no natural near-dup survive
+    kept = out.filter(F.col("keep")).count()
+    assert kept >= out.count() - 2 * n_planted - 1
