@@ -3820,3 +3820,59 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cell"), F.col("v").alias("center")
     )
     return semdedup(aug, cent, id_col="vec_id", vec_col="v", threshold=0.95)
+
+
+@query(
+    "text_oov_rate",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+                 FROM documents),
+    tf AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT sum(c) AS n FROM tf),
+    vocab AS (SELECT t FROM tf, tot WHERE c >= n * 0.01),
+    per AS (SELECT tok.doc_id AS doc_id, count(*) AS n_tok,
+                   count(v.t) AS n_invocab
+            FROM tok LEFT JOIN vocab v ON tok.t = v.t
+            GROUP BY tok.doc_id)
+    SELECT doc_id, n_tok, n_tok - n_invocab AS n_oov,
+           round((n_tok - n_invocab) / n_tok, 4) AS oov_rate
+    FROM per
+    """,
+)
+def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNK/OOV-rate under a frequency-cut vocabulary: tokens with corpus
+    frequency < 1% of instances are out-of-vocabulary; per doc, the
+    fraction of token INSTANCES that are OOV — the tokenizer-coverage
+    check run before committing to a vocab size.
+
+    Scale: one token-keyed count agg; the retained vocabulary is bounded
+    by 1/cut (≤ 100 tokens at a 1% cut) regardless of corpus size, so it
+    broadcasts back; per-doc scoring is one doc-keyed agg — the same
+    bounded-broadcast shape as boilerplate_ratio."""
+    from ..functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+    tf = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = tf.agg(F.sum("c").alias("n"))
+    vocab = (
+        tf.crossJoin(F.broadcast(tot))
+        .filter(F.col("c") >= F.col("n") * 0.01)
+        .select("t", F.lit(1).alias("in_v"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.count("in_v").alias("n_invocab"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            (F.col("n_tok") - F.col("n_invocab")).alias("n_oov"),
+            F.round(
+                (F.col("n_tok") - F.col("n_invocab")) / F.col("n_tok"), 4
+            ).alias("oov_rate"),
+        )
+    )

@@ -265,9 +265,42 @@ class ParquetTable:
         self._link_tree(self._version_dir(base), target)
         self._commit(v, expected_base=base)
 
-    # Above this many touched partition combos, upsert_pruned abandons the
+    # Above this many touched partition combos, pruned writes abandon the
     # OR-predicate (static pruning) for a broadcast semi-join (bounded plan).
     _PRUNE_COMBO_LIMIT = 100
+
+    def _restrict_to_partitions_of(
+        self, tgt: DataFrame, combo_df: DataFrame, partition_by: list[str]
+    ) -> DataFrame:
+        """`tgt` restricted to the partition combos present in `combo_df`.
+
+        Peeks at most LIMIT+1 combos: a normal CDC batch touches a handful
+        of partitions (small OR predicate → static partition pruning at
+        the scan); a pathological backfill spanning hundreds would build a
+        thousands-term driver predicate, so past the limit this switches
+        to a broadcast LEFT SEMI join on the partition columns — the plan
+        stays bounded and the driver never materializes the combos.
+        eqNullSafe throughout: a null partition value (e.g. a malformed
+        date that cast to null year/month) must still SELECT the existing
+        null-partition rows — plain == yields null and silently drops
+        them."""
+        combos = [
+            tuple(r)
+            for r in combo_df.limit(self._PRUNE_COMBO_LIMIT + 1).collect()
+        ]
+        if len(combos) > self._PRUNE_COMBO_LIMIT:
+            t, s = tgt.alias("__t"), combo_df.alias("__s")
+            cond = F.lit(True)
+            for c in partition_by:
+                cond = cond & F.col(f"__t.{c}").eqNullSafe(F.col(f"__s.{c}"))
+            return t.join(F.broadcast(s), cond, "leftsemi")
+        pred = F.lit(False)
+        for combo in combos:
+            match = F.lit(True)
+            for c, v in zip(partition_by, combo):
+                match = match & F.col(c).eqNullSafe(F.lit(v))
+            pred = pred | match
+        return tgt.filter(pred)  # partition-pruned scan
 
     def upsert_pruned(
         self,
@@ -297,41 +330,13 @@ class ParquetTable:
             self.overwrite(src, partition_by=partition_by)
             return
 
-        combo_df = src.select(*partition_by).distinct()
-        # Peek at most LIMIT+1 combos: a normal CDC batch touches a handful
-        # of partitions (small OR predicate → static partition pruning at
-        # the scan); a pathological backfill spanning hundreds would build
-        # a thousands-term driver predicate, so past the limit we switch to
-        # a broadcast LEFT SEMI join on the partition columns instead — the
-        # plan stays bounded and the driver never materializes the combos.
-        combos = [
-            tuple(r)
-            for r in combo_df.limit(self._PRUNE_COMBO_LIMIT + 1).collect()
-        ]
         cur, new_v = self._claim_version()
         cur_dir = self._version_dir(cur)
 
         tgt = self.read()
-        if len(combos) > self._PRUNE_COMBO_LIMIT:
-            t, s = tgt.alias("__t"), combo_df.alias("__s")
-            cond = F.lit(True)
-            for c in partition_by:
-                # eqNullSafe for the same reason as the predicate path below
-                cond = cond & F.col(f"__t.{c}").eqNullSafe(F.col(f"__s.{c}"))
-            affected_tgt = t.join(F.broadcast(s), cond, "leftsemi")
-        else:
-            pred = F.lit(False)
-            for combo in combos:
-                match = F.lit(True)
-                for c, v in zip(partition_by, combo):
-                    # eqNullSafe: a null partition value (e.g. a malformed
-                    # date that cast to null year/month) must still SELECT
-                    # the existing null-partition rows — plain == yields
-                    # null and silently drops them from the merge,
-                    # duplicating keys.
-                    match = match & F.col(c).eqNullSafe(F.lit(v))
-                pred = pred | match
-            affected_tgt = tgt.filter(pred)  # partition-pruned scan
+        affected_tgt = self._restrict_to_partitions_of(
+            tgt, src.select(*partition_by).distinct(), partition_by
+        )
         merged = merge_dataframes(
             affected_tgt, src, keys, order_by=order_by,
             event_time_wins=event_time_wins,
@@ -351,6 +356,105 @@ class ParquetTable:
                     os.path.join(cur_dir, rel), os.path.join(target, rel)
                 )
         self._commit(new_v, expected_base=cur)
+
+    # -- DML (copy-on-write DELETE / UPDATE, the Delta analog) ---------------
+
+    def _partition_rels(
+        self, combo_df: DataFrame, partition_by: list[str]
+    ) -> set[str]:
+        """Escaped leaf-dir relpaths for a frame of partition combos, via a
+        tiny marker write: Spark applies its own path escaping
+        (__HIVE_DEFAULT_PARTITION__ for nulls, %XX for specials), so the
+        only robust combo→dir mapping is to let the writer produce the
+        dirs. O(#combos) rows, one small job."""
+        marker = tempfile.mkdtemp(dir=self.root, prefix="._affected")
+        try:
+            combo_df.withColumn("__m", F.lit(1)).write.mode(
+                "overwrite"
+            ).partitionBy(*partition_by).parquet(marker)
+            return set(self._leaf_partition_dirs(marker))
+        finally:
+            shutil.rmtree(marker, ignore_errors=True)
+
+    def delete_where(self, condition) -> None:
+        """DELETE WHERE: remove rows where ``condition`` is TRUE (NULL
+        keeps the row — SQL DELETE semantics). Copy-on-write: only the
+        partitions containing matching rows are rewritten; the rest are
+        hardlinked forward. The affected-partition set is derived from the
+        MATCHING rows (marker write), not the rewritten tree — a partition
+        whose rows are all deleted writes no output dir and must still be
+        excluded from the hardlink pass, or its rows would resurrect."""
+        cond = F.coalesce(condition, F.lit(False))
+        parts = self._partition_columns()
+        base, v = self._claim_version()
+        tgt = self.read()
+        target = self._version_dir(v)
+        if not parts:
+            tgt.filter(~cond).write.mode("overwrite").parquet(target)
+            self._commit(v, expected_base=base)
+            return
+        combo_df = tgt.filter(cond).select(*parts).distinct()
+        affected_rels = self._partition_rels(combo_df, parts)
+        survivors = self._restrict_to_partitions_of(
+            tgt, combo_df, parts
+        ).filter(~cond)
+        survivors.write.mode("overwrite").partitionBy(*parts).parquet(target)
+        cur_dir = self._version_dir(base)
+        for rel in self._leaf_partition_dirs(cur_dir):
+            if rel not in affected_rels:
+                self._link_tree(
+                    os.path.join(cur_dir, rel), os.path.join(target, rel)
+                )
+        self._commit(v, expected_base=base)
+
+    def update_where(self, condition, set_exprs: dict) -> None:
+        """UPDATE ... SET: for rows where ``condition`` is TRUE (NULL →
+        untouched), replace each column in ``set_exprs`` with its
+        expression — all expressions evaluate against the ORIGINAL row
+        (SQL UPDATE semantics), not earlier assignments. Partition columns
+        cannot be assigned (an update that moves a row across partitions
+        is a delete+insert — use upsert for that); this keeps the rewrite
+        prunable to the affected partitions, hardlinking the rest."""
+        parts = self._partition_columns()
+        bad = set(set_exprs) & set(parts)
+        if bad:
+            raise ValueError(
+                f"update_where cannot assign partition columns {sorted(bad)}"
+            )
+        cond = F.coalesce(condition, F.lit(False))
+        base, v = self._claim_version()
+        tgt = self.read()
+        target = self._version_dir(v)
+
+        def _apply(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[
+                    F.when(cond, set_exprs[c]).otherwise(F.col(c)).alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+
+        if not parts:
+            _apply(tgt).write.mode("overwrite").parquet(target)
+            self._commit(v, expected_base=base)
+            return
+        combo_df = tgt.filter(cond).select(*parts).distinct()
+        affected = self._restrict_to_partitions_of(tgt, combo_df, parts)
+        _apply(affected).write.mode("overwrite").partitionBy(*parts).parquet(
+            target
+        )
+        # updates never empty a partition, so the rewritten tree's dirs ARE
+        # the affected set (correctly escaped by the writer)
+        affected_rels = set(self._leaf_partition_dirs(target))
+        cur_dir = self._version_dir(base)
+        for rel in self._leaf_partition_dirs(cur_dir):
+            if rel not in affected_rels:
+                self._link_tree(
+                    os.path.join(cur_dir, rel), os.path.join(target, rel)
+                )
+        self._commit(v, expected_base=base)
 
     def overwrite_clustered(
         self,

@@ -481,3 +481,73 @@ def test_pruned_files_type_mismatch_keeps_file(spark, tmp_path):
         "d", datetime.date(2024, 1, 3), datetime.date(2024, 1, 5)
     ).count()
     assert n == 3
+
+
+def test_delete_where_prunes_and_handles_emptied_partition(spark, tmp_path):
+    """DELETE rewrites only partitions containing matches; a partition
+    whose rows are ALL deleted must vanish (not resurrect via the
+    hardlink pass); untouched partitions hardlink forward; NULL-condition
+    rows are kept (SQL semantics)."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("pm"),
+        F.when(F.col("id") % 50 == 0, None)
+        .otherwise(F.col("id") * 1.0)
+        .alias("val"),
+    )
+    t.overwrite(df, partition_by=["pm"])
+    v1 = _inodes(t._version_dir(t.current_version()))
+
+    # delete ALL of pm=2 and the high-val half of pm=1
+    t.delete_where(
+        (F.col("pm") == 2) | ((F.col("pm") == 1) & (F.col("val") > 150))
+    )
+    out = t.read()
+    assert out.filter("pm = 2").count() == 0
+    # NULL val rows in pm=1 survive (condition evaluates NULL -> keep);
+    # id%50==0 & id%3==1 -> ids 100, 250
+    assert out.filter("pm = 1 AND val IS NULL").count() == 2
+    expect_pm1 = df.filter(
+        (F.col("pm") == 1) & ~F.coalesce(F.col("val") > 150, F.lit(False))
+    ).count()
+    assert out.filter("pm = 1").count() == expect_pm1
+    # pm=0 untouched: hardlinked, not rewritten
+    v2 = _inodes(t._version_dir(t.current_version()))
+    pm0_links = [r for r in v2 if r.startswith("pm=0")]
+    assert pm0_links and all(v2[r] in set(v1.values()) for r in pm0_links)
+    assert not any(r.startswith("pm=2") for r in v2)
+
+
+def test_update_where_original_row_semantics_and_pruning(spark, tmp_path):
+    """UPDATE SET expressions all read the ORIGINAL row (a SET that swaps
+    two columns must not see its own assignments); only affected
+    partitions rewrite; assigning a partition column raises."""
+    import pytest as _pytest
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("int").alias("pm"),
+        (F.col("id") * 1.0).alias("a"),
+        (F.col("id") * 10.0).alias("b"),
+    )
+    t.overwrite(df, partition_by=["pm"])
+    v1 = _inodes(t._version_dir(t.current_version()))
+
+    t.update_where(
+        (F.col("pm") == 1) & (F.col("k") < 100),
+        {"a": F.col("b"), "b": F.col("a")},  # swap — needs original-row eval
+    )
+    out = t.read()
+    r = out.filter("k = 51").first()  # pm=1, k<100: swapped
+    assert (r.a, r.b) == (510.0, 51.0)
+    r = out.filter("k = 151").first()  # pm=1, k>=100: untouched
+    assert (r.a, r.b) == (151.0, 1510.0)
+    assert out.count() == 200
+    # pm=0 hardlinked
+    v2 = _inodes(t._version_dir(t.current_version()))
+    pm0 = [r for r in v2 if r.startswith("pm=0")]
+    assert pm0 and all(v2[r] in set(v1.values()) for r in pm0)
+    with _pytest.raises(ValueError):
+        t.update_where(F.lit(True), {"pm": F.lit(9)})
