@@ -689,3 +689,53 @@ def read_version(table: ParquetTable, version: int) -> DataFrame:
             f"(retained: {_versions(table)})"
         )
     return table.spark.read.parquet(table._version_dir(version))
+
+
+def diff_versions(
+    table: ParquetTable,
+    keys: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed between two committed versions: one row per key
+    whose state changed, with op ∈ ('I','U','D') — the `table_changes()` /
+    CDF analog of Delta, derived from the versioned-pointer layout (both
+    snapshots are immutable dirs, so the diff is reproducible).
+
+    Shape: full outer join on the keys between the two snapshots; a row is
+    I (key only in `to`), D (key only in `from`), U (present in both with
+    any non-key column differing — compared null-safely). Unchanged keys
+    are dropped. Columns: keys + op + the `to` side's non-key columns
+    (null for D).
+
+    Scale: one key-keyed join of two snapshots — the same cost class as
+    the merge that produced the new version. On a key-partitioned or
+    bucketed layout the join co-locates; downstream consumers get O(changes)
+    rows, which is the point of a change feed."""
+    old = read_version(table, from_version)
+    new = read_version(
+        table,
+        to_version if to_version is not None else table.current_version(),
+    )
+    val_cols = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *keys, F.struct(*[F.col(c) for c in val_cols]).alias("__o")
+    )
+    n = new.select(
+        *keys, F.struct(*[F.col(c) for c in val_cols]).alias("__n")
+    )
+    j = o.join(n, on=keys, how="full_outer")
+    op = (
+        F.when(F.col("__o").isNull(), F.lit("I"))
+        .when(F.col("__n").isNull(), F.lit("D"))
+        .when(~F.col("__o").eqNullSafe(F.col("__n")), F.lit("U"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            *keys,
+            "op",
+            *[F.col(f"__n.{c}").alias(c) for c in val_cols],
+        )
+    )

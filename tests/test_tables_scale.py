@@ -551,3 +551,36 @@ def test_update_where_original_row_semantics_and_pruning(spark, tmp_path):
     assert pm0 and all(v2[r] in set(v1.values()) for r in pm0)
     with _pytest.raises(ValueError):
         t.update_where(F.lit(True), {"pm": F.lit(9)})
+
+
+def test_diff_versions_change_data_feed(spark, tmp_path):
+    """CDF between snapshots: I for new keys, D for removed, U only for
+    rows whose non-key state actually changed (null-safe compare);
+    unchanged keys absent."""
+    from azure_airbnb_cdc_ingestion_pipeline_spark.sources.tables import diff_versions
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 10.0, "a"), (2, None, "b"), (3, 30.0, "c")],
+            "k int, v double, s string",
+        )
+    )
+    v1 = t.current_version()
+    # 1 updated, 2 unchanged (null v stays null — must NOT diff as U),
+    # 3 deleted, 4 inserted
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 11.0, "a"), (2, None, "b"), (4, 40.0, "d")],
+            "k int, v double, s string",
+        )
+    )
+    got = {
+        r.k: (r.op, r.v, r.s)
+        for r in diff_versions(t, ["k"], v1).collect()
+    }
+    assert got == {
+        1: ("U", 11.0, "a"),
+        3: ("D", None, None),
+        4: ("I", 40.0, "d"),
+    }
