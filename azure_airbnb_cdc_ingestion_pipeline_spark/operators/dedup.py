@@ -71,7 +71,9 @@ def _shingle_postings(
     """(id, shingle) posting list, distinct per doc. `max_df` caps document
     frequency: shingles appearing in more docs are dropped from the JOIN
     side (standard skew guard; undercounts similarity conservatively)."""
-    post = df.select(
+    from ..session import fan_out
+
+    post = fan_out(df).select(
         F.col(id_col).alias("id"),
         # hashed shingles: same set semantics as string shingles at ~1/3 the
         # scan cost (see functions.text.shingle_hashes)
@@ -191,8 +193,9 @@ def minhash_lsh_pairs(
     positives; with 16×4 banding the false-negative probability at
     j≥0.8 is < 1e-6. Returns (a_id, b_id, jaccard ≥ threshold).
     """
-    from ..session import track_persist
+    from ..session import fan_out, track_persist
 
+    df = fan_out(df)  # tiny-file guard: the shingle+fold kernel is CPU-bound
     rows = num_hashes // bands
     # ONE shingle pass, persisted: the signature build AND the
     # exact-Jaccard verification both read this frame — tokenizing the
@@ -353,7 +356,10 @@ def simhash(
     `hasher` maps a token Column to a long Column; default xxhash64 (the
     fast JVM path). Pass `portable_token_hash` with num_bits=60 for the
     engine-portable fingerprint the correctness oracle replicates."""
+    from ..session import fan_out
+
     hasher = hasher or F.xxhash64
+    df = fan_out(df)  # tiny-file guard: per-token hashing + 60-bit votes
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(text_col)).alias("t"),

@@ -63,6 +63,9 @@ def brute_force_topk(
     """
     from .windows import topk_per_group
 
+    from ..session import fan_out
+
+    corpus = fan_out(corpus)  # tiny-file guard: per-element cosine kernel
     scored = corpus.join(
         F.broadcast(queries.select(query_id, query_vec)),
         F.col(query_id) != F.col(corpus_id),
@@ -162,7 +165,9 @@ def cosine_pairs_lsh(
     buckets → fewer candidates, lower recall per table; add tables to
     recover recall).
     """
-    unit = normalized(vectors, id_col, vec_col)
+    from ..session import fan_out
+
+    unit = normalized(fan_out(vectors), id_col, vec_col)
     # all tables' buckets in ONE projection over the persisted unit frame
     # (explode, not a 4-way union: one scan instead of num_tables scans)
     table_structs = [
@@ -229,6 +234,9 @@ def numpy_topk(
 
     from .windows import topk_per_group
 
+    from ..session import fan_out
+
+    corpus = fan_out(corpus)  # tiny-file guard: GEMM batches per partition
     qrows = queries.select(query_id, query_vec).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([r[1] for r in qrows], dtype=np.float64)

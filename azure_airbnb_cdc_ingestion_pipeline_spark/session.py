@@ -93,3 +93,17 @@ def release_persisted() -> int:
         except Exception:  # session already stopped — nothing to free
             pass
     return n
+
+
+def fan_out(df, min_factor: int = 2):
+    """Spread a compute-heavy frame across the session's parallelism when
+    the scan yielded too few partitions (tiny file / single parquet row
+    group) — otherwise a per-row kernel (shingle hashing, minhash folds,
+    cosine arithmetic) serializes on one or two cores. No-op when the
+    input already has enough partitions, which is the 100 TB case: real
+    tables scan as many splits, so this guards exactly the small-input
+    edge where the shuffle it introduces is by construction cheap."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * min_factor <= target:
+        return df.repartition(target)
+    return df

@@ -233,9 +233,11 @@ def test_ann_lsh_retrieves_planted_neighbors(emb):
 
 def test_decode_media_contract():
     with pytest.raises(NotImplementedError):
-        decode_media(b"xxx", "video/mp4")  # genuinely no codec
+        decode_media(b"xxx", "video/webm")  # genuinely no codec
     with pytest.raises(ValueError):
         decode_media(b"xxx", "image/png")  # codec present, payload invalid
+    with pytest.raises(ValueError):
+        decode_media(b"xxx", "video/mp4")  # header parser present, invalid
     fake = decode_media(b"xxx", "video/mp4", fake=True)
     assert fake == decode_media(b"xxx", "video/mp4", fake=True)  # deterministic
     assert set(fake) == {
