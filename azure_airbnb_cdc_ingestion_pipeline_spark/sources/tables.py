@@ -400,11 +400,20 @@ class ParquetTable:
         ).filter(~cond)
         survivors.write.mode("overwrite").partitionBy(*parts).parquet(target)
         cur_dir = self._version_dir(base)
+        linked = 0
         for rel in self._leaf_partition_dirs(cur_dir):
             if rel not in affected_rels:
                 self._link_tree(
                     os.path.join(cur_dir, rel), os.path.join(target, rel)
                 )
+                linked += 1
+        if linked == 0 and not self._leaf_partition_dirs(target):
+            # a delete that emptied EVERY partition leaves a version with
+            # no parquet files (a partitioned empty write emits nothing) —
+            # unreadable. Write one schema-bearing empty file instead.
+            survivors.limit(0).coalesce(1).write.mode("overwrite").parquet(
+                target
+            )
         self._commit(v, expected_base=base)
 
     def update_where(self, condition, set_exprs: dict) -> None:

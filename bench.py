@@ -54,6 +54,13 @@ HEADLINE = [
     # retrieval + recursive-fold families added r2
     "text_bm25_rank",
     "events_ewma",
+    # r3 additions: boilerplate span detection, semantic dedup, mixture
+    # weighting, vocab coverage, SQL passthrough
+    "text_boilerplate_ratio",
+    "semdedup_cells",
+    "domain_mixture_weights",
+    "text_oov_rate",
+    "sql_passthrough_revenue",
 ]
 
 

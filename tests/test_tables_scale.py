@@ -584,3 +584,18 @@ def test_diff_versions_change_data_feed(spark, tmp_path):
         3: ("D", None, None),
         4: ("I", 40.0, "d"),
     }
+
+
+def test_delete_where_all_rows_keeps_readable_schema(spark, tmp_path):
+    """Deleting every row of a partitioned table must leave a READABLE
+    empty version (schema-bearing file), not a fileless dir."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("pm")
+        ),
+        partition_by=["pm"],
+    )
+    t.delete_where(F.lit(True))
+    assert t.read().count() == 0
+    assert set(t.read().columns) == {"k", "pm"}
