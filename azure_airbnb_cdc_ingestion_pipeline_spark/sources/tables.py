@@ -618,6 +618,66 @@ class ParquetTable:
             return True
         return True
 
+    def pruned_files_multi(
+        self, bounds: dict[str, tuple]
+    ) -> tuple[list[str], int]:
+        """File paths whose stats spans intersect EVERY column's [lo, hi]
+        (conjunctive skipping — the multi-column data-skipping Delta/
+        Iceberg stats give). Files lacking stats for a column are kept
+        for that column (conservative), but can still be skipped by
+        another column's bound."""
+        import json as _json
+
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(
+                f"table at {self.root} has no committed version"
+            )
+        vdir = self._version_dir(v)
+        try:
+            with open(os.path.join(vdir, self._STATS)) as f:
+                stats = _json.load(f)
+        except (FileNotFoundError, ValueError):
+            stats = self._write_stats(vdir, list(bounds))
+        kept, total = [], 0
+        for dirpath, _dn, filenames in os.walk(vdir):
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                total += 1
+                rel = os.path.relpath(os.path.join(dirpath, fn), vdir)
+                keep = True
+                for col, (lo, hi) in bounds.items():
+                    span = stats.get(rel, {}).get(col)
+                    if span is None:
+                        continue
+                    if not self._span_intersects(span[0], span[1], lo, hi):
+                        keep = False
+                        break
+                if keep:
+                    kept.append(os.path.join(vdir, rel))
+        return kept, total
+
+    def read_pruned_multi(self, bounds: dict[str, tuple]) -> DataFrame:
+        """Multi-column range scan with conjunctive file skipping, then
+        the exact predicate on the survivors (same contract as
+        read_pruned, AND-composed across columns)."""
+        kept, _total = self.pruned_files_multi(bounds)
+        pred = F.lit(True)
+        for col, (lo, hi) in bounds.items():
+            if lo is not None:
+                pred = pred & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                pred = pred & (F.col(col) <= F.lit(hi))
+        if not kept:
+            return self.read().filter(F.lit(False))
+        v = self.current_version()
+        return (
+            self.spark.read.option("basePath", self._version_dir(v))
+            .parquet(*kept)
+            .filter(pred)
+        )
+
     def read_pruned(self, col: str, lo=None, hi=None) -> DataFrame:
         """Range scan with FILE-LEVEL skipping: plans only the files whose
         stats span intersects [lo, hi], then applies the exact predicate.

@@ -145,3 +145,23 @@ def test_boilerplate_scoring_broadcasts_boiler_set(spark, sf_dir):
     plan = _plan(QUERIES["text_boilerplate_ratio"](spark, sf_dir))
     physical = plan.split("== Physical Plan ==")[-1]
     assert "BroadcastHashJoin" in physical
+
+
+def test_oov_rate_broadcasts_vocab(spark, sf_dir):
+    """The frequency-cut vocabulary is bounded (≤ 1/cut tokens), so the
+    per-doc scoring join must broadcast it — not shuffle the full token
+    explode against it."""
+    physical = _plan(QUERIES["text_oov_rate"](spark, sf_dir)).split(
+        "== Physical Plan =="
+    )[-1]
+    assert "BroadcastHashJoin" in physical
+
+
+def test_mixture_weights_single_aggregation_pass(spark, sf_dir):
+    """Temperature mixture weights: one source-keyed agg + a broadcast
+    scalar normalizer — the corpus must not be scanned or shuffled twice
+    at the row level (the second exchange is the 1-row normalizer)."""
+    physical = _plan(QUERIES["domain_mixture_weights"](spark, sf_dir)).split(
+        "== Physical Plan =="
+    )[-1]
+    assert "BroadcastNestedLoopJoin" in physical or "BroadcastExchange" in physical

@@ -599,3 +599,29 @@ def test_delete_where_all_rows_keeps_readable_schema(spark, tmp_path):
     t.delete_where(F.lit(True))
     assert t.read().count() == 0
     assert set(t.read().columns) == {"k", "pm"}
+
+
+def test_read_pruned_multi_conjunctive_skipping(spark, tmp_path):
+    """Multi-column skipping: on a table clustered by (k, v) a narrow k
+    range prunes most files, an impossible v bound prunes ALL files, and
+    the surviving scan returns exactly the full-filter answer."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    t.overwrite_clustered(df, ["k", "v"], num_files=8)
+
+    kept, total = t.pruned_files_multi({"k": (1000, 1900), "v": (None, None)})
+    assert total >= 8 and len(kept) <= 2
+
+    got = sorted(
+        r.k
+        for r in t.read_pruned_multi(
+            {"k": (1000, 1900), "v": (12_000, 15_000)}
+        ).collect()
+    )
+    assert got == list(range(1200, 1501))
+    # conjunctive: a v bound outside the data skips everything
+    kept2, _ = t.pruned_files_multi({"k": (1000, 1900), "v": (-100, -1)})
+    assert kept2 == []
+    assert t.read_pruned_multi({"k": (1000, 1900), "v": (-100, -1)}).count() == 0
