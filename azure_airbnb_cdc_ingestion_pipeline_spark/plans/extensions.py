@@ -3876,3 +3876,81 @@ def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+@query(
+    "url_canonicalize",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+             || '://'
+             || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM' ELSE 'www.example.com' END)
+             || ':443/docs/' || CAST(doc_id // 2 AS VARCHAR)
+             || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN '#sec-2' ELSE '' END)
+               AS url
+      FROM documents
+    ),
+    c AS (
+      SELECT url,
+        regexp_replace(
+          regexp_replace(
+            lower(regexp_extract(url, '^[^/]+//[^/]+', 0))
+              || substr(url, length(regexp_extract(url, '^[^/]+//[^/]+', 0)) + 1),
+            ':443/', '/'),
+          '/$', '') AS canon
+      FROM (
+        SELECT regexp_replace(regexp_replace(url, '#.*$', ''),
+                              '\\?utm_[a-z]+=[^&#]*', '') AS url
+        FROM u
+      )
+    )
+    SELECT canon AS canonical_url, count(*) AS n_raw,
+           count(DISTINCT url) AS n_distinct_raw
+    FROM c GROUP BY canon
+    """,
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for web-corpus dedup: strip fragments and
+    tracking params, lowercase scheme+host (path case preserved), drop
+    the default port — then count raw variants per canonical form (the
+    pre-dedup collapse step every crawl pipeline runs before content
+    hashing). Map-only normalization (regexp chain, whole-stage codegen)
+    + one canonical-keyed agg."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.Example.COM")).otherwise(
+            F.lit("www.example.com")
+        ),
+        F.lit(":443/docs/"),
+        F.floor(F.col("doc_id") / 2).cast("long").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#sec-2")).otherwise(F.lit("")),
+    )
+    u = d.select(url.alias("url"))
+    stripped = F.regexp_replace(
+        F.regexp_replace("url", F.lit("#.*$"), F.lit("")),
+        F.lit(r"\?utm_[a-z]+=[^&#]*"),
+        F.lit(""),
+    )
+    u = u.select(stripped.alias("url"))
+    prefix = F.regexp_extract("url", "^[^/]+//[^/]+", 0)
+    lowered = F.concat(
+        F.lower(prefix), F.expr("substr(url, length(regexp_extract(url, '^[^/]+//[^/]+', 0)) + 1)")
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(lowered, F.lit(":443/"), F.lit("/")),
+        F.lit("/$"),
+        F.lit(""),
+    )
+    return (
+        u.select("url", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.countDistinct("url").alias("n_distinct_raw"),
+        )
+    )
