@@ -3954,3 +3954,34 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("url").alias("n_distinct_raw"),
         )
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs((e.value - s.mu) / s.sigma) > 3
+    """,
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score anomaly gate: two-pass outlier detection (group
+    stats, then flag |z| > 3) — the monitoring primitive for metric
+    streams. The stats side reduces to |event_types| rows and broadcasts
+    back, so the corpus is scanned once per pass and never shuffled at
+    the row level (same bounded-broadcast shape as winsorization)."""
+    ev = read_events(spark, sf_dir)
+    s = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .filter(F.abs(z) > 3)
+        .select("event_id", "event_type", F.round(z, 4).alias("z"))
+    )
