@@ -3985,3 +3985,72 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 3)
         .select("event_id", "event_type", F.round(z, 4).alias("z"))
     )
+
+
+@query(
+    "domain_mixture_sample",
+    oracle="""
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents
+               GROUP BY source),
+    t AS (SELECT sum(pow(n_docs, 0.7)) AS z, sum(n_docs) AS n FROM c),
+    r AS (SELECT source, n_docs,
+                 least(1.0, (pow(n_docs, 0.7) / z) * (n * 0.3) / n_docs)
+                   AS rate
+          FROM c, t),
+    kept AS (
+      SELECT d.source
+      FROM documents d JOIN r ON d.source = r.source
+      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::INT
+              % 10000 < floor(r.rate * 10000 + 1e-6)
+    )
+    SELECT r.source, r.n_docs, round(r.rate, 6) AS rate,
+           count(k.source) AS n_sampled
+    FROM r LEFT JOIN kept k ON r.source = k.source
+    GROUP BY r.source, r.n_docs, r.rate
+    """,
+)
+def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the temperature mixture: per-domain acceptance rate
+    w_d·B/c_d (budget B = 30% of the corpus, capped at 1), then a
+    DETERMINISTIC md5-bucket keep decision per doc — the same stable-hash
+    idiom as dataset splits, so the sample is reproducible across runs,
+    partitionings and engines (no rand()). Output: per-domain rate and
+    realized sample size.
+
+    Scale: counts + normalizer reduce to |domains| broadcast rows; the
+    keep decision is a map-side filter — one corpus scan, one small agg."""
+    from ..functions.splits import split_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = c.agg(
+        F.sum(F.pow("n_docs", 0.7)).alias("z"), F.sum("n_docs").alias("n")
+    )
+    r = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            (F.pow("n_docs", 0.7) / F.col("z"))
+            * (F.col("n") * 0.3)
+            / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    kept = (
+        docs.join(F.broadcast(r), "source")
+        .filter(
+            split_bucket("doc_id", 10000)
+            < F.floor(F.col("rate") * 10000 + F.lit(1e-6))
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        r.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.round("rate", 6).alias("rate"),
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        )
+    )
