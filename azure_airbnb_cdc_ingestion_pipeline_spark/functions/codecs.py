@@ -220,7 +220,12 @@ def jpeg_info(payload: bytes) -> tuple[int, int, int]:
         if payload[i] != 0xFF:
             raise ValueError(f"malformed JPEG: expected marker at {i}")
         marker = payload[i + 1]
-        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / RSTn: bare
+        if marker == 0xFF:  # spec-valid 0xFF fill byte before a marker
+            i += 1
+            continue
+        if (
+            marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7
+        ):  # SOI / TEM / RSTn: bare markers, no length field
             i += 2
             continue
         if marker == 0xD9:  # EOI before any SOF
@@ -280,31 +285,39 @@ def mp3_info(payload: bytes) -> dict:
             size = (size << 7) | (b & 0x7F)
         i = 10 + size
     n = len(payload)
-    while i + 4 <= n and not (
-        payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0
-    ):
-        i += 1
-    if i + 4 > n:
-        raise ValueError("not an MP3 payload (no frame sync)")
-    b1, b2, b3 = payload[i + 1], payload[i + 2], payload[i + 3]
-    version = (b1 >> 3) & 0x3  # 3 = MPEG-1
-    layer = (b1 >> 1) & 0x3  # 1 = Layer III
-    if version != 3 or layer != 1:
+    saw_candidate = False
+    while i + 4 <= n:
+        # resync like a real MP3 parser: a false sync (stray 0xFF 0xEx in
+        # pre-frame junk or a wrong ID3 size field) advances the scan
+        # instead of aborting
+        if not (payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0):
+            i += 1
+            continue
+        b1, b2, b3 = payload[i + 1], payload[i + 2], payload[i + 3]
+        version = (b1 >> 3) & 0x3  # 3 = MPEG-1
+        layer = (b1 >> 1) & 0x3  # 1 = Layer III
+        bitrate = _MP3_BITRATES[(b2 >> 4) & 0xF]
+        rate = _MP3_RATES[(b2 >> 2) & 0x3]
+        if version != 3 or layer != 1:
+            saw_candidate = True
+            i += 1
+            continue
+        if not bitrate or not rate:
+            i += 1
+            continue
+        channels = 1 if ((b3 >> 6) & 0x3) == 3 else 2
+        audio_bytes = n - i
+        return {
+            "channels": channels,
+            "sample_rate": rate,
+            "bitrate_kbps": bitrate,
+            "duration_ms": int(audio_bytes * 8 / bitrate),  # kbps → ms
+        }
+    if saw_candidate:
         raise NotImplementedError(
             "only MPEG-1 Layer III frame headers are parsed"
         )
-    bitrate = _MP3_BITRATES[(b2 >> 4) & 0xF]
-    rate = _MP3_RATES[(b2 >> 2) & 0x3]
-    if not bitrate or not rate:
-        raise ValueError("malformed MP3 frame header (bad bitrate/rate)")
-    channels = 1 if ((b3 >> 6) & 0x3) == 3 else 2
-    audio_bytes = n - i
-    return {
-        "channels": channels,
-        "sample_rate": rate,
-        "bitrate_kbps": bitrate,
-        "duration_ms": int(audio_bytes * 8 / bitrate),  # kbps → ms
-    }
+    raise ValueError("not an MP3 payload (no valid frame sync)")
 
 
 def encode_mp3_header(
@@ -344,6 +357,13 @@ def mp4_info(payload: bytes) -> dict:
     dimensions. A pure box walk (sizes are explicit); no sample decode."""
     if payload is None or len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("not an MP4 payload (no ftyp box)")
+    try:
+        return _mp4_info_walk(payload)
+    except struct.error as e:  # truncated box body → contract error type
+        raise ValueError(f"malformed MP4: truncated box ({e})") from e
+
+
+def _mp4_info_walk(payload: bytes) -> dict:
     duration_ms = width = height = None
     for btype, s, e in _mp4_boxes(payload, 0, len(payload)):
         if btype != b"moov":

@@ -523,8 +523,9 @@ def semdedup(
 
     Scale: the quadratic pairing is confined WITHIN cells — the standard
     SemDeDup trade (|cell|² ≪ |corpus|² for any reasonable cell count);
-    centroids are broadcast metadata; assignment is one map over the
-    corpus + a per-id top-1. Cell sizes are data-dependent — skewed cells
+    centroids MUST be a bounded set (fixed k, e.g. a capped sample or
+    k-means centers — NOT an O(n) corpus slice) so they stay broadcast
+    metadata and assignment is one map over the corpus + a per-id top-1. Cell sizes are data-dependent — skewed cells
     are AQE's skew-join case, same as any grouped self-join.
 
     Assignment ties/jitter: the centroid score is rounded to 9 dp and

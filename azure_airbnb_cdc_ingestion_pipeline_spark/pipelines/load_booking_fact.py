@@ -115,12 +115,25 @@ def _process_transformed(
         # against the pre-merge table version (version dirs are immutable,
         # and _vacuum(keep=2) retains it across the one merge commit that
         # lands before this plan materializes in gold.overwrite below)
-        after = latest_per_key(derived, FACT_KEYS, FACT_ORDER)
+        batch_latest = latest_per_key(derived, FACT_KEYS, FACT_ORDER)
         before = fact.read().join(
-            F.broadcast(after.select(*FACT_KEYS).distinct()),
+            F.broadcast(batch_latest.select(*FACT_KEYS).distinct()),
             on=FACT_KEYS,
             how="left_semi",
         )
+        if event_time_wins:
+            # the merge resolves matched keys to max event time, so the
+            # post-merge state of a batch key is the winner of (existing
+            # row, batch row) — deriving `after` from the batch alone
+            # would retract a newer fact row in favor of a late older
+            # event and permanently diverge gold from the fact
+            after = latest_per_key(
+                batch_latest.select(*before.columns).unionByName(before),
+                FACT_KEYS,
+                FACT_ORDER,
+            )
+        else:
+            after = batch_latest
         from ..operators.aggregate import merge_gold, signed_delta
 
         delta = signed_delta(before, after, dim)

@@ -3792,7 +3792,8 @@ def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semdedup_cells",
     oracle=f"""
     WITH aug AS ({_EMB_AUG_SQL}),
-    c AS (SELECT vec_id AS cell, v AS center FROM aug WHERE vec_id % 31 = 0),
+    c AS (SELECT vec_id AS cell, v AS center FROM aug
+          WHERE vec_id % 31 = 0 AND vec_id < 2048),
     scored AS (SELECT a.vec_id, a.v, c.cell,
                       round(list_cosine_similarity(a.v, c.center), 9) AS cd
                FROM aug a CROSS JOIN c),
@@ -3816,9 +3817,13 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semdedup
 
     aug = _emb_aug(spark, sf_dir)
-    cent = aug.filter(F.col("vec_id") % 31 == 0).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("center")
-    )
+    # BOUNDED centroid sample (≤ 67 cells at any SF): an unbounded
+    # vec_id % 31 sample would grow O(n) and turn the broadcast
+    # assignment into n²/31 work — a fixed cell count keeps assignment
+    # one bounded-broadcast map pass, the SemDeDup contract
+    cent = aug.filter(
+        (F.col("vec_id") % 31 == 0) & (F.col("vec_id") < 2048)
+    ).select(F.col("vec_id").alias("cell"), F.col("v").alias("center"))
     return semdedup(aug, cent, id_col="vec_id", vec_col="v", threshold=0.95)
 
 
@@ -3898,11 +3903,11 @@ def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
           regexp_replace(
             lower(regexp_extract(url, '^[^/]+//[^/]+', 0))
               || substr(url, length(regexp_extract(url, '^[^/]+//[^/]+', 0)) + 1),
-            ':443/', '/'),
+            '^([a-z]+://[^/:]+):443(/|$)', '\\1\\2'),
           '/$', '') AS canon
       FROM (
         SELECT regexp_replace(regexp_replace(url, '#.*$', ''),
-                              '\\?utm_[a-z]+=[^&#]*', '') AS url
+                              '\\?utm_[a-z]+=[^&]*$', '') AS url
         FROM u
       )
     )
@@ -3931,9 +3936,14 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 5 == 0, F.lit("#sec-2")).otherwise(F.lit("")),
     )
     u = d.select(url.alias("url"))
+    # every pattern is ANCHORED so it matches at most once — Spark's
+    # regexp_replace replaces ALL matches, DuckDB's replaces the FIRST;
+    # anchoring makes the two provably agree on any input, not just the
+    # synthetic one. (A general multi-param tracking strip would need a
+    # g-flagged per-param normalizer; the generator emits one '?utm_*'.)
     stripped = F.regexp_replace(
         F.regexp_replace("url", F.lit("#.*$"), F.lit("")),
-        F.lit(r"\?utm_[a-z]+=[^&#]*"),
+        F.lit(r"\?utm_[a-z]+=[^&]*$"),
         F.lit(""),
     )
     u = u.select(stripped.alias("url"))
@@ -3942,7 +3952,9 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(prefix), F.expr("substr(url, length(regexp_extract(url, '^[^/]+//[^/]+', 0)) + 1)")
     )
     canon = F.regexp_replace(
-        F.regexp_replace(lowered, F.lit(":443/"), F.lit("/")),
+        F.regexp_replace(
+            lowered, F.lit("^([a-z]+://[^/:]+):443(/|$)"), F.lit("$1$2")
+        ),
         F.lit("/$"),
         F.lit(""),
     )
@@ -4000,7 +4012,7 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept AS (
       SELECT d.source
       FROM documents d JOIN r ON d.source = r.source
-      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::INT
+      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
               % 10000 < floor(r.rate * 10000 + 1e-6)
     )
     SELECT r.source, r.n_docs, round(r.rate, 6) AS rate,
@@ -4019,8 +4031,6 @@ def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: counts + normalizer reduce to |domains| broadcast rows; the
     keep decision is a map-side filter — one corpus scan, one small agg."""
-    from ..functions.splits import split_bucket
-
     docs = _t(spark, sf_dir, "documents")
     c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     t = c.agg(
@@ -4036,12 +4046,16 @@ def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_docs"),
         ).alias("rate"),
     )
+    # 24-bit hash mod 10000 (not split_bucket's 16-bit): 65536 % 10000
+    # leaves a ~7% modulo bias on the acceptance rate; 16^6 % 10000 keeps
+    # the realized rate within ~0.06% of w_d*B/c_d
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 10000
+    )
     kept = (
         docs.join(F.broadcast(r), "source")
-        .filter(
-            split_bucket("doc_id", 10000)
-            < F.floor(F.col("rate") * 10000 + F.lit(1e-6))
-        )
+        .filter(bucket < F.floor(F.col("rate") * 10000 + F.lit(1e-6)))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )

@@ -94,8 +94,24 @@ class ParquetTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target)
+        if partition_by:
+            self._write_table_meta(target, partition_by)
         self._commit(v)
         return v
+
+    _META = "_table_meta.json"
+
+    def _write_table_meta(self, vdir: str, partition_by: list[str]) -> None:
+        """Record the partition spec in the version dir: layout inference
+        breaks the moment a version has no partition dirs (e.g. a DELETE
+        that emptied every partition), silently degrading later writes to
+        the unpartitioned path — the sidecar is authoritative."""
+        import json as _json
+
+        fd, tmp = tempfile.mkstemp(dir=vdir, prefix="._meta")
+        with os.fdopen(fd, "w") as f:
+            _json.dump({"partition_by": list(partition_by)}, f)
+        os.replace(tmp, os.path.join(vdir, self._META))
 
     # -- concurrency ---------------------------------------------------------
     def _claim_path(self, v: int) -> str:
@@ -211,11 +227,19 @@ class ParquetTable:
         self._commit(v, expected_base=base)
 
     def _partition_columns(self) -> list[str]:
-        """Partition columns of the current version, inferred from the
-        hive-style directory layout (empty when unpartitioned/absent)."""
+        """Partition columns of the current version: the metadata sidecar
+        when present (authoritative), else inferred from the hive-style
+        directory layout (empty when unpartitioned/absent)."""
+        import json as _json
+
         v = self.current_version()
         if v is None:
             return []
+        try:
+            with open(os.path.join(self._version_dir(v), self._META)) as f:
+                return list(_json.load(f)["partition_by"])
+        except (FileNotFoundError, ValueError, KeyError):
+            pass
         cols: list[str] = []
         d = self._version_dir(v)
         while True:
@@ -355,6 +379,7 @@ class ParquetTable:
                 self._link_tree(
                     os.path.join(cur_dir, rel), os.path.join(target, rel)
                 )
+        self._write_table_meta(target, partition_by)
         self._commit(new_v, expected_base=cur)
 
     # -- DML (copy-on-write DELETE / UPDATE, the Delta analog) ---------------
@@ -393,12 +418,20 @@ class ParquetTable:
             tgt.filter(~cond).write.mode("overwrite").parquet(target)
             self._commit(v, expected_base=base)
             return
-        combo_df = tgt.filter(cond).select(*parts).distinct()
-        affected_rels = self._partition_rels(combo_df, parts)
-        survivors = self._restrict_to_partitions_of(
-            tgt, combo_df, parts
-        ).filter(~cond)
-        survivors.write.mode("overwrite").partitionBy(*parts).parquet(target)
+        # persist: the matching-combo frame feeds the marker write AND the
+        # partition restriction (limit-collect / semi-join) — without it
+        # each consumer re-runs the full-table predicate scan
+        combo_df = tgt.filter(cond).select(*parts).distinct().persist()
+        try:
+            affected_rels = self._partition_rels(combo_df, parts)
+            survivors = self._restrict_to_partitions_of(
+                tgt, combo_df, parts
+            ).filter(~cond)
+            survivors.write.mode("overwrite").partitionBy(*parts).parquet(
+                target
+            )
+        finally:
+            combo_df.unpersist()
         cur_dir = self._version_dir(base)
         linked = 0
         for rel in self._leaf_partition_dirs(cur_dir):
@@ -410,10 +443,13 @@ class ParquetTable:
         if linked == 0 and not self._leaf_partition_dirs(target):
             # a delete that emptied EVERY partition leaves a version with
             # no parquet files (a partitioned empty write emits nothing) —
-            # unreadable. Write one schema-bearing empty file instead.
+            # unreadable. Write one schema-bearing empty file instead (the
+            # meta sidecar below preserves the partition spec for later
+            # writes even though the layout carries none).
             survivors.limit(0).coalesce(1).write.mode("overwrite").parquet(
                 target
             )
+        self._write_table_meta(target, parts)
         self._commit(v, expected_base=base)
 
     def update_where(self, condition, set_exprs: dict) -> None:
@@ -463,6 +499,7 @@ class ParquetTable:
                 self._link_tree(
                     os.path.join(cur_dir, rel), os.path.join(target, rel)
                 )
+        self._write_table_meta(target, parts)
         self._commit(v, expected_base=base)
 
     def overwrite_clustered(

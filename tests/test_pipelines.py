@@ -415,3 +415,53 @@ def test_incremental_gold_before_image_survives_vacuum(spark, tmp_path):
             for r in gold_booking_aggregation(fact.read(), dim).collect()
         }
         assert got == want, f"batch {b}: incremental gold diverged"
+
+
+def test_event_time_wins_incremental_gold_stays_consistent(spark, tmp_path):
+    """event_time_wins + incremental_gold: a late batch of OLDER events
+    for existing keys must leave gold exactly equal to a full refresh of
+    the post-merge fact — the delta must use the merge's winner (existing
+    newer row), not assume the batch row wins."""
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.aggregate import (
+        gold_booking_aggregation,
+    )
+    from azure_airbnb_cdc_ingestion_pipeline_spark.pipelines.load_booking_fact import (
+        process_booking_batch,
+    )
+    from azure_airbnb_cdc_ingestion_pipeline_spark.schemas import BOOKING_DOC_SCHEMA
+
+    events = gen_booking_events(n=80, n_keys=80, seed=21)
+    good = [e for e in events if e["check_out_date"] >= e["check_in_date"]][:30]
+
+    def _variant(e, amount, ts):
+        out = dict(e)
+        out["amount"] = amount
+        out["timestamp"] = ts
+        return out
+
+    newer = [_variant(e, 200.0, "2025-06-01 00:00:00") for e in good]
+    older = [_variant(e, 100.0, "2024-06-01 00:00:00") for e in good]
+    dim = spark.createDataFrame(
+        [(i, ["US", "DE"][i % 2]) for i in range(1, 101)],
+        "customer_id int, country string",
+    )
+    fact = ParquetTable(spark, str(tmp_path / "fact"))
+    quar = ParquetTable(spark, str(tmp_path / "quar"))
+    gold = ParquetTable(spark, str(tmp_path / "gold"))
+    for batch_events in (newer, older):  # out of order: newer lands first
+        batch = spark.createDataFrame(batch_events, BOOKING_DOC_SCHEMA)
+        process_booking_batch(
+            batch, fact, quar, dim=dim, gold=gold,
+            incremental_gold=True, event_time_wins=True,
+        )
+    # fact kept the newer amounts
+    assert fact.read().filter(F.col("amount") == 200.0).count() == len(good)
+    got = {
+        r["country"]: (r["total_bookings"], round(r["total_amount"], 2))
+        for r in gold.read().collect()
+    }
+    want = {
+        r["country"]: (r["total_bookings"], round(r["total_amount"], 2))
+        for r in gold_booking_aggregation(fact.read(), dim).collect()
+    }
+    assert got == want and len(want) > 0

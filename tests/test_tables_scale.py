@@ -625,3 +625,32 @@ def test_read_pruned_multi_conjunctive_skipping(spark, tmp_path):
     kept2, _ = t.pruned_files_multi({"k": (1000, 1900), "v": (-100, -1)})
     assert kept2 == []
     assert t.read_pruned_multi({"k": (1000, 1900), "v": (-100, -1)}).count() == 0
+
+
+def test_delete_all_preserves_partition_spec(spark, tmp_path):
+    """After a delete that empties a partitioned table, the partition spec
+    must survive (metadata sidecar): a later spec-less upsert must route
+    back to the partitioned pruned path, not silently degrade to
+    unpartitioned full rewrites."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.range(10).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("int").alias("pm"),
+            F.col("id").cast("timestamp").alias("ts"),
+        ),
+        partition_by=["pm"],
+    )
+    t.delete_where(F.lit(True))
+    assert t._partition_columns() == ["pm"]
+    batch = spark.range(6).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("int").alias("pm"),
+        F.col("id").cast("timestamp").alias("ts"),
+    )
+    t.upsert(batch, keys=["k"], order_by=["ts"])  # no explicit partition_by
+    assert t.read().count() == 6
+    vdir = t._version_dir(t.current_version())
+    assert any(
+        n.startswith("pm=") for n in os.listdir(vdir)
+    ), "upsert lost the partitioned layout"
