@@ -845,3 +845,36 @@ def diff_versions(
             *[F.col(f"__n.{c}").alias(c) for c in val_cols],
         )
     )
+
+
+def table_history(table: ParquetTable) -> list[dict]:
+    """DESCRIBE HISTORY analog: one dict per retained version —
+    {version, committed_at (epoch sec), n_files, n_rows, size_bytes} —
+    from directory mtimes and parquet FOOTERS (O(files) metadata reads,
+    never data; the same cost class as the skipping manifest). Hardlinked
+    files are counted per version they appear in, mirroring what a reader
+    of that version sees."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for v in _versions(table):
+        vdir = table._version_dir(v)
+        n_files = n_rows = size = 0
+        for dirpath, _dn, files in os.walk(vdir):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(dirpath, fn)
+                n_files += 1
+                n_rows += pq.ParquetFile(p).metadata.num_rows
+                size += os.path.getsize(p)
+        out.append(
+            {
+                "version": v,
+                "committed_at": int(os.path.getmtime(vdir)),
+                "n_files": n_files,
+                "n_rows": n_rows,
+                "size_bytes": size,
+            }
+        )
+    return out

@@ -169,3 +169,61 @@ def test_apply_cdc_matches_model(spark, batches):
         state = apply_cdc(state, batch, ["k"], op_col="op", order_by=["ts", "seq"])
     got = sorted(tuple(r) for r in state.collect())
     assert got == _model_apply_cdc(tagged)
+
+
+# -- DML properties: delete_where / update_where vs the obvious model -------
+
+_dml_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),   # k
+        st.integers(min_value=0, max_value=3),    # pm (partition)
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),  # v
+    ),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_dml_rows, thresh=st.integers(min_value=-5, max_value=5))
+def test_delete_where_equals_filter_model(spark, tmp_path_factory, rows, thresh):
+    """delete_where(v > t) must equal the model `keep rows where NOT
+    (v > t)` with SQL null semantics (v NULL → kept), for any partitioned
+    table/threshold — including all-deleted and none-deleted extremes."""
+    from pyspark.sql import functions as F
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.sources.tables import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path_factory.mktemp("dml") / "t"))
+    df = spark.createDataFrame(rows, "k long, pm int, v long")
+    if not rows:
+        return
+    t.overwrite(df, partition_by=["pm"])
+    t.delete_where(F.col("v") > thresh)
+    got = {(r.k, r.pm, r.v) for r in t.read().collect()}
+    want = {(k, pm, v) for (k, pm, v) in rows if not (v is not None and v > thresh)}
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_dml_rows, thresh=st.integers(min_value=-5, max_value=5))
+def test_update_where_equals_select_model(spark, tmp_path_factory, rows, thresh):
+    """update_where(v > t, {v: v*10}) must equal the row-wise model with
+    SQL null semantics (v NULL → untouched) and original-row evaluation."""
+    from pyspark.sql import functions as F
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.sources.tables import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path_factory.mktemp("dml") / "t"))
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k long, pm int, v long")
+    t.overwrite(df, partition_by=["pm"])
+    t.update_where(F.col("v") > thresh, {"v": F.col("v") * 10})
+    got = {(r.k, r.pm, r.v) for r in t.read().collect()}
+    want = {
+        (k, pm, v * 10 if (v is not None and v > thresh) else v)
+        for (k, pm, v) in rows
+    }
+    assert got == want

@@ -654,3 +654,16 @@ def test_delete_all_preserves_partition_spec(spark, tmp_path):
     assert any(
         n.startswith("pm=") for n in os.listdir(vdir)
     ), "upsert lost the partitioned layout"
+
+
+def test_table_history_reports_retained_versions(spark, tmp_path):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.sources.tables import table_history
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(100).withColumnRenamed("id", "k"))
+    t.append(spark.range(100, 150).withColumnRenamed("id", "k"))
+    hist = table_history(t)
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[0]["n_rows"] == 100 and hist[1]["n_rows"] == 150
+    assert all(h["n_files"] > 0 and h["size_bytes"] > 0 for h in hist)
+    assert hist[1]["committed_at"] >= hist[0]["committed_at"]
