@@ -585,7 +585,9 @@ def boilerplate_ratio(
     and are absent from the output (no spurious 0/0 rows).
     """
     from ..functions.text import shingles
+    from ..session import fan_out
 
+    docs = fan_out(docs)  # tiny-file guard: per-doc shingle construction
     sh = docs.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s")
     )

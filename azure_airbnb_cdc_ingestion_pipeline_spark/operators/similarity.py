@@ -532,8 +532,10 @@ def semdedup(
     tie-broken on cell id so Spark and the DuckDB oracle agree on the
     argmax even when two centroids are equidistant to ~1 ulp.
     """
+    from ..session import fan_out
     from .windows import topk_per_group
 
+    vectors = fan_out(vectors)  # tiny-file guard: per-row centroid scoring
     scored = vectors.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vv"),
