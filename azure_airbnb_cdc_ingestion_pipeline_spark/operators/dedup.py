@@ -349,12 +349,13 @@ def simhash(
     hasher=None,
 ) -> DataFrame:
     """SimHash per doc: per-bit majority vote over hashed tokens
-    (occurrence-weighted), as a ZERO-shuffle per-row fold — the same
-    formulation as the minhash signature build. The token array folds
-    into a num_bits-wide vote array (zip_with against a bit-mask array),
-    then the positive votes sum their masks into the fingerprint. No
-    explode, no docs×tokens groupBy exchange: ~4x faster than the
-    60-sum hash aggregate it replaces and map-only at any scale.
+    (occurrence-weighted), as a per-row fold — the same formulation as
+    the minhash signature build. The token array folds into a
+    num_bits-wide vote array (zip_with against a bit-mask array), votes
+    merge per id (|docs|-sized exchange, duplicate-id rows combine), and
+    the positive votes sum their masks into the fingerprint. No explode:
+    the exchange carries one vote array per ROW instead of |tokens| rows
+    — ~4x faster than the 60-sum hash aggregate it replaces.
     Columns: (id, simhash). Bit 63's mask is the wrapped negative long —
     the intended two's-complement sign bit in the 64-bit default.
 
@@ -382,16 +383,33 @@ def simhash(
             lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
         ),
     )
+    # Per-id vote MERGE preserves the operator contract for duplicate-id
+    # inputs (same doc ingested twice → ONE merged-vote fingerprint) and
+    # drops null-text rows (null token array → null votes → dropped by
+    # collect_list), exactly like the explode formulation did. The
+    # shuffle carries one num_bits-wide array per ROW — tokens-fold cost
+    # stays map-side; this exchange is |docs|-sized, not |tokens|-sized.
+    merged = (
+        df.select(F.col(id_col).alias("id"), votes.alias("__v"))
+        .groupBy("id")
+        .agg(F.collect_list("__v").alias("__vs"))
+        .filter(F.size("__vs") > 0)
+    )
+    votes_m = F.aggregate(
+        F.col("__vs"),
+        init,
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+    )
     fp = F.aggregate(
         F.zip_with(
-            votes,
+            votes_m,
             masks,
             lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    return df.select(F.col(id_col).alias("id"), fp.alias("simhash"))
+    return merged.select("id", fp.alias("simhash"))
 
 
 def simhash_pairs(

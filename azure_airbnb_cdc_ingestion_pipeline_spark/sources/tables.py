@@ -40,6 +40,16 @@ class ConcurrentWriteError(RuntimeError):
     committing it would silently drop the winner's rows."""
 
 
+def _iter_parquet_files(vdir: str):
+    """Yield absolute paths of every .parquet file under a version dir —
+    the single walk both the skipping-stats collector and table_history
+    build on (one place to learn about new sidecar layouts)."""
+    for dirpath, _dn, filenames in os.walk(vdir):
+        for fn in filenames:
+            if fn.endswith(".parquet"):
+                yield os.path.join(dirpath, fn)
+
+
 class ParquetTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -547,11 +557,7 @@ class ParquetTable:
         import pyarrow.parquet as pq
 
         stats: dict[str, dict] = {}
-        for dirpath, _dn, filenames in os.walk(vdir):
-            for fn in filenames:
-                if not fn.endswith(".parquet"):
-                    continue
-                path = os.path.join(dirpath, fn)
+        for path in _iter_parquet_files(vdir):
                 meta = pq.ParquetFile(path).metadata
                 idx = {
                     meta.schema.column(j).name: j
@@ -860,14 +866,10 @@ def table_history(table: ParquetTable) -> list[dict]:
     for v in _versions(table):
         vdir = table._version_dir(v)
         n_files = n_rows = size = 0
-        for dirpath, _dn, files in os.walk(vdir):
-            for fn in files:
-                if not fn.endswith(".parquet"):
-                    continue
-                p = os.path.join(dirpath, fn)
-                n_files += 1
-                n_rows += pq.ParquetFile(p).metadata.num_rows
-                size += os.path.getsize(p)
+        for p in _iter_parquet_files(vdir):
+            n_files += 1
+            n_rows += pq.ParquetFile(p).metadata.num_rows
+            size += os.path.getsize(p)
         out.append(
             {
                 "version": v,

@@ -196,9 +196,9 @@ def test_delete_where_equals_filter_model(spark, tmp_path_factory, rows, thresh)
     from azure_airbnb_cdc_ingestion_pipeline_spark.sources.tables import ParquetTable
 
     t = ParquetTable(spark, str(tmp_path_factory.mktemp("dml") / "t"))
-    df = spark.createDataFrame(rows, "k long, pm int, v long")
     if not rows:
         return
+    df = spark.createDataFrame(rows, "k long, pm int, v long")
     t.overwrite(df, partition_by=["pm"])
     t.delete_where(F.col("v") > thresh)
     got = {(r.k, r.pm, r.v) for r in t.read().collect()}
