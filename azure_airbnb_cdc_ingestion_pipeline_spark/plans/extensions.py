@@ -4165,3 +4165,25 @@ def q_sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+@query(
+    "kmeans_coverage",
+    # Invariant-style oracle (the heavy_hitters_gated pattern): clustering
+    # itself is iterative/non-SQL, but a correct run must assign EVERY
+    # point exactly once — so the contingency table's per-label totals
+    # must equal the exact label counts DuckDB recomputes. A hash-match
+    # certifies no point was dropped or double-assigned by the
+    # fit/transform pipeline.
+    oracle="""
+    SELECT label, count(*) AS n_points, TRUE AS complete
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_kmeans_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage gate over the k-means contingency table: per-label totals
+    summed across clusters, certified against exact label counts."""
+    out = q_kmeans_clusters(spark, sf_dir)
+    return out.groupBy("label").agg(
+        F.sum("n").alias("n_points"),
+    ).withColumn("complete", F.lit(True))
