@@ -4250,3 +4250,41 @@ def q_sql_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@query(
+    "sql_disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_type = 'SMALL'  AND p_size <= 10 AND l_quantity <= 20)
+       OR (p_type = 'MEDIUM' AND p_size <= 20 AND l_quantity BETWEEN 10 AND 40)
+       OR (p_type = 'LARGE'  AND p_size <= 30 AND l_quantity >= 30)
+    """,
+)
+def q_sql_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive predicates across a join): three OR'd
+    conjunct branches mixing both sides' columns. Catalyst extracts the
+    common single-side conjuncts it can (e.g. the p_type/p_size domain
+    union pushes to the part scan) and evaluates the residual OR after
+    the broadcast join — one scan each side, no union-of-three-joins
+    rewrite needed."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    pred = (
+        ((F.col("p_type") == "SMALL") & (F.col("p_size") <= 10) & (q <= 20))
+        | ((F.col("p_type") == "MEDIUM") & (F.col("p_size") <= 20) & q.between(10, 40))
+        | ((F.col("p_type") == "LARGE") & (F.col("p_size") <= 30) & (q >= 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(pred)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
