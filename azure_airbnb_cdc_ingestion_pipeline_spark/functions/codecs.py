@@ -359,7 +359,11 @@ def mp4_info(payload: bytes) -> dict:
         raise ValueError("not an MP4 payload (no ftyp box)")
     try:
         return _mp4_info_walk(payload)
-    except struct.error as e:  # truncated box body → contract error type
+    except (struct.error, IndexError) as e:
+        # struct.error: truncated box body; IndexError: empty mvhd/tkhd
+        # body (``payload[is_]`` version probe past the end). Both are
+        # invalid payloads → the documented ValueError contract that
+        # decode_media's quarantine path relies on.
         raise ValueError(f"malformed MP4: truncated box ({e})") from e
 
 

@@ -36,6 +36,34 @@ from pyspark.sql import functions as F
 
 from .windows import topk_per_group
 
+#: Tie-break column used by :func:`resolve_event_time`. Reserved — input
+#: frames must not carry a column with this name.
+_SRC_PRIORITY = "__src_priority"
+
+
+def resolve_event_time(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str | Column],
+) -> DataFrame:
+    """Resolve (target ∪ source) to one row per key by max ``order_by``,
+    with a DETERMINISTIC source-wins tie-break: when a source and target
+    row for the same key carry an identical event time, the source row
+    wins — the ``WHEN MATCHED AND s.ts >= t.ts`` contract (note the
+    ``>=``). Without the explicit secondary sort the row_number tie-break
+    is nondeterministic, and two independent resolutions of the same tie
+    (e.g. the fact merge and the incremental-gold 'after' rebuild in
+    pipelines/load_booking_fact.py) could diverge permanently.
+    """
+    combined = source.select(*target.columns).withColumn(
+        _SRC_PRIORITY, F.lit(1)
+    ).unionByName(target.withColumn(_SRC_PRIORITY, F.lit(0)))
+    resolved = latest_per_key(
+        combined, keys, list(order_by) + [F.col(_SRC_PRIORITY)]
+    )
+    return resolved.drop(_SRC_PRIORITY)
+
 
 def latest_per_key(
     df: DataFrame, keys: Sequence[str], order_by: Sequence[str | Column] | None
@@ -73,15 +101,16 @@ def merge_dataframes(
       EVENT time wins — matched rows resolve to the max ``order_by`` of
       target-vs-source, so out-of-order micro-batches converge to the
       same state regardless of arrival order (the `WHEN MATCHED AND
-      s.ts >= t.ts` guard of a conditional MERGE). One shuffle on the
-      union instead of the anti-join.
+      s.ts >= t.ts` guard of a conditional MERGE — ``>=`` means the
+      SOURCE wins exact event-time ties, enforced deterministically by
+      :func:`resolve_event_time`). One shuffle on the union instead of
+      the anti-join.
     """
     keys = list(keys)
     if event_time_wins:
         if order_by is None:
             raise ValueError("event_time_wins requires order_by")
-        combined = source.select(*target.columns).unionByName(target)
-        return latest_per_key(combined, keys, order_by)
+        return resolve_event_time(target, source, keys, order_by)
     src = latest_per_key(source, keys, order_by).select(*target.columns)
     src_keys = src.select(*keys).dropDuplicates(keys)
     if broadcast_source_keys:

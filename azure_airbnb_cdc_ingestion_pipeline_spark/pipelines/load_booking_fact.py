@@ -126,11 +126,15 @@ def _process_transformed(
             # post-merge state of a batch key is the winner of (existing
             # row, batch row) — deriving `after` from the batch alone
             # would retract a newer fact row in favor of a late older
-            # event and permanently diverge gold from the fact
-            after = latest_per_key(
-                batch_latest.select(*before.columns).unionByName(before),
-                FACT_KEYS,
-                FACT_ORDER,
+            # event and permanently diverge gold from the fact. Uses the
+            # SAME deterministic source-wins tie-break as the merge
+            # itself (resolve_event_time), so an exact event-time tie
+            # resolves identically here and in fact.upsert below.
+            from ..operators.merge import resolve_event_time
+
+            after = resolve_event_time(
+                before, batch_latest.select(*before.columns),
+                FACT_KEYS, FACT_ORDER,
             )
         else:
             after = batch_latest

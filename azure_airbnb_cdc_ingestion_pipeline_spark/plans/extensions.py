@@ -833,8 +833,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     # deterministic coarse quantizer (fixed corpus sample): the plan is
     # pure Catalyst expressions, insensitive to input partitioning — the
-    # KMeans-fit quantizer stays covered by kmeans_clusters + unit tests
-    cent = emb.filter(F.col("vec_id") % 31 == 0).select(
+    # KMeans-fit quantizer stays covered by kmeans_clusters + unit tests.
+    # vec_id < 2048 BOUNDS the sample (≤ 67 centroids) so the broadcast
+    # centroid set and the assignment cross-join stay O(1) w.r.t. scale
+    # factor instead of growing O(n) — same guard as semdedup_cells.
+    cent = emb.filter(
+        (F.col("vec_id") % 31 == 0) & (F.col("vec_id") < 2048)
+    ).select(
         F.col("vec_id").cast("int").alias("__cell"),
         F.transform("embedding", lambda x: x.cast("double")).alias("center"),
     )
@@ -893,8 +898,11 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     # deterministic coarse quantizer: centroids are a fixed corpus sample,
-    # so the whole plan is pure Catalyst expressions (no KMeans fit)
-    cent = emb.filter(F.col("vec_id") % 31 == 0).select(
+    # so the whole plan is pure Catalyst expressions (no KMeans fit);
+    # vec_id < 2048 bounds the broadcast centroid set vs scale factor
+    cent = emb.filter(
+        (F.col("vec_id") % 31 == 0) & (F.col("vec_id") < 2048)
+    ).select(
         F.col("vec_id").cast("int").alias("__cell"),
         F.transform("embedding", lambda x: x.cast("double")).alias("center"),
     )

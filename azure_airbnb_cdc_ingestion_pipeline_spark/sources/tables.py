@@ -504,11 +504,22 @@ class ParquetTable:
         # the affected set (correctly escaped by the writer)
         affected_rels = set(self._leaf_partition_dirs(target))
         cur_dir = self._version_dir(base)
+        linked = 0
         for rel in self._leaf_partition_dirs(cur_dir):
             if rel not in affected_rels:
                 self._link_tree(
                     os.path.join(cur_dir, rel), os.path.join(target, rel)
                 )
+                linked += 1
+        if linked == 0 and not self._leaf_partition_dirs(target):
+            # base version was the schema-bearing empty file of a
+            # delete-all (no leaf partition dirs), so the affected rewrite
+            # emitted nothing and nothing was linked — mirror delete_where:
+            # write one schema-bearing empty file so the version stays
+            # readable.
+            _apply(tgt).limit(0).coalesce(1).write.mode("overwrite").parquet(
+                target
+            )
         self._write_table_meta(target, parts)
         self._commit(v, expected_base=base)
 

@@ -804,6 +804,25 @@ def test_mp3_mp4_header_metadata_real_in_spark(spark):
         mp3_info(b"\x00" * 64)
     with pytest.raises(ValueError):
         mp4_info(b"\x00" * 64)
+    # ADVICE r3: an mvhd/tkhd box with an EMPTY body used to escape the
+    # ValueError contract as IndexError (payload[is_] version probe)
+    import struct as _st
+
+    def _box(btype, body):
+        return _st.pack(">I4s", len(body) + 8, btype) + body
+
+    empty_mvhd = (
+        _box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+        + _box(b"moov", _box(b"mvhd", b""))
+    )
+    with pytest.raises(ValueError):
+        mp4_info(empty_mvhd)
+    empty_tkhd = (
+        _box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+        + _box(b"moov", _box(b"trak", _box(b"tkhd", b"")))
+    )
+    with pytest.raises(ValueError):
+        mp4_info(empty_tkhd)
 
     meta_t = ("struct<mime:string,source:string,width:int,height:int,"
               "duration_ms:bigint>")

@@ -227,3 +227,33 @@ def test_update_where_equals_select_model(spark, tmp_path_factory, rows, thresh)
         for (k, pm, v) in rows
     }
     assert got == want
+
+
+def test_merge_event_time_exact_tie_source_wins(spark):
+    """ADVICE r3: a source and target row for the same key with an
+    IDENTICAL event time but different payloads must resolve to the
+    SOURCE row, deterministically — the `s.ts >= t.ts` (>=) contract.
+    Before the __src_priority tie-break this was row_number order, i.e.
+    whichever partition happened to sort first."""
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.merge import (
+        resolve_event_time,
+    )
+
+    target = spark.createDataFrame(
+        [(k, 7, 0, "target") for k in range(20)], _SCHEMA
+    )
+    source = spark.createDataFrame(
+        [(k, 7, 0, "source") for k in range(20)], _SCHEMA
+    )
+    for _ in range(3):  # determinism across repeated evaluations
+        out = merge_dataframes(
+            target, source, ["k"], order_by=["ts", "seq"],
+            event_time_wins=True,
+        )
+        assert sorted(map(tuple, out.collect())) == [
+            (k, 7, 0, "source") for k in range(20)
+        ]
+        direct = resolve_event_time(target, source, ["k"], ["ts", "seq"])
+        assert sorted(map(tuple, direct.collect())) == [
+            (k, 7, 0, "source") for k in range(20)
+        ]

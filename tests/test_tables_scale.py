@@ -667,3 +667,31 @@ def test_table_history_reports_retained_versions(spark, tmp_path):
     assert hist[0]["n_rows"] == 100 and hist[1]["n_rows"] == 150
     assert all(h["n_files"] > 0 and h["size_bytes"] > 0 for h in hist)
     assert hist[1]["committed_at"] >= hist[0]["committed_at"]
+
+
+def test_update_where_after_delete_all_stays_readable(spark, tmp_path):
+    """ADVICE r3: update_where on a partitioned table whose current
+    version is the schema-bearing empty file of a delete-all (no leaf
+    partition dirs) must commit a READABLE version — previously the
+    affected rewrite emitted no parquet files, nothing was hardlinked,
+    and read() on the new version failed."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("pm")
+        ),
+        partition_by=["pm"],
+    )
+    t.delete_where(F.lit(True))
+    t.update_where(F.col("k") > 3, {"k": F.col("k") + 100})
+    assert t.read().count() == 0
+    assert set(t.read().columns) == {"k", "pm"}
+    # the table must still accept partitioned writes afterwards
+    t.upsert(
+        spark.range(4).select(
+            F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("pm")
+        ),
+        keys=["k"],
+        order_by=None,
+    )
+    assert t.read().count() == 4
