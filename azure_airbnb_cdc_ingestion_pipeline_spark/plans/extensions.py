@@ -3800,16 +3800,40 @@ def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semdedup_cells",
     oracle=f"""
     WITH aug AS ({_EMB_AUG_SQL}),
-    c AS (SELECT vec_id AS cell, v AS center FROM aug
-          WHERE vec_id % 31 = 0 AND vec_id < 2048),
-    scored AS (SELECT a.vec_id, a.v, c.cell,
-                      round(list_cosine_similarity(a.v, c.center), 9) AS cd
-               FROM aug a CROSS JOIN c),
-    assigned AS (
-      SELECT vec_id, v, cell FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY cd DESC, cell ASC) AS rn
-        FROM scored) WHERE rn = 1),
+    nn AS (SELECT greatest(1, count(*) // 128) AS k2,
+                  greatest(1, CAST(floor(sqrt(greatest(1, count(*) // 128)))
+                                   AS BIGINT)) AS k1
+           FROM aug),
+    ranked AS (SELECT vec_id, v,
+                      row_number() OVER (
+                        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+                      ) AS rn
+               FROM aug),
+    fine AS (SELECT vec_id AS cell, v AS center FROM ranked, nn
+             WHERE rn <= k2),
+    coarse AS (SELECT vec_id AS ccell, v AS ccenter FROM ranked, nn
+               WHERE rn <= k1),
+    f2c AS (SELECT cell, center, ccell FROM (
+        SELECT f.cell, f.center, c.ccell,
+               row_number() OVER (PARTITION BY f.cell
+                 ORDER BY round(list_cosine_similarity(f.center, c.ccenter),
+                                9) DESC,
+                          (c.ccell = f.cell) DESC, c.ccell ASC) AS rn
+        FROM fine f CROSS JOIN coarse c) WHERE rn = 1),
+    v2c AS (SELECT vec_id, v, ccell FROM (
+        SELECT a.vec_id, a.v, c.ccell,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(a.v, c.ccenter),
+                                9) DESC,
+                          c.ccell ASC) AS rn
+        FROM aug a CROSS JOIN coarse c) WHERE rn = 1),
+    assigned AS (SELECT vec_id, v, cell FROM (
+        SELECT x.vec_id, x.v, f.cell,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY round(list_cosine_similarity(x.v, f.center),
+                                9) DESC,
+                          f.cell ASC) AS rn
+        FROM v2c x JOIN f2c f ON x.ccell = f.ccell) WHERE rn = 1),
     dup AS (SELECT DISTINCT b.vec_id
             FROM assigned a JOIN assigned b
               ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -3819,20 +3843,19 @@ def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the augmented embedding corpus: deterministic
-    corpus-sample centroids (vec_id % 31), within-cell cosine pruning at
-    0.95, greedy min-id survivor (operators.similarity.semdedup)."""
-    from ..operators.similarity import semdedup
+    """SemDeDup over the augmented embedding corpus via the scale path
+    (operators.similarity.semdedup_scaled): corpus-proportional cell count
+    (n/128 cells → within-cell pair work is n·128, linear), two-level
+    deterministic hash-sample quantizer (O(n·√cells) assignment), 0.95
+    within-cell cosine pruning, greedy min-id survivor. Replaces the r3
+    fixed-2048-cap sample whose (n/k)² within-cell quadratic measured 13x
+    wall at 10x rows in the sf1 scale bench."""
+    from ..operators.similarity import semdedup_scaled
 
     aug = _emb_aug(spark, sf_dir)
-    # BOUNDED centroid sample (≤ 67 cells at any SF): an unbounded
-    # vec_id % 31 sample would grow O(n) and turn the broadcast
-    # assignment into n²/31 work — a fixed cell count keeps assignment
-    # one bounded-broadcast map pass, the SemDeDup contract
-    cent = aug.filter(
-        (F.col("vec_id") % 31 == 0) & (F.col("vec_id") < 2048)
-    ).select(F.col("vec_id").alias("cell"), F.col("v").alias("center"))
-    return semdedup(aug, cent, id_col="vec_id", vec_col="v", threshold=0.95)
+    return semdedup_scaled(
+        aug, id_col="vec_id", vec_col="v", threshold=0.95, target_cell=128
+    )
 
 
 @query(

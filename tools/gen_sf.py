@@ -1,0 +1,162 @@
+"""Deterministic scale-factor replicator: sf0.1 -> sfN for scale-validation
+benchmarks (VERDICT r3 task #1).
+
+Scales the driver's synthetic tables by an integer multiplier K while
+preserving the WORKLOAD SHAPE, so sf0.1 -> sf1 wall-time ratios measure the
+engine, not an artifact of the generator:
+
+- ``region``/``nation`` stay fixed (TPC-H semantics: dims of constant size).
+- Fact/dim tables replicate K times with per-replica KEY STRIDES; foreign
+  keys shift by the same stride, so every join stays within its replica and
+  per-key join degrees / group sizes match the base exactly.
+- ``documents``: each replica substitutes every 5th word with a
+  replica-specific token. Replicas are NOT near-dups of the base (3-shingle
+  Jaccard vs base ~0.34, below dedup thresholds), while base near-dup pairs
+  stay near-dups WITHIN each replica (substitution positions are
+  doc-independent) — near-dup density scales linearly, as in an organic
+  corpus, instead of every doc acquiring K-1 planted copies (which would
+  blow LSH buckets up quadratically and measure the generator, not the
+  engine).
+- ``embeddings``: each replica cyclically rotates the vector by
+  r*dim//K positions. Rotations of high-dim pseudo-random vectors are
+  near-orthogonal to the base (replicas aren't near-dups), norms are
+  preserved, and intra-replica geometry is EXACTLY the base geometry
+  (rotation is an isometry), so planted near-dup structure scales linearly.
+
+Everything is a pure function of (base bytes, K) — no RNG, no timestamps —
+so reruns are byte-identical and comparisons across rounds are meaningful.
+
+Usage: python tools/gen_sf.py [--base /root/testdata/sf0.1] [--k 10]
+                              [--out /root/repo/.scale/sf1]
+Writes one parquet file per table (row-group size 128k so Spark still
+parallelizes single-file scans).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import duckdb
+
+# per-table id strides: replica r adds r*stride to the table's own key and
+# to every foreign key referencing it. Strides clear the base key range by
+# >6x so replica id spaces never collide; the embeddings stride also clears
+# the +200_000*j id range the planted-ANN query corpus synthesizes.
+STRIDES = {
+    "customer": 100_000,
+    "supplier": 10_000,
+    "part": 100_000,
+    "orders": 1_000_000,
+    "events_id": 1_000_000,
+    "events_user": 1_000_000,
+    "documents": 100_000,
+    "embeddings": 10_000_000,
+}
+
+COPY_OPTS = "(FORMAT PARQUET, ROW_GROUP_SIZE 131072)"
+
+
+def _replicated(con: duckdb.DuckDBPyConnection, base: str, table: str,
+                k: int, select_r: str) -> str:
+    """SQL for K replicas of ``table``, with ``select_r`` projecting the
+    per-replica row (r = replica index, 0 = identity)."""
+    return f"""
+        SELECT {select_r}
+        FROM read_parquet('{base}/{table}.parquet'),
+             (SELECT unnest(range({k})) AS r) reps
+    """
+
+
+def generate(base: str, out: str, k: int) -> None:
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    S = STRIDES
+
+    def copy(table: str, sql: str) -> None:
+        con.sql(f"COPY ({sql}) TO '{out}/{table}.parquet' {COPY_OPTS}")
+        n = con.sql(
+            f"SELECT count(*) FROM read_parquet('{out}/{table}.parquet')"
+        ).fetchone()[0]
+        print(f"  {table}: {n} rows")
+
+    for t in ("region", "nation"):
+        copy(t, f"SELECT * FROM read_parquet('{base}/{t}.parquet')")
+
+    copy("customer", _replicated(con, base, "customer", k, f"""
+        c_custkey + r * {S['customer']} AS c_custkey,
+        c_name, c_nationkey, c_acctbal, c_mktsegment"""))
+
+    copy("supplier", _replicated(con, base, "supplier", k, f"""
+        s_suppkey + r * {S['supplier']} AS s_suppkey,
+        s_name, s_nationkey, s_acctbal"""))
+
+    copy("part", _replicated(con, base, "part", k, f"""
+        p_partkey + r * {S['part']} AS p_partkey,
+        p_name, p_brand, p_type, p_size, p_retailprice"""))
+
+    copy("orders", _replicated(con, base, "orders", k, f"""
+        o_orderkey + r * {S['orders']} AS o_orderkey,
+        o_custkey + r * {S['customer']} AS o_custkey,
+        o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"""))
+
+    copy("lineitem", _replicated(con, base, "lineitem", k, f"""
+        l_orderkey + r * {S['orders']} AS l_orderkey,
+        l_partkey + r * {S['part']} AS l_partkey,
+        l_suppkey + r * {S['supplier']} AS l_suppkey,
+        l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+        l_returnflag, l_linestatus, l_shipdate"""))
+
+    copy("events", _replicated(con, base, "events", k, f"""
+        event_id + r * {S['events_id']} AS event_id,
+        ts,
+        user_id + r * {S['events_user']} AS user_id,
+        event_type, value, props"""))
+
+    # documents: substitute every 5th word with a (replica, position) token;
+    # positions are doc-independent so intra-replica near-dup pairs survive
+    copy("documents", _replicated(con, base, "documents", k, f"""
+        doc_id + r * {S['documents']} AS doc_id,
+        CASE WHEN r = 0 THEN text ELSE array_to_string(
+            list_transform(
+                list_zip(split(text, ' '),
+                         range(1, len(split(text, ' ')) + 1)),
+                z -> CASE WHEN z[2] % 5 = 0
+                     THEN 'w' || r::VARCHAR || 'q' || (z[2] // 5)::VARCHAR
+                     ELSE z[1] END),
+            ' ') END AS text,
+        lang, source,
+        CASE WHEN r = 0 THEN n_chars ELSE NULL END AS n_chars"""))
+    # recompute n_chars for perturbed replicas (base rows keep theirs)
+    con.sql(f"""
+        COPY (SELECT doc_id,
+                     text,
+                     lang, source,
+                     coalesce(n_chars, length(text)) AS n_chars
+              FROM read_parquet('{out}/documents.parquet'))
+        TO '{out}/documents.parquet' {COPY_OPTS}
+    """)
+
+    # embeddings: per-replica cyclic rotation (isometry; replicas
+    # near-orthogonal to base for pseudo-random vectors)
+    copy("embeddings", _replicated(con, base, "embeddings", k, f"""
+        vec_id + r * {S['embeddings']} AS vec_id,
+        CASE WHEN r = 0 THEN embedding ELSE list_concat(
+            embedding[1 + ((r * len(embedding)) // {k}):],
+            embedding[:((r * len(embedding)) // {k})]
+        )::FLOAT[] END AS embedding,
+        label"""))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--out", default="/root/repo/.scale/sf1")
+    args = ap.parse_args()
+    print(f"replicating {args.base} x{args.k} -> {args.out}")
+    generate(args.base, args.out, args.k)
+
+
+if __name__ == "__main__":
+    main()
