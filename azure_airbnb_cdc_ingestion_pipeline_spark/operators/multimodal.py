@@ -182,36 +182,85 @@ DECODED_SCHEMA = T.StructType(
     ]
 )
 
+#: decode_features(on_error="quarantine") schema: features + a per-row
+#: error column (NULL for successfully decoded rows).
+DECODED_Q_SCHEMA = T.StructType(
+    list(DECODED_SCHEMA.fields) + [T.StructField("error", T.StringType())]
+)
 
-def decode_features(media: DataFrame, fake: bool = False) -> DataFrame:
+_NULL_FEATURES: dict[str, Any] = {
+    "width": None,
+    "height": None,
+    "channels": None,
+    "duration_ms": None,
+    "mean_intensity": None,
+}
+
+
+def decode_features(
+    media: DataFrame, fake: bool = False, on_error: str = "raise"
+) -> DataFrame:
     """Per-item decode via mapInPandas: each row decoded with the codec
     for ITS meta.mime (real stdlib codecs for image/png and audio/wav;
     `fake=True` for formats without one). The plan is a narrow map over
-    the scan — payloads never shuffle; only the small feature rows do."""
+    the scan — payloads never shuffle; only the small feature rows do.
+
+    ``on_error='quarantine'`` mirrors the reference's rejected-rows side
+    channel (/root/reference/dataflow/BookingDataTransformation.json:31-34)
+    at the media layer: a corrupt or unsupported payload becomes a row
+    with NULL features and a non-null ``error`` column instead of failing
+    the whole task — at 100 TB one truncated JPEG must not kill a
+    multi-hour stage. Catches the codec contract errors only (ValueError
+    for malformed payloads, NotImplementedError for formats without a
+    codec); genuine bugs still raise. Pair with
+    :func:`split_quarantine` for the two-stream shape."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be raise|quarantine, got {on_error!r}")
+    quarantine = on_error == "quarantine"
+
+    def _decode_row(b, m) -> dict[str, Any]:
+        if not quarantine:
+            return {**decode_media(b, m, fake=fake), "error": None}
+        try:
+            return {**decode_media(b, m, fake=fake), "error": None}
+        except (ValueError, NotImplementedError) as e:
+            return {**_NULL_FEATURES, "error": f"{type(e).__name__}: {e}"}
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                decode_media(b, m, fake=fake)
-                for b, m in zip(pdf["payload"], pdf["mime"])
+                _decode_row(b, m) for b, m in zip(pdf["payload"], pdf["mime"])
             ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "width": pd.array([r["width"] for r in rows], dtype="Int32"),
-                    "height": pd.array([r["height"] for r in rows], dtype="Int32"),
-                    "channels": pd.array(
-                        [r["channels"] for r in rows], dtype="Int32"
-                    ),
-                    "duration_ms": pd.array(
-                        [r["duration_ms"] for r in rows], dtype="Int64"
-                    ),
-                    "mean_intensity": [r["mean_intensity"] for r in rows],
-                }
-            )
+            out = {
+                "media_id": pdf["media_id"],
+                "width": pd.array([r["width"] for r in rows], dtype="Int32"),
+                "height": pd.array([r["height"] for r in rows], dtype="Int32"),
+                "channels": pd.array(
+                    [r["channels"] for r in rows], dtype="Int32"
+                ),
+                "duration_ms": pd.array(
+                    [r["duration_ms"] for r in rows], dtype="Int64"
+                ),
+                "mean_intensity": [r["mean_intensity"] for r in rows],
+            }
+            if quarantine:
+                out["error"] = [r["error"] for r in rows]
+            yield pd.DataFrame(out)
 
     slim = media.select("media_id", "payload", F.col("meta.mime").alias("mime"))
-    return slim.mapInPandas(_decode, DECODED_SCHEMA)
+    return slim.mapInPandas(
+        _decode, DECODED_Q_SCHEMA if quarantine else DECODED_SCHEMA
+    )
+
+
+def split_quarantine(decoded: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantined) from a ``decode_features(on_error='quarantine')``
+    frame — the media-layer analog of the reference's conditional-split →
+    rejected-rows sink (SURVEY §2 S9): good rows drop the error column,
+    quarantined rows keep it for the side-channel sink."""
+    good = decoded.filter(F.col("error").isNull()).drop("error")
+    bad = decoded.filter(F.col("error").isNotNull())
+    return good, bad
 
 
 def sample_frames(

@@ -58,9 +58,21 @@ def process_booking_batch(
     partitioned: bool = True,
     incremental_gold: bool = False,
     event_time_wins: bool = False,
+    app_id: str | None = None,
+    batch_id: int | None = None,
 ) -> None:
     """One micro-batch: quarantine bad rows, MERGE good rows into the fact
     (latest-per-booking_id wins), then refresh gold if a dim is wired.
+
+    ``app_id``+``batch_id`` (set by the streaming entry) arm the
+    per-table idempotent batch guard: each sink commit atomically records
+    (app_id, batch_id) in its pointer (ParquetTable txn markers), and a
+    REPLAYED batch — foreachBatch died after some sinks committed but
+    before the checkpoint commit — skips every sink that already recorded
+    this batch. Without the guard the keyed MERGE is naturally idempotent
+    but the quarantine APPEND is not (a replay would duplicate rejected
+    rows), and the incremental-gold delta would be computed from an
+    already-merged before-image.
 
     `event_time_wins=True` switches the merge's matched-row conflict rule
     from arrival order (the reference's alter-row behavior) to max event
@@ -87,9 +99,19 @@ def process_booking_batch(
         _process_transformed(
             derived, rejected, fact, quarantine, dim, gold,
             partitioned, incremental_gold, event_time_wins,
+            app_id=app_id, batch_id=batch_id,
         )
     finally:
         batch.unpersist()
+
+
+def _already_applied(table: ParquetTable, app_id, batch_id) -> bool:
+    """True when ``table`` has already committed this (app, batch) — the
+    replay-detection half of the idempotent batch guard."""
+    if app_id is None or batch_id is None or not table.exists():
+        return False
+    last = table.last_txn(app_id)
+    return last is not None and last >= batch_id
 
 
 def _process_transformed(
@@ -102,11 +124,24 @@ def _process_transformed(
     partitioned: bool,
     incremental_gold: bool,
     event_time_wins: bool = False,
+    app_id: str | None = None,
+    batch_id: int | None = None,
 ) -> None:
     from ..operators.merge import latest_per_key
 
+    txn = (app_id, batch_id) if app_id is not None and batch_id is not None \
+        else None
     if not rejected.isEmpty():
-        quarantine.append(rejected)  # O(batch), not read-union-rewrite
+        if not _already_applied(quarantine, app_id, batch_id):
+            # O(batch) append, NOT idempotent on its own — the txn marker
+            # (committed atomically with the append) is what makes a
+            # replayed batch skip it instead of duplicating rejected rows
+            quarantine.append(rejected, txn=txn)
+            # append-per-batch accumulates one file per trigger forever;
+            # the size-triggered compaction keeps the live file count
+            # saw-toothing below the trigger instead (steady-state bound)
+            quarantine.maybe_compact(trigger_files=64)
+    fact_replayed = _already_applied(fact, app_id, batch_id)
     maintain_incrementally = (
         incremental_gold and dim is not None and gold is not None and gold.exists()
     )
@@ -114,9 +149,19 @@ def _process_transformed(
         # before-image: current fact rows for the batch's keys, snapshotted
         # against the pre-merge table version (version dirs are immutable,
         # and _vacuum(keep=2) retains it across the one merge commit that
-        # lands before this plan materializes in gold.overwrite below)
+        # lands before this plan materializes in gold.overwrite below).
+        # On a REPLAY whose fact merge already committed, "current" would
+        # be the post-merge state (delta ≈ 0 → gold stuck stale), so read
+        # the pre-merge snapshot the txn marker recorded instead.
         batch_latest = latest_per_key(derived, FACT_KEYS, FACT_ORDER)
-        before = fact.read().join(
+        fact_now = fact.read()
+        if fact_replayed:
+            from ..sources.tables import read_version
+
+            base_v = fact.last_txn_base(app_id)
+            if base_v:
+                fact_now = read_version(fact, base_v)
+        before = fact_now.join(
             F.broadcast(batch_latest.select(*FACT_KEYS).distinct()),
             on=FACT_KEYS,
             how="left_semi",
@@ -145,24 +190,29 @@ def _process_transformed(
         # no-op groups keep their rows; zero-count groups (possible only
         # with retraction-to-empty) are dropped
         new_gold = new_gold.filter(F.col("total_bookings") > 0)
-    if partitioned:
-        fact.upsert_pruned(
-            derived,
-            keys=FACT_KEYS,
-            partition_by=FACT_PARTITIONING,
-            order_by=FACT_ORDER,
-            event_time_wins=event_time_wins,
-        )
-    else:
-        fact.upsert(
-            derived, keys=FACT_KEYS, order_by=FACT_ORDER,
-            event_time_wins=event_time_wins,
-        )
-    if dim is not None and gold is not None:
-        if maintain_incrementally:
-            gold.overwrite(new_gold)
+    if not fact_replayed:
+        if partitioned:
+            fact.upsert_pruned(
+                derived,
+                keys=FACT_KEYS,
+                partition_by=FACT_PARTITIONING,
+                order_by=FACT_ORDER,
+                event_time_wins=event_time_wins,
+                txn=txn,
+            )
         else:
-            gold.overwrite(gold_booking_aggregation(fact.read(), dim))
+            fact.upsert(
+                derived, keys=FACT_KEYS, order_by=FACT_ORDER,
+                event_time_wins=event_time_wins, txn=txn,
+            )
+    if dim is not None and gold is not None:
+        if not _already_applied(gold, app_id, batch_id):
+            if maintain_incrementally:
+                gold.overwrite(new_gold, txn=txn)
+            else:
+                gold.overwrite(
+                    gold_booking_aggregation(fact.read(), dim), txn=txn
+                )
 
 
 def load_booking_fact_stream(
@@ -190,10 +240,15 @@ def load_booking_fact_stream(
         max_files_per_trigger=max_files_per_trigger,
     )
 
-    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+    # stable per (pipeline, checkpoint): the batch-id sequence is scoped to
+    # the checkpoint, so the idempotency marker must be too
+    app_id = f"booking_fact:{checkpoint_dir}"
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
         process_booking_batch(
             batch_df, fact, quarantine, dim=dim, gold=gold,
             partitioned=partitioned, event_time_wins=event_time_wins,
+            app_id=app_id, batch_id=batch_id,
         )
 
     q = run_foreach_batch_merge(

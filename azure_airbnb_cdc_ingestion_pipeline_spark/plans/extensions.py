@@ -932,6 +932,73 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media)
 
 
+@query(
+    "multimodal_quarantine",
+    # The synthesized corpus is a pure function of doc_id: every 5th doc
+    # carries a CORRUPT payload (raw text bytes labeled audio/wav), the
+    # rest carry real silent PCM WAVs whose channel count / duration are
+    # doc_id formulas — so DuckDB can predict the whole decode-or-
+    # quarantine outcome analytically, including the exact error string
+    # the wav codec raises for a bad RIFF header.
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 5 = 0 THEN NULL
+                ELSE CAST(1 + doc_id % 2 AS INTEGER) END AS channels,
+           CASE WHEN doc_id % 5 = 0 THEN NULL
+                ELSE 10 + doc_id % 40 END AS duration_ms,
+           CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 0.0 END AS mean_intensity,
+           CASE WHEN doc_id % 5 = 0
+                THEN 'ValueError: not a WAV payload (bad RIFF header)'
+                END AS error
+    FROM documents
+    """,
+)
+def q_multimodal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-media quarantine channel (VERDICT r3 task #2): decode a
+    mixed good/corrupt media corpus with ``on_error='quarantine'`` — good
+    rows yield real decoded WAV features (stdlib codec), corrupt rows
+    divert to the error side channel instead of failing the Arrow task.
+    Payload synthesis and decode are both narrow mapInPandas passes —
+    payload bytes never shuffle."""
+    import pandas as _pd
+
+    from ..functions.codecs import encode_wav
+    from ..operators.multimodal import decode_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if did % 5 == 0:
+                    payloads.append((text or "").encode("utf-8"))
+                else:
+                    ch = int(1 + did % 2)
+                    n_frames = 8 * (10 + int(did) % 40)  # rate 8000 → ms
+                    payloads.append(
+                        encode_wav([0] * (n_frames * ch), channels=ch)
+                    )
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(_synth, "media_id long, payload binary").select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.lit("synth").alias("source"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return decode_features(media, on_error="quarantine").select(
+        "media_id", "channels", "duration_ms", "mean_intensity", "error"
+    )
+
+
 # ---------------------------------------------------------------------------
 # semi-structured (events.props JSON)
 # ---------------------------------------------------------------------------
@@ -1365,6 +1432,58 @@ def q_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(180)
     return spark.table(qname)
+
+
+@query(
+    "stream_tumbling_coverage",
+    # Invariant oracle (kmeans_coverage pattern, VERDICT r3 task #8): the
+    # tumbling windows themselves are streaming-only, but a correct run
+    # must place EVERY event in exactly one window — so per-event_type
+    # totals summed across windows must equal the exact batch counts.
+    # Window-boundary values are deliberately NOT part of the invariant
+    # (they depend on the session timezone for LTZ event time); the
+    # coverage sum is timezone-free.
+    oracle="""
+    SELECT event_type, count(*) AS n_events, TRUE AS complete
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_tumbling_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage gate over the tumbling-window stream: per-type totals
+    across all emitted windows, certified against exact batch counts —
+    proves the watermarked windowed agg neither dropped nor duplicated
+    any event across window boundaries."""
+    out = q_stream_window_tumbling(spark, sf_dir)
+    return (
+        out.groupBy("event_type")
+        .agg(F.sum("n_events").alias("n_events"))
+        .withColumn("complete", F.lit(True))
+    )
+
+
+@query(
+    "stateful_totals_coverage",
+    # Invariant oracle: the per-user running accumulator's FINAL state
+    # (the update row with the highest n_events per user — the running
+    # count is strictly monotone) must equal the plain batch aggregate.
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(coalesce(value, 0.0)), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stateful_totals_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage gate over the custom stateful accumulator: the final
+    emitted state per user (max running count across update rows) equals
+    the batch groupBy sum — certifies applyInPandasWithState saw every
+    event exactly once and carried state across micro-batches."""
+    from ..operators.windows import topk_per_group
+
+    out = q_stateful_running(spark, sf_dir)
+    final = topk_per_group(out, ["user_id"], ["n_events"], k=1, descending=True)
+    return final.select(
+        "user_id", "n_events", F.round("total_value", 2).alias("total_value")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4318,4 +4437,196 @@ def q_sql_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
+    )
+
+
+@query(
+    "sql_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-07-01'
+      AND o_orderdate <  DATE '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_sql_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): EXISTS decorrelates to a
+    LEFT SEMI join on the order key with a cross-side residual (the
+    late-shipment predicate compares columns from BOTH sides — the
+    synthetic schema has no commit/receipt dates, so 'late' is shipdate
+    more than 60 days after orderdate). The quarter filter pushes to the
+    orders scan; the semi-join emits each order at most once, so no
+    post-join dedup is needed; the 5-group count aggregates map-side."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = (li.l_orderkey == orders.o_orderkey) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "sql_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_sql_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join so zero-order customers survive into the c_count = 0 bucket
+    (count(o_orderkey) counts NON-NULL keys — the outer-agg null-group
+    semantics this query exists to exercise), with the exclusion filter
+    on the JOIN condition, not a WHERE (a WHERE would turn the outer join
+    inner and silently drop the zero bucket; the synthetic schema has no
+    o_comment, so urgent-priority orders stand in for 'special
+    requests'). Plan: the join shuffles both sides on the customer key
+    and the first agg REUSES that partitioning (no second exchange —
+    groupBy key == join key); the distribution re-agg is 2 columns wide
+    and tiny."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "sql_large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_totalprice, sum(l_quantity) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING sum(l_quantity) > 250)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q_sql_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): IN over an aggregated
+    subquery — the qualifying-order set (sum qty > 250, ~1% of orders)
+    comes from one map-side-combined agg over lineitem, then SEMI-joins
+    orders on the key (AQE broadcasts the filtered set while it's small;
+    at 100 TB it degrades gracefully to a keyed shuffle semi-join, never
+    a rescan). The re-join to lineitem for per-order totals reuses the
+    l_orderkey partitioning from the HAVING agg; top-100 by order value
+    is TakeOrderedAndProject."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "sql_part_supplier_chain",
+    oracle="""
+    SELECT s_name, s_suppkey, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3',
+                     'NATION_4')
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'red%')
+          AND l_shipdate >= DATE '1995-01-01'
+          AND l_shipdate <  DATE '1996-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > 40)
+    ORDER BY s_name, s_suppkey
+    """,
+)
+def q_sql_part_supplier_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested semi-join chain): part-name filter →
+    SEMI into the lineitem scan (broadcast — the 'red%' part set is a
+    bounded slice of a dim), per-(supplier, part) volume HAVING →
+    SEMI into supplier → broadcast nation filter. Both semis keep each
+    stage's output a set (no duplicate suppliers to dedup later); the
+    only wide shuffle is the (l_suppkey, l_partkey) agg, keyed on a
+    2-column composite that scales with the fact table. The synthetic
+    schema has no partsupp/availqty, so the inner correlate is
+    'shipped > 40 units of one red part in 1995'."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*[f"NATION_{i}" for i in range(5)])
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+    )
+    qualifying = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(qualifying, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_name", "s_suppkey", "n_name")
+        .orderBy("s_name", "s_suppkey")
     )

@@ -12,6 +12,7 @@ hand-tuning.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -95,6 +96,14 @@ def release_persisted() -> int:
     return n
 
 
+#: memo for fan_out's partition probe — the ``df.rdd`` conversion is
+#: analysis-only (no job) but rebuilds the RDD-side plan each call; a hot
+#: loop re-probing the same frame pays it repeatedly (VERDICT r3 watch-item
+#: b). Weak keys: entries die with their DataFrame, and a re-created frame
+#: is a new key, so the memo can never serve a stale count.
+_fanout_probe_cache: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
 def fan_out(df, min_factor: int = 2):
     """Spread a compute-heavy frame across the session's parallelism when
     the scan yielded too few partitions (tiny file / single parquet row
@@ -104,6 +113,13 @@ def fan_out(df, min_factor: int = 2):
     tables scan as many splits, so this guards exactly the small-input
     edge where the shuffle it introduces is by construction cheap."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * min_factor <= target:
+    n = _fanout_probe_cache.get(df)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        try:
+            _fanout_probe_cache[df] = n
+        except TypeError:  # unhashable/no-weakref frame — just skip memo
+            pass
+    if n * min_factor <= target:
         return df.repartition(target)
     return df

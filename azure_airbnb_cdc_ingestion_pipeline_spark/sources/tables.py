@@ -61,11 +61,40 @@ class ParquetTable:
         return os.path.join(self.root, _POINTER)
 
     def current_version(self) -> int | None:
+        return self._read_pointer()[0]
+
+    def _read_pointer(self) -> tuple[int | None, dict]:
+        """(version, txn map) from the commit pointer. Line 1 is the
+        version number; optional line 2 is a JSON map of streaming
+        transaction markers {app_id: {"batch": n, "base": v}} — riding the
+        pointer file makes the marker ATOMIC with the commit it describes
+        (the Delta txnAppId/txnVersion idempotency contract: a foreachBatch
+        writer that dies between data commit and checkpoint commit replays
+        the batch, and the marker tells the sink it already applied it)."""
+        import json as _json
+
         try:
             with open(self._pointer_path()) as f:
-                return int(f.read().strip())
-        except (FileNotFoundError, ValueError):
-            return None
+                lines = f.read().splitlines()
+            v = int(lines[0].strip())
+            txns = _json.loads(lines[1]) if len(lines) > 1 and lines[1] else {}
+            return v, txns
+        except (FileNotFoundError, ValueError, IndexError):
+            return None, {}
+
+    def last_txn(self, app_id: str) -> int | None:
+        """Highest batch id this app committed to THIS table (None if the
+        app never wrote here). A replayed foreachBatch with batch_id ≤
+        last_txn(app) must skip its non-idempotent writes."""
+        t = self._read_pointer()[1].get(app_id)
+        return t["batch"] if t else None
+
+    def last_txn_base(self, app_id: str) -> int | None:
+        """Snapshot version the last txn of ``app_id`` was computed FROM —
+        the pre-merge before-image a replayed incremental-gold delta needs
+        (the version survives one further commit under _vacuum(keep=2))."""
+        t = self._read_pointer()[1].get(app_id)
+        return t["base"] if t else None
 
     def _version_dir(self, v: int) -> str:
         return os.path.join(self.root, f"v{v:06d}")
@@ -90,7 +119,12 @@ class ParquetTable:
         return reader.parquet(self._version_dir(v))
 
     # -- writes --------------------------------------------------------------
-    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """Atomic full overwrite: parallel parquet write of v_{n+1}, then a
         POSIX-atomic pointer rename (the commit). Old versions are pruned
         lazily, never the one being read. A blind overwrite doesn't depend
@@ -106,7 +140,7 @@ class ParquetTable:
         writer.parquet(target)
         if partition_by:
             self._write_table_meta(target, partition_by)
-        self._commit(v)
+        self._commit(v, txn=txn)
         return v
 
     _META = "_table_meta.json"
@@ -143,7 +177,12 @@ class ParquetTable:
             except FileExistsError:
                 v += 1
 
-    def _commit(self, v: int, expected_base: int | None = None) -> None:
+    def _commit(
+        self,
+        v: int,
+        expected_base: int | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> None:
         """Write pointer to a temp file, atomic-rename over _CURRENT — the
         POSIX-atomic commit point — then prune old versions.
 
@@ -152,7 +191,12 @@ class ParquetTable:
         past the snapshot this write was computed from, the orphan version
         is deleted and ConcurrentWriteError raised — failing LOUDLY instead
         of silently dropping the winner's rows. (Same optimistic-concurrency
-        contract as a Delta/Iceberg commit conflict.)"""
+        contract as a Delta/Iceberg commit conflict.)
+
+        ``txn=(app_id, batch_id)`` records a streaming idempotency marker
+        in the SAME atomic rename (see _read_pointer): there is no crash
+        window in which the data is committed but the marker is not, or
+        vice versa. Markers from other apps carry forward unchanged."""
         if expected_base is not None:
             cur = self.current_version() or 0
             if cur != expected_base:
@@ -166,9 +210,16 @@ class ParquetTable:
                     f"v{cur} is now committed; recompute the merge from the "
                     "current snapshot and retry"
                 )
+        import json as _json
+
+        base_v, txns = self._read_pointer()
+        if txn is not None:
+            app, bid = txn
+            txns = {**txns, str(app): {"batch": int(bid), "base": base_v or 0}}
+        content = str(v) if not txns else f"{v}\n{_json.dumps(txns)}"
         fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._ptr")
         with os.fdopen(fd, "w") as f:
-            f.write(str(v))
+            f.write(content)
         os.replace(tmp, self._pointer_path())
         self._vacuum(keep=2)
 
@@ -192,6 +243,7 @@ class ParquetTable:
         order_by: list[str] | None = None,
         partition_by: list[str] | None = None,
         event_time_wins: bool = False,
+        txn: tuple[str, int] | None = None,
     ) -> None:
         """Keyed insert-or-update (MERGE). Creates the table if absent.
 
@@ -213,14 +265,14 @@ class ParquetTable:
         if parts:
             self.upsert_pruned(
                 source, keys, parts, order_by=order_by,
-                event_time_wins=event_time_wins,
+                event_time_wins=event_time_wins, txn=txn,
             )
             return
         if not self.exists():
             first = (
                 latest_per_key(source, keys, order_by) if order_by else source
             )
-            self.overwrite(first)
+            self.overwrite(first, txn=txn)
             return
         log.warning(
             "upsert on unpartitioned table %s rewrites the full table per "
@@ -234,7 +286,7 @@ class ParquetTable:
             event_time_wins=event_time_wins,
         )
         merged.write.mode("overwrite").parquet(self._version_dir(v))
-        self._commit(v, expected_base=base)
+        self._commit(v, expected_base=base, txn=txn)
 
     def _partition_columns(self) -> list[str]:
         """Partition columns of the current version: the metadata sidecar
@@ -284,20 +336,22 @@ class ParquetTable:
                 if f.endswith(".parquet"):
                     os.link(os.path.join(dirpath, f), os.path.join(tgt, f))
 
-    def append(self, df: DataFrame) -> None:
+    def append(
+        self, df: DataFrame, txn: tuple[str, int] | None = None
+    ) -> None:
         """O(batch) append: write only the new rows, hardlink the previous
         version's files alongside them, swap the pointer. Replaces
         read-union-rewrite (which is O(table) per batch and quadratic over
         a stream's lifetime). File names carry write-UUIDs, so links and
         fresh files never collide."""
         if not self.exists():
-            self.overwrite(df)
+            self.overwrite(df, txn=txn)
             return
         base, v = self._claim_version()
         target = self._version_dir(v)
         df.write.mode("overwrite").parquet(target)
         self._link_tree(self._version_dir(base), target)
-        self._commit(v, expected_base=base)
+        self._commit(v, expected_base=base, txn=txn)
 
     # Above this many touched partition combos, pruned writes abandon the
     # OR-predicate (static pruning) for a broadcast semi-join (bounded plan).
@@ -343,6 +397,7 @@ class ParquetTable:
         partition_by: list[str],
         order_by: list[str] | None = None,
         event_time_wins: bool = False,
+        txn: tuple[str, int] | None = None,
     ) -> None:
         """Partition-pruned MERGE: rewrite ONLY the partitions the source
         batch touches; untouched partitions are hardlinked into the new
@@ -361,7 +416,7 @@ class ParquetTable:
 
         src = latest_per_key(source, keys, order_by)
         if not self.exists():
-            self.overwrite(src, partition_by=partition_by)
+            self.overwrite(src, partition_by=partition_by, txn=txn)
             return
 
         cur, new_v = self._claim_version()
@@ -390,7 +445,7 @@ class ParquetTable:
                     os.path.join(cur_dir, rel), os.path.join(target, rel)
                 )
         self._write_table_meta(target, partition_by)
-        self._commit(new_v, expected_base=cur)
+        self._commit(new_v, expected_base=cur, txn=txn)
 
     # -- DML (copy-on-write DELETE / UPDATE, the Delta analog) ---------------
 
@@ -786,6 +841,41 @@ class ParquetTable:
             )
         else:
             self.overwrite(df.repartition(n_files))
+
+    def live_file_count(self) -> int:
+        """Parquet files in the current version — an O(files) directory
+        walk, no data reads (the metric the compaction trigger watches)."""
+        v = self.current_version()
+        if v is None:
+            return 0
+        return sum(1 for _ in _iter_parquet_files(self._version_dir(v)))
+
+    def maybe_compact(
+        self,
+        trigger_files: int = 64,
+        target_rows_per_file: int = 1_000_000,
+        partition_by: list[str] | None = None,
+    ) -> bool:
+        """Steady-state compaction trigger: compact when the live file
+        count reaches ``trigger_files``, else no-op. Returns whether a
+        compaction ran.
+
+        The cadence this induces is SELF-BOUNDING for an append-per-batch
+        sink (e.g. the CDC quarantine, +1 file per micro-batch): the
+        count saw-tooths between ~target and ``trigger_files`` forever,
+        so scan task counts and footer overhead stay O(trigger) no matter
+        how many batches run. The probe is a directory walk — cheap
+        enough to call every batch. (The pruned fact merge does not need
+        it: each merge REWRITES its affected partitions, so its per-
+        partition file count resets to the writer's task count every
+        batch instead of accumulating.)"""
+        if self.live_file_count() < trigger_files:
+            return False
+        self.compact(
+            target_rows_per_file=target_rows_per_file,
+            partition_by=partition_by or (self._partition_columns() or None),
+        )
+        return True
 
 
 # --- time travel -----------------------------------------------------------

@@ -889,3 +889,52 @@ def test_semdedup_drops_planted_near_dups(spark, sf_dir):
     # base vectors without a planted twin and no natural near-dup survive
     kept = out.filter(F.col("keep")).count()
     assert kept >= out.count() - 2 * n_planted - 1
+
+
+def test_decode_quarantine_diverts_corrupt_media(spark):
+    """VERDICT r3 task #2: a corrupt payload (truncated JPEG, bogus WAV,
+    unsupported mime) must divert to the error side channel instead of
+    failing the Arrow task; good rows decode intact in the same batch."""
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.codecs import (
+        encode_png,
+        encode_wav,
+    )
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.multimodal import (
+        decode_features,
+        split_quarantine,
+    )
+
+    meta_t = ("struct<mime:string,source:string,width:int,height:int,"
+              "duration_ms:bigint>")
+
+    def m(mime):
+        return {"mime": mime, "source": "t", "width": None, "height": None,
+                "duration_ms": None}
+
+    good_png = encode_png(2, 2, 3, bytes(12))
+    good_wav = encode_wav([0] * 800, channels=1)
+    rows = [
+        (1, bytearray(good_png), m("image/png")),
+        (2, bytearray(good_wav), m("audio/wav")),
+        (3, bytearray(b"\xff\xd8\xff\xe0trunc"), m("image/jpeg")),  # truncated
+        (4, bytearray(b"not riff at all"), m("audio/wav")),         # bogus
+        (5, bytearray(good_png), m("application/x-unknown")),       # no codec
+    ]
+    media = spark.createDataFrame(
+        rows, f"media_id long, payload binary, meta {meta_t}"
+    )
+    decoded = decode_features(media, on_error="quarantine")
+    good, bad = split_quarantine(decoded)
+    got = {r.media_id: r for r in decoded.collect()}
+    assert got[1].error is None and (got[1].width, got[1].height) == (2, 2)
+    assert got[2].error is None and got[2].duration_ms == 100
+    assert got[3].error.startswith("ValueError")
+    assert got[4].error.startswith("ValueError")
+    assert got[5].error.startswith("NotImplementedError")
+    assert good.count() == 2 and "error" not in good.columns
+    assert bad.count() == 3
+    # default mode still raises (contract unchanged)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        decode_features(media, on_error="raise").collect()

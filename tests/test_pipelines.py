@@ -465,3 +465,80 @@ def test_event_time_wins_incremental_gold_stays_consistent(spark, tmp_path):
         for r in gold_booking_aggregation(fact.read(), dim).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_midbatch_crash_after_fact_merge_replays_exactly_once(spark, tmp_path):
+    """VERDICT r3 task #5: kill the foreachBatch AFTER the fact MERGE (and
+    the quarantine append) commit but BEFORE the gold/checkpoint commit,
+    restart, and assert no duplicate application — the per-table
+    (app, batch) txn markers must make the replay skip the already-
+    committed sinks (the quarantine APPEND is not naturally idempotent)
+    and still complete the missing gold commit."""
+    landing = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    wh = str(tmp_path / "wh")
+    write_booking_events_json(landing, n_files=2, n=200, n_keys=150)
+    fact = ParquetTable(spark, f"{wh}/fact")
+    quarantine = ParquetTable(spark, f"{wh}/rej")
+
+    class CrashingTable(ParquetTable):
+        crashes = 1
+
+        def overwrite(self, df, partition_by=None, txn=None):
+            if CrashingTable.crashes > 0:
+                CrashingTable.crashes -= 1
+                raise RuntimeError("injected crash before gold commit")
+            return super().overwrite(df, partition_by=partition_by, txn=txn)
+
+    gold = CrashingTable(spark, f"{wh}/gold")
+    dim = spark.createDataFrame(
+        [(i, f"Country{i % 5}") for i in range(1, 101)],
+        "customer_id int, country string",
+    )
+
+    events = gen_booking_events(n=200, n_keys=150)
+    bad = [e for e in events if e["check_out_date"] < e["check_in_date"]]
+    good_keys = {
+        e["booking_id"] for e in events
+        if e["check_out_date"] >= e["check_in_date"]
+    }
+
+    with pytest.raises(Exception):  # StreamingQueryException wraps the cause
+        load_booking_fact_stream(
+            spark, landing, fact, quarantine, ckpt, dim=dim, gold=gold
+        )
+    assert CrashingTable.crashes == 0, "injection never fired"
+    # the crash hit after fact+quarantine committed, before gold/checkpoint
+    assert not gold.exists()
+    fact_v = fact.current_version()
+    q_count = quarantine.read().count()
+    assert q_count == len(bad) > 0
+
+    # restart: the batch REPLAYS (checkpoint never committed), the guard
+    # must skip fact+quarantine (same version, no duplicate rows) and
+    # complete the gold commit
+    load_booking_fact_stream(
+        spark, landing, fact, quarantine, ckpt, dim=dim, gold=gold
+    )
+    assert quarantine.read().count() == q_count  # no duplicate appends
+    assert fact.current_version() == fact_v      # merge skipped, not redone
+    assert fact.read().count() == len(good_keys)
+    assert gold.exists()
+    # gold matches a from-scratch recompute over the final fact
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.aggregate import (
+        gold_booking_aggregation,
+    )
+
+    expect = {
+        (r.country, r.total_bookings)
+        for r in gold_booking_aggregation(fact.read(), dim).collect()
+    }
+    got = {(r.country, r.total_bookings) for r in gold.read().collect()}
+    assert got == expect
+
+    # a further drain with NO new files is a no-op on every sink
+    load_booking_fact_stream(
+        spark, landing, fact, quarantine, ckpt, dim=dim, gold=gold
+    )
+    assert quarantine.read().count() == q_count
+    assert fact.current_version() == fact_v

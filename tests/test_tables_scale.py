@@ -695,3 +695,42 @@ def test_update_where_after_delete_all_stays_readable(spark, tmp_path):
         order_by=None,
     )
     assert t.read().count() == 4
+
+
+def test_file_count_bounded_over_200_microbatches(spark, tmp_path):
+    """VERDICT r3 task #6: ~200 micro-batch commits must leave the live
+    file count BOUNDED (compaction cadence), not linear in batch count.
+    Covers the append-per-batch sink (the growth case: +1 file per batch
+    → maybe_compact saw-tooth) and the pruned merge (self-bounding: each
+    merge rewrites its affected partitions)."""
+    t = ParquetTable(spark, str(tmp_path / "append_sink"))
+    one = spark.range(1).select(F.col("id").alias("k"))
+    peak = 0
+    for i in range(200):
+        t.append(one.withColumn("k", F.col("k") + i))
+        t.maybe_compact(trigger_files=24)
+        peak = max(peak, t.live_file_count())
+    assert t.read().count() == 200          # no rows lost across compactions
+    assert peak <= 24 + 4                   # saw-tooth never exceeds trigger+slack
+    assert t.live_file_count() <= 24 + 4
+
+    # pruned merge: file count resets per merge instead of accumulating
+    m = ParquetTable(spark, str(tmp_path / "fact"))
+    base = spark.range(40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("pm"),
+        F.col("id").cast("double").alias("v"),
+    )
+    m.overwrite(base, partition_by=["pm"])
+    counts = []
+    for i in range(30):
+        batch = spark.range(2).select(
+            (F.col("id") + (i % 20)).alias("k"),
+            ((F.col("id") + (i % 20)) % 4).cast("int").alias("pm"),
+            F.lit(float(i)).alias("v"),
+        )
+        m.upsert_pruned(batch, keys=["k"], partition_by=["pm"])
+        counts.append(m.live_file_count())
+    assert max(counts) <= max(counts[:5]) + 8, (
+        f"pruned-merge file count drifted upward: {counts}"
+    )
