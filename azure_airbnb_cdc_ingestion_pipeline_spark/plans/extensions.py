@@ -2305,7 +2305,24 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_stream_join")  # dual-stream watermarked join — rows-only
+@query(
+    "stream_stream_join",
+    # The availableNow drain reads the single source file in ONE
+    # micro-batch, so no state is evicted mid-drain and the inner-join
+    # output is exactly the batch interval join — an exact oracle (the
+    # watermark bounds only matter for long-running multi-batch streams,
+    # covered by the state-eviction pytest).
+    oracle="""
+    SELECT c.user_id AS c_user, c.event_id AS click_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1' HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream inner join: clicks ⋈ purchases per user
     within 1 hour — the canonical two-stream correlation Spark executes
@@ -3012,7 +3029,41 @@ def q_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_window_session")  # streaming session windows — rows-only
+@query(
+    "stream_window_session",
+    # Append-mode session windows emit exactly the sessions the FINAL
+    # watermark (max event time − 1 day, advanced by the trailing
+    # no-data batch) has passed — a deterministic function of the input,
+    # so the oracle recomputes gaps-and-islands sessionization and keeps
+    # the closed ones. Sessions in the last day stay open and unemitted
+    # in BOTH formulations.
+    oracle="""
+    WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value,
+                      event_id
+               FROM events),
+    wm AS (SELECT max(ts) - INTERVAL '1' DAY AS w FROM e),
+    m AS (SELECT *,
+            CASE WHEN lag(ts) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id) IS NULL THEN 1
+                 WHEN ts - lag(ts) OVER (PARTITION BY event_type
+                                         ORDER BY ts, event_id)
+                      > INTERVAL '30' MINUTE THEN 1
+                 ELSE 0 END AS brk
+          FROM e),
+    s AS (SELECT *, sum(brk) OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m),
+    sess AS (SELECT event_type,
+                    min(ts) AS session_start,
+                    max(ts) + INTERVAL '30' MINUTE AS session_end,
+                    count(*) AS n_events,
+                    round(sum(value), 2) AS total_value
+             FROM s GROUP BY event_type, sid)
+    SELECT event_type, session_start, session_end, n_events, total_value
+    FROM sess, wm WHERE session_end < w
+    """,
+)
 def q_stream_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows on a STREAM: per-event-type sessions that close
     after a 30-minute silence gap, emitted in append mode once the
@@ -3301,7 +3352,18 @@ def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_static_enrich")  # stream⋈static broadcast join — rows-only
+@query(
+    "stream_static_enrich",
+    # A full availableNow drain of a STATELESS stream-static inner join
+    # is value-for-value the batch join — upgraded from rows-only to an
+    # exact oracle (VERDICT r3 task #8 spirit: fold rows-only keys into
+    # oracles where expressible).
+    oracle="""
+    SELECT event_id, e.user_id AS user_id, event_type, value,
+           c_mktsegment, c_nationkey
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
 def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: the event stream joins a STATIC
     dimension snapshot (per-user aggregate profile) — the canonical
@@ -4629,4 +4691,179 @@ def q_sql_part_supplier_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select("s_name", "s_suppkey", "n_name")
         .orderBy("s_name", "s_suppkey")
+    )
+
+
+@query(
+    "sql_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             round(min(l_extendedprice / l_quantity), 2) AS unit_price
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey),
+    best AS (
+      SELECT l_partkey, l_suppkey, unit_price,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY unit_price ASC, l_suppkey ASC) AS rn
+      FROM offers)
+    SELECT p_partkey, p_name, s_suppkey, s_name, unit_price
+    FROM part
+    JOIN best ON p_partkey = l_partkey AND rn = 1
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size < 15 AND p_type = 'SMALL'
+    ORDER BY p_partkey
+    """,
+)
+def q_sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated MIN subquery
+    ('the supplier whose unit price equals the per-part minimum')
+    decorrelates into one (part, supplier) agg + an argmin-per-part window
+    — no per-part rescan, and the per-part top-1 is one keyed shuffle.
+    Unit prices round to 2 dp BEFORE the argmin so Spark and the oracle
+    agree on float ties (deterministic s_suppkey tie-break after that).
+    The part dim filter broadcasts; the synthetic schema has no partsupp,
+    so lineitem plays the supply-offer relation."""
+    from ..operators.windows import topk_per_group
+
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 15) & (F.col("p_type") == "SMALL")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2
+        ).alias("unit_price")
+    )
+    best = topk_per_group(
+        offers,
+        ["l_partkey"],
+        [-F.col("unit_price"), -F.col("l_suppkey")],
+        k=1,
+        descending=True,  # descending over negated cols = asc, nulls safe
+    )
+    return (
+        F.broadcast(part)
+        .join(best, part.p_partkey == best.l_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "unit_price")
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "sql_important_parts",
+    oracle="""
+    SELECT l_partkey, round(sum(l_extendedprice), 2) AS value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice) > (SELECT sum(l_extendedprice) * 0.0005
+                                   FROM lineitem)
+    ORDER BY value DESC, l_partkey ASC
+    LIMIT 50
+    """,
+)
+def q_sql_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): HAVING against a GLOBAL scalar —
+    the total-value subquery reduces to one broadcast scalar frame
+    cross-joined onto the per-part agg (two aggs over one scan shape, no
+    rescan-per-group); top-50 is TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("raw_value")
+    )
+    total = li.agg((F.sum("l_extendedprice") * 0.0005).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("raw_value") > F.col("threshold"))
+        .select(
+            "l_partkey", F.round("raw_value", 2).alias("value")
+        )
+        .orderBy(F.col("value").desc(), F.col("l_partkey").asc())
+        .limit(50)
+    )
+
+
+@query(
+    "sql_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q_sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): argmax-of-aggregate via scalar
+    subquery — per-supplier revenue agg once, global max as a broadcast
+    scalar, equality filter (on the 2-dp-rounded value both engines
+    computed identically) instead of a global sort."""
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "sql_parts_supplier_count",
+    oracle="""
+    SELECT p_brand, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC
+    """,
+)
+def q_sql_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): NOT IN over a
+    subquery → broadcast LEFT ANTI join (the excluded-supplier set is a
+    bounded dim slice; the synthetic schema has no comments, so negative
+    account balance stands in for 'customer complaints'), then a
+    count(DISTINCT) keyed on the (brand, size) group — one partial-agg
+    shuffle, dim filters pushed to the part scan."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(bad_supp),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_size").asc(),
+        )
     )
