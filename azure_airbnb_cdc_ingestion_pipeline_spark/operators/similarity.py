@@ -679,3 +679,63 @@ def semdedup_scaled(
         descending=True,
     ).drop("cd")
     return _min_id_prune(assigned, id_col, threshold)
+
+
+def cross_cosine_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    num_planes: int = 8,
+    num_tables: int = 4,
+) -> DataFrame:
+    """Cross-corpus embedding contamination scan: which LEFT (train)
+    vectors are near-duplicates of any RIGHT (eval) vector — the
+    embedding-space analogue of n-gram decontamination
+    (`operators.dedup.decontaminate`), catching paraphrased or
+    re-encoded benchmark leakage that token overlap misses.
+
+    Same hash family and verification as `cosine_pairs_lsh`, but the
+    candidate join is left-buckets × right-buckets: left never pairs
+    with itself, so per-scan cost is O(|left| + |right| + collisions)
+    — with a fixed eval suite the right side is tiny and its bucket
+    index is effectively a broadcast dimension table, making the whole
+    scan one map-side pass over train at 100 TB. Exact-cosine
+    verification on pre-normalized vectors leaves no false positives.
+    Returns (left_id, right_id, cos ≥ threshold) pairs; `left_id`s are
+    the rows to quarantine before training.
+    """
+    from ..session import fan_out
+
+    lu = normalized(fan_out(left), id_col, vec_col)
+    ru = normalized(right, id_col, vec_col)
+
+    def _buckets(unit: DataFrame, out_id: str) -> DataFrame:
+        table_structs = [
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket_expr(
+                    "unit", dim, num_planes, seed=0xA11CE + t * 7919
+                ).alias("bucket"),
+            )
+            for t in range(num_tables)
+        ]
+        return unit.select(
+            F.col("id").alias(out_id), F.explode(F.array(*table_structs)).alias("tb")
+        ).select(out_id, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+    cand = (
+        _buckets(lu, "left_id")
+        .join(_buckets(ru, "right_id"), ["tbl", "bucket"])
+        .select("left_id", "right_id")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    return (
+        cand.join(lu.select(F.col("id").alias("left_id"), F.col("unit").alias("vl")), "left_id")
+        .join(ru.select(F.col("id").alias("right_id"), F.col("unit").alias("vr")), "right_id")
+        .withColumn("cos_sim", F.round(dot(F.col("vl"), F.col("vr")), 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("left_id", "right_id", "cos_sim")
+    )

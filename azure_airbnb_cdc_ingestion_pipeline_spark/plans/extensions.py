@@ -4867,3 +4867,393 @@ def q_sql_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_size").asc(),
         )
     )
+
+
+@query(
+    "sql_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (revenue-change forecast): a pure scan-filter-sum
+    with every predicate pushable to the parquet reader (shipdate range,
+    discount band, quantity cap all land in PushedFilters + row-group
+    min/max skipping). At 100 TB this is the I/O-bound best case — no
+    join, no shuffle beyond the single-row partial-agg merge; wall time
+    is bytes-scanned after pruning, which the date range cuts to ~1/7th
+    on time-partitioned layouts."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@query(
+    "sql_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM lineitem l
+      JOIN orders o    ON o.o_orderkey = l.l_orderkey
+      JOIN part p      ON p.p_partkey = l.l_partkey
+      JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2   ON n2.n_nationkey = s.s_nationkey
+      JOIN customer c  ON c.c_custkey = o.o_custkey
+      JOIN nation n1   ON n1.n_nationkey = c.c_nationkey
+      JOIN region r    ON r.r_regionkey = n1.n_regionkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the eight-table join
+    collapses to ONE fact-fact shuffle (lineitem ⋈ orders on orderkey) —
+    part, supplier⋈nation, and the customer→nation→region market filter
+    are all pre-reduced dim frames small enough to broadcast, so Catalyst
+    plans them as BroadcastHashJoins hanging off the two fact scans. The
+    share-of-total is a conditional sum inside the same year-keyed
+    aggregation, not a second pass. The part filter is applied BEFORE the
+    fact-fact join (broadcast semi via the inner join) so the orderkey
+    shuffle carries only promo-part lines (~1/6th of the fact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    supp_nation = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    market_cust = F.broadcast(
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(market_cust, o.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(supp_nation, li.l_suppkey == supp_nation.s_suppkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "sql_product_profit",
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.1 * p.p_retailprice * l.l_quantity AS amount
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_sql_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit). The corpus has no partsupp
+    table (TESTDATA.md), so supply cost is adapted to a deterministic
+    fraction of ``p_retailprice`` — preserving the shape that matters:
+    a LIKE-filtered part dim driving the fact scan, a fact-fact orderkey
+    join, and a (nation, year) rollup. Plan hygiene mirrors Q8: part and
+    supplier⋈nation broadcast, the LIKE filter shrinks the fact BEFORE
+    the orderkey shuffle (inner broadcast join acts as the semi-filter),
+    and the final agg shuffles on the 25×7 (nation, year) key space —
+    tiny, skew-free, safe at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nation = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .join(supp_nation, li.l_suppkey == supp_nation.s_suppkey)
+        .select(
+            "nation",
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+_INCR_DELTA_SQL = """
+      SELECT doc_id + 200000 AS doc_id, lower(text) || ' zzz qqq' AS text
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 300000, lower(text) FROM documents WHERE doc_id % 13 = 0
+"""
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id, lower(text) AS text FROM documents),
+    delta AS ({_INCR_DELTA_SQL}),
+    ctk AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    dtk AS (SELECT doc_id, string_split(text, ' ') AS t FROM delta),
+    csh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+                  FROM ctk WHERE len(t) >= 3)),
+    dsh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+                  FROM dtk WHERE len(t) >= 3)),
+    ccnt AS (SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY doc_id),
+    dcnt AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+    pr AS (SELECT c.doc_id AS corpus_id, d.doc_id AS delta_id, count(*) AS common
+           FROM csh c JOIN dsh d ON c.s = d.s
+           GROUP BY 1, 2)
+    SELECT corpus_id, delta_id,
+           round(common / (cc.n_sh + dc.n_sh - common), 4) AS jaccard
+    FROM pr
+    JOIN ccnt cc ON pr.corpus_id = cc.doc_id
+    JOIN dcnt dc ON pr.delta_id = dc.doc_id
+    WHERE round(common / (cc.n_sh + dc.n_sh - common), 4) >= 0.6
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup (`operators.dedup.incremental_minhash_pairs`):
+    the corpus is the full documents table; the delta batch is 1/7th
+    near-copies (suffix-perturbed) plus 1/13th exact copies — the mix a
+    real ingest sees. Ground truth is the same exact shingle-Jaccard the
+    batch LSH oracle uses, restricted to corpus×delta pairs; 32×2
+    banding keeps the false-negative probability < 1e-13 at j ≥ 0.6, so
+    the LSH candidates and the exact pairs coincide deterministically on
+    this corpus."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("text")
+    )
+    delta = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat("text", F.lit(" zzz qqq")).alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 300000).alias("doc_id"), "text"
+            )
+        )
+    )
+    from ..operators.dedup import incremental_minhash_pairs
+
+    return incremental_minhash_pairs(
+        d, delta, "doc_id", "text", n=3, num_hashes=64, bands=32, threshold=0.6
+    )
+
+
+@query(
+    "text_hash_classifier",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(term), 1, 15))::BIGINT
+               / 1152921504606846975.0 * 2 - 1 AS wt
+      FROM tok
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(wt), 4) AS score,
+           avg(wt) > 0 AS keep
+    FROM w GROUP BY doc_id
+    """,
+)
+def q_text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear classifier scoring (fasttext-style quality
+    gate): each token's weight is looked up by HASH, not by vocab join —
+    w(t) = portable_token_hash(t)/2^60·2−1 stands in for a learned
+    weight vector indexed by `hash(token) % dim` (deterministic here so
+    DuckDB can replicate it; swapping in trained weights changes the
+    lambda, not the plan). Score = mean token weight, keep = score > 0.
+
+    Scale: this is the ZERO-shuffle quality filter — no vocab build, no
+    broadcast, no explode. The whole computation is one `aggregate` fold
+    over `split(text)` fused into the parquet scan (map-only,
+    whole-stage codegen), so it runs at scan speed on 100 TB and is the
+    shape you want when the weight table is hashed (hashing trick)
+    rather than vocab-addressed (`text_unigram_nll` shows the
+    vocab-broadcast alternative)."""
+    from ..functions.text import tokens
+
+    toks = tokens("text")
+    denom = F.lit(1152921504606846975.0)  # 2^60 - 1: 60-bit md5 prefix range
+    wt = (
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        / denom
+        * 2
+        - 1
+    )
+    total = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + wt(t))
+    score = F.try_divide(total, F.size(toks))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(score, 4).alias("score"),
+        (score > 0).alias("keep"),
+    )
+
+
+@query(
+    "corpus_shard_manifest",
+    oracle="""
+    SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 64 AS shard,
+           count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           sum(len(string_split(lower(text), ' ')))::BIGINT AS total_tokens,
+           min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+    FROM documents
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def q_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment + export manifest: every
+    doc lands in `md5(doc_id) % 64` — stable under corpus growth (a doc
+    never changes shard when neighbors arrive, unlike round-robin or
+    sort-based sharding) and key-uniform, so the 64 writer tasks stay
+    balanced without a range-partition pre-pass. The manifest row per
+    shard (doc/char/token totals) is what the trainer's data loader
+    reads to plan epochs without touching the shards.
+
+    Scale: one hash-keyed aggregation with map-side partials over 64
+    groups — no sort, no skew (md5 uniformity), and the shard id doubles
+    as the `repartition(64, shard)` key for the actual export write so
+    manifest and data files are produced by the same shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 64
+    )
+    from ..functions.text import tokens
+
+    return (
+        d.select(
+            shard.alias("shard"),
+            "doc_id",
+            "n_chars",
+            F.size(tokens("text")).alias("n_tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
+    "embedding_decontaminate",
+    oracle="""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    eval AS (SELECT vec_id, v FROM base WHERE vec_id % 17 = 0),
+    train AS (
+      SELECT vec_id, v FROM base WHERE vec_id % 17 <> 0
+      UNION ALL
+      SELECT vec_id + 100000, list_prepend(v[1] + 0.05, v[2:])
+      FROM eval
+    )
+    SELECT t.vec_id AS left_id, e.vec_id AS right_id,
+           round(list_cosine_similarity(t.v, e.v), 4) AS cos_sim
+    FROM train t JOIN eval e ON true
+    WHERE round(list_cosine_similarity(t.v, e.v), 4) >= 0.95
+    """,
+)
+def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval embedding decontamination via `cross_cosine_lsh`: the
+    eval suite is every 17th vector; train is the rest plus planted
+    near-copies of eval (first coordinate perturbed +0.05 — same
+    augmentation family as `embedding_cosine_pairs`). The oracle is the
+    exact all-pairs cross join; the Spark side is LSH-blocked with
+    exact-cosine verification, and on this corpus the 8×4 hash family's
+    recall is exactly 1.0 (the same family/threshold the
+    `embedding_cosine_pairs` all-pairs-equivalence test pins)."""
+    from ..operators.similarity import cross_cosine_lsh
+
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    ev = base.filter(F.col("vec_id") % 17 == 0)
+    planted = ev.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("v")[0] + 0.05), F.slice("v", 2, 1000)
+        ).alias("v"),
+    )
+    train = base.filter(F.col("vec_id") % 17 != 0).unionByName(planted)
+    return cross_cosine_lsh(train, ev, "vec_id", "v", threshold=0.95)
