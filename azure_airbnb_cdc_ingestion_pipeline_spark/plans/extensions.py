@@ -5257,3 +5257,39 @@ def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = base.filter(F.col("vec_id") % 17 != 0).unionByName(planted)
     return cross_cosine_lsh(train, ev, "vec_id", "v", threshold=0.95)
+
+
+@query(
+    "source_jsonl_read",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def q_source_jsonl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest round-trip with the rejected-rows side channel
+    (`sources.readers.read_jsonl_with_rejects`): documents are written
+    as line-delimited JSON, two deterministically corrupt lines (one
+    malformed, one missing the required key) are appended, and the read
+    splits good/reject without failing a task. The query returns the
+    good channel — byte-equal to the original table (the oracle); the
+    reject channel's content is pinned by
+    tests/test_extensions.py::test_jsonl_rejects."""
+    import os
+    import tempfile
+
+    from ..sources.readers import read_jsonl_with_rejects
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = os.path.join(tempfile.mkdtemp(prefix="jsonl_"), "docs")
+    docs.select(
+        F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars")).alias(
+            "value"
+        )
+    ).write.mode("overwrite").text(tmp)
+    with open(os.path.join(tmp, "part-corrupt.txt"), "w") as f:
+        f.write('{"doc_id": 1, "text": broken!!\n')
+        f.write('{"text": "no id here", "lang": "en"}\n')
+    good, _rejects = read_jsonl_with_rejects(
+        spark, tmp, docs.schema, required=["doc_id"]
+    )
+    return good

@@ -151,3 +151,62 @@ def load_sf_tables(
 ) -> dict[str, DataFrame]:
     """Load the driver-generated testdata parquet tables as DataFrames."""
     return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in tables}
+
+
+def read_jsonl_with_rejects(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    required: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL source with a rejected-rows side channel — the reference's
+    BadRecords routing (/root/reference/dataflow/
+    BookingDataTransformation.json:31-34) applied at the SOURCE layer,
+    for the corpus-ingest case where upstream hands you line-delimited
+    JSON of mixed quality (the dominant training-data interchange
+    format).
+
+    Each line is parsed ONCE against the typed schema with Catalyst's
+    `from_json` (PERMISSIVE: malformed → null struct). A line is
+    rejected when it fails to parse at all, or parses but leaves any
+    ``required`` column null (schema-violation vs malformed is
+    distinguished in the ``reject_reason`` column, with the raw line
+    preserved for quarantine). Returns ``(good, rejects)`` — two lazy
+    frames over ONE text scan; Spark evaluates the shared parse per
+    branch, map-only either way, so the split costs no shuffle and
+    survives any scale. No inference pass, no task failure on bad input
+    — a 100 TB ingest keeps running and the rejects land in their own
+    sink, exactly like the reference's row-level error path.
+    """
+    from pyspark.sql import functions as F
+
+    # `from_json` PERMISSIVE yields an all-null struct for a malformed
+    # line (never a null struct), so malformed-vs-missing needs the
+    # corrupt-record column: it is non-null exactly when parsing failed.
+    cr = "__corrupt"
+    parse_schema = T.StructType(
+        list(schema.fields) + [T.StructField(cr, T.StringType())]
+    )
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.col("value").alias("raw_line"),
+        F.from_json(
+            "value",
+            parse_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": cr},
+        ).alias("__doc"),
+    )
+    malformed = F.col(f"__doc.{cr}").isNotNull()
+    viol = F.lit(False)
+    for c in required or []:
+        viol = viol | F.col(f"__doc.{c}").isNull()
+    good = parsed.filter(~malformed & ~viol).select(
+        *[F.col(f"__doc.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    rejects = parsed.filter(malformed | viol).select(
+        "raw_line",
+        F.when(malformed, F.lit("malformed_json"))
+        .otherwise(F.lit("missing_required"))
+        .alias("reject_reason"),
+    )
+    return good, rejects

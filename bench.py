@@ -69,6 +69,15 @@ HEADLINE = [
     "domain_mixture_weights",
     "text_oov_rate",
     "sql_passthrough_revenue",
+    # r4 additions: full-TPC-H completion (scan-bound Q6, join-heavy Q8),
+    # incremental dedup vs signature store, cross-corpus embedding
+    # decontamination, hashed-classifier scoring, shard manifest
+    "sql_forecast_revenue",
+    "sql_market_share",
+    "dedup_incremental_minhash",
+    "embedding_decontaminate",
+    "text_hash_classifier",
+    "corpus_shard_manifest",
 ]
 
 

@@ -938,3 +938,105 @@ def test_decode_quarantine_diverts_corrupt_media(spark):
 
     with _pytest.raises(Exception):
         decode_features(media, on_error="raise").collect()
+
+
+# ---------------------------------------------------------------------------
+# r4: JSONL source reject channel, incremental minhash, cross-corpus
+# embedding decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_rejects(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.sources.readers import (
+        read_jsonl_with_rejects,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "good row"}\n'
+        '{"doc_id": 2, "text": "also good"}\n'
+        "this is not json at all\n"
+        '{"text": "missing the id"}\n'
+        '{"doc_id": 3}\n'  # null text is fine — text not required
+    )
+    good, rejects = read_jsonl_with_rejects(
+        spark, str(p), schema, required=["doc_id"]
+    )
+    assert sorted(r.doc_id for r in good.collect()) == [1, 2, 3]
+    rej = {r.reject_reason: r.raw_line for r in rejects.collect()}
+    assert rej == {
+        "malformed_json": "this is not json at all",
+        "missing_required": '{"text": "missing the id"}',
+    }
+
+
+def test_incremental_minhash_no_corpus_self_pairs(spark):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.dedup import (
+        incremental_minhash_pairs,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),  # corpus dup
+            (3, "completely different text about spark partitions and shuffles"),
+        ],
+        ["id", "text"],
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today yes"),
+            (11, "unrelated new arrival with its own fresh vocabulary set"),
+        ],
+        ["id", "text"],
+    )
+    out = incremental_minhash_pairs(
+        corpus, delta, "id", "text", n=3, num_hashes=64, bands=32, threshold=0.6
+    ).collect()
+    got = {(r.corpus_id, r.delta_id) for r in out}
+    # 10 near-dups BOTH corpus copies; the corpus 1-2 self-pair must NOT
+    # appear (that is the whole point of the incremental form), and the
+    # fresh arrival matches nothing.
+    assert got == {(1, 10), (2, 10)}
+
+
+def test_cross_cosine_lsh_matches_brute_force(spark):
+    import numpy as np
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.similarity import (
+        cross_cosine_lsh,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 64)
+    left_rows = [(int(i), [float(x) for x in base[i]]) for i in range(30)]
+    # plant near-copies of right vectors 30/31 into left
+    right_rows = [(int(i), [float(x) for x in base[i]]) for i in range(30, 40)]
+    for j, src in enumerate((30, 31)):
+        v = base[src].copy()
+        v[0] += 0.05
+        left_rows.append((100 + j, [float(x) for x in v]))
+    left = spark.createDataFrame(left_rows, ["vec_id", "v"])
+    right = spark.createDataFrame(right_rows, ["vec_id", "v"])
+    out = cross_cosine_lsh(left, right, "vec_id", "v", threshold=0.95).collect()
+    got = {(r.left_id, r.right_id) for r in out}
+    # brute-force ground truth
+    def unit(v):
+        v = np.asarray(v)
+        return v / np.linalg.norm(v)
+
+    want = set()
+    for lid, lv in left_rows:
+        for rid, rv in right_rows:
+            if round(float(np.dot(unit(lv), unit(rv))), 4) >= 0.95:
+                want.add((lid, rid))
+    assert got == want and {(100, 30), (101, 31)} <= got
