@@ -55,3 +55,71 @@ def stable_split(
     for threshold, name in reversed(thresholds):
         out = F.when(b < threshold, F.lit(name)).otherwise(out)
     return df.withColumn(split_col, out)
+
+
+def budget_select(
+    docs: DataFrame,
+    id_col: str,
+    score_col: Column | str,
+    weight_col: Column | str,
+    budget: int,
+    resolution: int = 10000,
+) -> DataFrame:
+    """Best-docs-under-a-token-budget selection: take documents in
+    descending quality order until their cumulative weight (token count)
+    reaches ``budget`` — the curation step that turns "score everything"
+    into an actual training mix of a target size.
+
+    The naive formulation is a GLOBAL window cumsum over the
+    score-sorted corpus — a total sort plus a single-partition running
+    sum, which does not survive 100 TB. This is the two-phase threshold
+    form instead: scores are quantized to 1/``resolution`` (the
+    quantized score is also the tie-break contract, so equal-bucket docs
+    are admitted by ascending id — deterministic across engines and
+    runs); phase 1 aggregates per-bucket weight sums (bounded:
+    ≤ 2·resolution+1 groups regardless of corpus size) and the driver
+    prefix-scans that tiny vector to find the cutoff bucket and the
+    residual budget; phase 2 selects everything above the cutoff with a
+    plain filter (map-only) and resolves ONLY the cutoff bucket with a
+    window cumsum confined to that single bucket (~1/resolution of the
+    corpus). No global sort, no unbounded state, and the driver touches
+    resolution-many rows, not docs.
+
+    Returns (id, score, weight) for the selected set; ``score`` is the
+    quantized value used for ordering.
+    """
+    from pyspark.sql import Window
+
+    sc = F.col(score_col) if isinstance(score_col, str) else score_col
+    wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    scored = docs.select(
+        F.col(id_col).alias("id"),
+        F.round(sc, len(str(resolution)) - 1).alias("score"),
+        wc.cast("long").alias("weight"),
+    )
+    buckets = (
+        scored.groupBy("score")
+        .agg(F.sum("weight").alias("w"))
+        .orderBy(F.desc("score"))
+        .collect()  # bounded: ≤ 2*resolution+1 rows by construction
+    )
+    cum = 0
+    cutoff, residual = None, 0
+    for r in buckets:
+        if cum + r.w > budget:
+            cutoff, residual = r.score, budget - cum
+            break
+        cum += r.w
+    if cutoff is None:  # whole corpus fits the budget
+        return scored.select("id", "score", "weight")
+    high = scored.filter(F.col("score") > cutoff)
+    tie_w = Window.partitionBy("score").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tie = (
+        scored.filter(F.col("score") == cutoff)
+        .withColumn("cumw", F.sum("weight").over(tie_w))
+        .filter(F.col("cumw") <= residual)
+        .drop("cumw")
+    )
+    return high.unionByName(tie).select("id", "score", "weight")

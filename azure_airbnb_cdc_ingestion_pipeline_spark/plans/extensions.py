@@ -5293,3 +5293,58 @@ def q_source_jsonl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, tmp, docs.schema, required=["doc_id"]
     )
     return good
+
+
+@query(
+    "corpus_budget_select",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(term), 1, 15))::BIGINT
+               / 1152921504606846975.0 * 2 - 1 AS wt
+      FROM tok
+    ),
+    scored AS (
+      SELECT doc_id AS id, round(avg(wt), 4) AS score,
+             count(*)::BIGINT AS weight
+      FROM w GROUP BY doc_id
+    ),
+    c AS (
+      SELECT *, sum(weight) OVER (ORDER BY score DESC, id) AS cum
+      FROM scored
+    )
+    SELECT id, score, weight FROM c WHERE cum <= 8000
+    """,
+)
+def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (`functions.splits.budget_select`):
+    admit the highest-scoring documents (hashing-trick classifier score,
+    quantized to 4 dp with ascending-id tie-break) until 8 000 tokens
+    are spent. The ORACLE is the naive global window cumsum — the Spark
+    side is the two-phase bucket-threshold form that avoids the global
+    sort; both implement the identical greedy admission rule, so they
+    agree row-for-row. At sf0.001 the whole corpus fits the budget
+    (exercising the fits-entirely branch); at sf0.01+ the cutoff-bucket
+    path runs."""
+    from ..functions.splits import budget_select
+    from ..functions.text import tokens
+
+    toks = tokens("text")
+    denom = F.lit(1152921504606846975.0)
+    wt = (
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        / denom
+        * 2
+        - 1
+    )
+    score = F.try_divide(
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + wt(t)), F.size(toks)
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", score.alias("s"), F.size(toks).alias("n_tok")
+    )
+    return budget_select(docs, "doc_id", "s", "n_tok", budget=8000)

@@ -1040,3 +1040,33 @@ def test_cross_cosine_lsh_matches_brute_force(spark):
             if round(float(np.dot(unit(lv), unit(rv))), 4) >= 0.95:
                 want.add((lid, rid))
     assert got == want and {(100, 30), (101, 31)} <= got
+
+
+def test_budget_select_boundaries(spark):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.splits import (
+        budget_select,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, 0.9, 30),
+            (2, 0.9, 30),   # same bucket as 1 — admitted by id order
+            (3, 0.5, 50),
+            (4, 0.5, 50),
+            (5, 0.1, 10),
+        ],
+        ["id", "score", "w"],
+    )
+    # budget 110: bucket 0.9 fits (60), residual 50 admits id 3 only
+    # (id 4 would overflow), id 5's bucket never reached.
+    got = {r.id for r in budget_select(docs, "id", "score", "w", 110).collect()}
+    assert got == {1, 2, 3}
+    # exact boundary: budget 60 admits exactly the top bucket
+    got = {r.id for r in budget_select(docs, "id", "score", "w", 60).collect()}
+    assert got == {1, 2}
+    # first doc overflows → empty selection
+    got = {r.id for r in budget_select(docs, "id", "score", "w", 20).collect()}
+    assert got == set()
+    # everything fits
+    got = {r.id for r in budget_select(docs, "id", "score", "w", 1000).collect()}
+    assert got == {1, 2, 3, 4, 5}
