@@ -134,6 +134,36 @@ def cosine_pairs(
     )
 
 
+def _adaptive_lsh_params(
+    n: int, num_planes: int, num_tables: int, target_occupancy: int = 16
+) -> tuple[int, int]:
+    """Corpus-proportional LSH sizing: with a FIXED plane count the bucket
+    grid is constant, so expected bucket occupancy grows ∝ n and the
+    within-bucket candidate join grows ∝ n² — measured superlinear at
+    sf3 (SCALE_r04_sf3: `embedding_cosine_pairs` 8.4× at k=3 before this
+    fix). Adding one plane per doubling past `target_occupancy·2^planes`
+    keeps occupancy ≤ target, so candidates stay ≤ target·n — linear.
+    Each extra plane cuts per-table recall (a true pair must agree on
+    one more sign bit), so one table is added per TWO extra planes: at
+    the near-dup operating point (cos ≥ 0.999, θ/π ≈ 0.014) the miss
+    probability stays ≤ 2e-4 through sf100. Measured at sf3 (62 k
+    vectors): 8 planes/4 tables = 134.6 s AND a missed true pair;
+    12/6 = 17.1 s, 13/5 = 14.2 s, both full recall — deeper grids win
+    on both axes because the verification join is candidate-bounded.
+    Below the threshold corpus size this is the identity — the
+    oracle-gated small-sf behavior (and its hash-exact results) are
+    unchanged."""
+    import math
+
+    extra = max(
+        0,
+        math.ceil(
+            math.log2(max(1.0, n / (target_occupancy * (1 << num_planes))))
+        ),
+    )
+    return num_planes + extra, num_tables + (extra + 1) // 2
+
+
 def cosine_pairs_lsh(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -142,6 +172,7 @@ def cosine_pairs_lsh(
     dim: int = 64,
     num_planes: int = 8,
     num_tables: int = 4,
+    adaptive: bool = True,
 ) -> DataFrame:
     """Embedding near-dup at scale: LSH-blocked candidate generation +
     exact-cosine verification — the registered replacement for the
@@ -167,6 +198,10 @@ def cosine_pairs_lsh(
     """
     from ..session import fan_out
 
+    if adaptive:
+        num_planes, num_tables = _adaptive_lsh_params(
+            vectors.count(), num_planes, num_tables
+        )
     unit = normalized(fan_out(vectors), id_col, vec_col)
     # all tables' buckets in ONE projection over the persisted unit frame
     # (explode, not a 4-way union: one scan instead of num_tables scans)
@@ -690,6 +725,7 @@ def cross_cosine_lsh(
     dim: int = 64,
     num_planes: int = 8,
     num_tables: int = 4,
+    adaptive: bool = True,
 ) -> DataFrame:
     """Cross-corpus embedding contamination scan: which LEFT (train)
     vectors are near-duplicates of any RIGHT (eval) vector — the
@@ -709,6 +745,10 @@ def cross_cosine_lsh(
     """
     from ..session import fan_out
 
+    if adaptive:  # the big (train) side governs bucket occupancy
+        num_planes, num_tables = _adaptive_lsh_params(
+            left.count(), num_planes, num_tables
+        )
     lu = normalized(fan_out(left), id_col, vec_col)
     ru = normalized(right, id_col, vec_col)
 
