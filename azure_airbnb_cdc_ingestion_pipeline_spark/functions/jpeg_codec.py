@@ -1,0 +1,496 @@
+"""Baseline JPEG codec (encode + decode), stdlib + numpy only.
+
+Closes the VERDICT r3 "pixel decode stubbed" gap for JPEG: a real
+sequential-baseline codec — DCT/quant/zigzag/Huffman per ITU-T T.81 with
+the Annex K example tables — restricted to the profile a data pipeline's
+own artifacts use: 8-bit precision, 1 or 3 components, NO chroma
+subsampling (4:4:4), no progressive scan, no restart intervals. Anything
+outside that profile raises NotImplementedError so `decode_media` can
+detect-and-degrade to the SOF header walk (`codecs.jpeg_info`) exactly as
+before; malformed bytes raise ValueError so the quarantine channel keeps
+working. The numeric kernels (DCT, quantize, color transform) are numpy
+matrix ops; only the entropy coder is per-symbol Python — fine for the
+Arrow-batch sizes `mapInPandas` feeds it.
+
+Reference parity note: the reference pipeline has no media path at all —
+this belongs to the charter's multimodal-column extension
+(SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ITU-T T.81 Annex K.1 example quantization tables (quality ~50)
+QUANT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float64,
+)
+QUANT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.float64,
+)
+
+# zigzag scan order: ZIGZAG[i] = (row, col) of the i-th coefficient
+_zz = sorted(
+    ((r, c) for r in range(8) for c in range(8)),
+    key=lambda rc: (rc[0] + rc[1], rc[1] if (rc[0] + rc[1]) % 2 else rc[0]),
+)
+ZIGZAG = _zz
+_INV_ZIGZAG = np.zeros(64, dtype=np.int64)
+for _i, (_r, _c) in enumerate(ZIGZAG):
+    _INV_ZIGZAG[_i] = _r * 8 + _c
+
+# Annex K.3 example Huffman specs: (BITS[1..16], HUFFVAL)
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) via T.81 C.2 canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_ENC_DC = (_canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+           _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
+_ENC_AC = (_canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
+           _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS))
+
+# orthonormal DCT-II matrix: X = C @ x @ C.T
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(1 / 8) if _k == 0 else np.sqrt(2 / 8)
+        )
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    """(H/8, W/8, 8, 8) view of an 8-padded plane."""
+    h, w = plane.shape
+    return plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+
+
+def encode_jpeg(
+    width: int, height: int, channels: int, pixels: bytes
+) -> bytes:
+    """Baseline sequential 4:4:4 JPEG from raw 8-bit pixels (row-major,
+    interleaved for 3-channel RGB). Quality is fixed at the Annex K
+    tables (~50)."""
+    if channels not in (1, 3):
+        raise NotImplementedError("encode_jpeg supports 1 or 3 channels")
+    arr = np.frombuffer(pixels, dtype=np.uint8)
+    if arr.size != width * height * channels:
+        raise ValueError("pixel buffer does not match width*height*channels")
+    arr = arr.reshape(height, width, channels).astype(np.float64)
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        comps = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    else:
+        comps = [arr[..., 0]]
+    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    quants = [QUANT_LUMA] + [QUANT_CHROMA] * (channels - 1)
+
+    writer = _BitWriter()
+    # quantized blocks per component, then interleave per MCU (4:4:4 →
+    # one block of each component per MCU)
+    qblocks = []
+    for ci, comp in enumerate(comps):
+        padded = np.pad(
+            comp, ((0, ph - height), (0, pw - width)), mode="edge"
+        )
+        blocks = _blocks_of(padded) - 128.0
+        coef = np.einsum("km,ijmn,ln->ijkl", _C, blocks, _C)
+        qblocks.append(
+            np.round(coef / quants[ci]).astype(np.int64)
+        )
+    prev_dc = [0] * channels
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci in range(channels):
+                tsel = 0 if ci == 0 else 1
+                dc_tab, ac_tab = _ENC_DC[tsel], _ENC_AC[tsel]
+                blk = qblocks[ci][by, bx]
+                seq = blk.reshape(64)[_INV_ZIGZAG]
+                diff = int(seq[0]) - prev_dc[ci]
+                prev_dc[ci] = int(seq[0])
+                s = _category(diff)
+                code, ln = dc_tab[s]
+                writer.write(code, ln)
+                if s:
+                    bits = diff if diff > 0 else diff + (1 << s) - 1
+                    writer.write(bits, s)
+                run = 0
+                last_nz = 0
+                nz = np.nonzero(seq[1:])[0]
+                last_nz = (nz[-1] + 1) if nz.size else 0
+                for i in range(1, last_nz + 1):
+                    v = int(seq[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_tab[0xF0]  # ZRL
+                        writer.write(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    code, ln = ac_tab[(run << 4) | s]
+                    writer.write(code, ln)
+                    bits = v if v > 0 else v + (1 << s) - 1
+                    writer.write(bits, s)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_tab[0x00]  # EOB
+                    writer.write(code, ln)
+    scan = writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        zz = q.reshape(64)[_INV_ZIGZAG].astype(np.uint8)
+        return seg(0xDB, bytes([tid]) + zz.tobytes())
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(
+            0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        )
+
+    sof_body = struct.pack(">BHHB", 8, height, width, channels)
+    sos_body = bytes([channels])
+    for ci in range(channels):
+        tq = 0 if ci == 0 else 1
+        sof_body += bytes([ci + 1, 0x11, tq])  # 1×1 sampling: 4:4:4
+        sos_body += bytes([ci + 1, (tq << 4) | tq])
+    sos_body += bytes([0, 63, 0])
+
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, QUANT_LUMA)
+    if channels == 3:
+        out += dqt(1, QUANT_CHROMA)
+    out += seg(0xC0, sof_body)
+    out += dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    if channels == 3:
+        out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    out += seg(0xDA, sos_body)
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+class NoScanData(ValueError):
+    """Structurally valid JPEG headers but no SOS/entropy data — the
+    detect-and-degrade case (header-only artifacts), NOT corruption.
+    Callers fall back to the SOF header walk instead of quarantining."""
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.buf
+        if self.pos >= len(b):
+            raise ValueError("truncated JPEG scan data")
+        byte = b[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            if self.pos >= len(b):
+                raise ValueError("truncated JPEG scan data")
+            nxt = b[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed
+            elif nxt == 0xD9:  # EOI reached mid-read
+                raise ValueError("truncated JPEG scan data (EOI)")
+            elif 0xD0 <= nxt <= 0xD7:
+                raise NotImplementedError("restart markers not supported")
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _decode_tables(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    return {v: k for k, v in _canonical_codes(bits, vals).items()}
+
+
+def _read_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG scan")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - ((1 << s) - 1) if v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Decode a baseline sequential JPEG within the supported profile
+    (8-bit, 1 or 3 components, 4:4:4, no restarts). Returns
+    {width, height, channels, pixels (bytes, RGB/gray row-major),
+    mean_intensity}. ValueError on malformed bytes;
+    NotImplementedError on valid-but-unsupported profiles (progressive,
+    subsampled, 12-bit, restart intervals, arithmetic coding) so callers
+    degrade to the header walk."""
+    if payload is None or not payload.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG payload (bad SOI marker)")
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (h, w, [(cid, tq)])
+    scan_comps = None
+    i, n = 2, len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError(f"malformed JPEG: expected marker at {i}")
+        marker = payload[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        if i + 4 > n:
+            raise ValueError("malformed JPEG: truncated segment header")
+        seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        body = payload[i + 4 : i + 2 + seg_len]
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                      0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential Huffman JPEG (SOF0) supported"
+            )
+        if marker == 0xDD:
+            raise NotImplementedError("restart intervals not supported")
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT not supported")
+                if j + 65 > len(body):
+                    raise ValueError("malformed JPEG: truncated DQT")
+                zz = np.frombuffer(body[j + 1 : j + 65], dtype=np.uint8)
+                q = np.zeros(64)
+                q[_INV_ZIGZAG] = zz
+                quant[tq] = q.reshape(8, 8).astype(np.float64)
+                j += 65
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                if j + 17 > len(body):
+                    raise ValueError("malformed JPEG: truncated DHT")
+                bits = list(body[j + 1 : j + 17])
+                cnt = sum(bits)
+                if j + 17 + cnt > len(body):
+                    raise ValueError("malformed JPEG: truncated DHT values")
+                vals = list(body[j + 17 : j + 17 + cnt])
+                (huff_ac if tc else huff_dc)[th] = _decode_tables(bits, vals)
+                j += 17 + cnt
+        elif marker == 0xC0:
+            if len(body) < 6:
+                raise ValueError("malformed JPEG: truncated SOF segment")
+            _prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG not supported")
+            comps = []
+            for c in range(ncomp):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling not supported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("malformed JPEG: SOS before SOF")
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
+            i = i + 2 + seg_len
+            break  # entropy-coded data follows
+        i += 2 + seg_len
+    if scan_comps is None:
+        if frame is not None:
+            raise NoScanData("JPEG has headers but no scan data")
+        raise ValueError("malformed JPEG: missing SOF/SOS (no scan data)")
+    h, w, comps = frame
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    nch = len(comps)
+    planes = [np.zeros((ph, pw)) for _ in range(nch)]
+    reader = _BitReader(payload, i)
+    prev_dc = [0] * nch
+    tq_of = {cid: tq for cid, tq in comps}
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci, (cid, td, ta) in enumerate(scan_comps):
+                if td not in huff_dc or ta not in huff_ac or tq_of[cid] not in quant:
+                    raise ValueError("malformed JPEG: missing table for scan")
+                seq = np.zeros(64, dtype=np.float64)
+                s = _read_symbol(reader, huff_dc[td])
+                diff = _extend(reader.bits(s), s) if s else 0
+                prev_dc[ci] += diff
+                seq[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    rs = _read_symbol(reader, huff_ac[ta])
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("malformed JPEG: AC index overrun")
+                    seq[k] = _extend(reader.bits(s), s)
+                    k += 1
+                coef = np.zeros(64)
+                coef[_INV_ZIGZAG] = seq
+                blk = coef.reshape(8, 8) * quant[tq_of[cid]]
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _C.T @ blk @ _C + 128.0
+                )
+    if nch == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        img = np.stack([r, g, b], axis=-1)
+    else:
+        img = planes[0][..., None]
+    img = np.clip(np.round(img[:h, :w]), 0, 255).astype(np.uint8)
+    return {
+        "width": w,
+        "height": h,
+        "channels": nch,
+        "pixels": img.tobytes(),
+        "mean_intensity": float(img.mean()),
+    }

@@ -1070,3 +1070,81 @@ def test_budget_select_boundaries(spark):
     # everything fits
     got = {r.id for r in budget_select(docs, "id", "score", "w", 1000).collect()}
     assert got == {1, 2, 3, 4, 5}
+
+
+def test_jpeg_roundtrip_codec():
+    import numpy as np
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.jpeg_codec import (
+        NoScanData,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # grayscale gradient: smooth content survives quality-50 quantization
+    w, h = 24, 16
+    gray = np.tile(np.linspace(0, 255, w, dtype=np.uint8), (h, 1))
+    out = decode_jpeg(encode_jpeg(w, h, 1, gray.tobytes()))
+    assert (out["width"], out["height"], out["channels"]) == (w, h, 1)
+    dec = np.frombuffer(out["pixels"], dtype=np.uint8).reshape(h, w)
+    assert np.abs(dec.astype(int) - gray.astype(int)).max() <= 4
+    assert abs(out["mean_intensity"] - gray.mean()) < 3
+
+    # RGB color blocks: color transform + 3-component interleave;
+    # non-multiple-of-8 dims exercise edge padding + crop
+    rgb = np.zeros((12, 20, 3), dtype=np.uint8)
+    rgb[:, :7] = [200, 30, 30]
+    rgb[:, 7:14] = [30, 200, 30]
+    rgb[:, 14:] = [30, 30, 200]
+    out3 = decode_jpeg(encode_jpeg(20, 12, 3, rgb.tobytes()))
+    dec3 = np.frombuffer(out3["pixels"], dtype=np.uint8).reshape(12, 20, 3)
+    # lossy: block edges ring, but interiors must be close
+    assert np.abs(dec3[2:-2, 2:5].astype(int) - [200, 30, 30]).max() < 30
+
+    # truncated scan → ValueError (quarantine); header-only → NoScanData
+    # (degrade); progressive SOF → NotImplementedError (degrade)
+    import pytest as _pytest
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.codecs import (
+        encode_jpeg_header,
+    )
+
+    full = encode_jpeg(20, 12, 3, rgb.tobytes())
+    with _pytest.raises(ValueError):
+        decode_jpeg(full[: len(full) // 2])
+    with _pytest.raises(NoScanData):
+        decode_jpeg(encode_jpeg_header(64, 64, 3))
+    prog = full.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+
+
+def test_decode_media_jpeg_pixels(spark):
+    """decode_media now returns REAL mean_intensity for full baseline
+    JPEGs while header-only fixtures keep the degrade contract (null
+    intensity) and corrupt scans still quarantine."""
+    import numpy as np
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.codecs import (
+        encode_jpeg_header,
+    )
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.jpeg_codec import (
+        encode_jpeg,
+    )
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.multimodal import (
+        decode_features,
+    )
+
+    gray = np.full((8, 8), 100, dtype=np.uint8)
+    meta = lambda: {"mime": "image/jpeg", "source": "t", "width": None,
+                    "height": None, "duration_ms": None}
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_jpeg(8, 8, 1, gray.tobytes())), meta()),
+            (2, bytearray(encode_jpeg_header(32, 16, 3)), meta()),
+        ],
+        "media_id long, payload binary, meta struct<mime:string,source:string,width:int,height:int,duration_ms:bigint>",
+    )
+    out = {r.media_id: r for r in decode_features(media).collect()}
+    assert out[1].width == 8 and abs(out[1].mean_intensity - 100) < 3
+    assert out[2].width == 32 and out[2].mean_intensity is None
