@@ -5348,3 +5348,69 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", score.alias("s"), F.size(toks).alias("n_tok")
     )
     return budget_select(docs, "doc_id", "s", "n_tok", budget=8000)
+
+
+@query(
+    "multimodal_jpeg_roundtrip",
+    # Constant-gray JPEGs decode BIT-EXACTLY through the real baseline
+    # codec: a flat 8×8 block has only a DC coefficient (v−128)·8, whose
+    # quantizer step is 16, so for EVEN gray levels quantize→dequantize→
+    # IDCT reproduces v exactly — DuckDB can therefore predict the
+    # decoded mean intensity (and dimensions) analytically from doc_id.
+    oracle="""
+    SELECT doc_id AS media_id,
+           8 * (1 + doc_id % 3) AS width,
+           8 * (1 + doc_id % 2) AS height,
+           1 AS channels,
+           CAST(20 + 2 * (doc_id % 100) AS DOUBLE) AS mean_intensity
+    FROM documents
+    """,
+)
+def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-pixel JPEG decode under the oracle gate (r4 — the codec is
+    real, not a header walk): synthesize a flat grayscale JPEG per doc
+    (gray = 20 + 2·(doc_id % 100), dims 8·(1+doc_id%3) × 8·(1+doc_id%2))
+    with `functions.jpeg_codec.encode_jpeg`, decode it back through the
+    `decode_features` Arrow stage, and emit the decoded dimensions and
+    mean intensity. Both synthesis and decode are narrow mapInPandas
+    passes — payload bytes never shuffle, so the pattern is scan-speed
+    linear at any corpus size."""
+    import pandas as _pd
+
+    from ..functions.jpeg_codec import encode_jpeg
+    from ..operators.multimodal import decode_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 * (1 + did % 3), 8 * (1 + did % 2)
+                v = 20 + 2 * (did % 100)
+                payloads.append(
+                    encode_jpeg(
+                        w, h, 1, _np.full((h, w), v, dtype=_np.uint8).tobytes()
+                    )
+                )
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(_synth, "media_id long, payload binary").select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.lit("synth").alias("source"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return decode_features(media).select(
+        "media_id", "width", "height", "channels", "mean_intensity"
+    )
