@@ -650,7 +650,7 @@ def semdedup_scaled(
     import math
 
     from ..session import fan_out
-    from .windows import topk_per_group
+    from .windows import argmax_per_group
 
     n = vectors.count()
     k2 = max(1, n // target_cell)
@@ -671,7 +671,10 @@ def semdedup_scaled(
     # another coarse vector is identical to 9 dp — guaranteeing every
     # ccell a vector can argmax to has ≥ 1 fine centroid, so the candidate
     # join below can never drop a vector.
-    f2c = topk_per_group(
+    # the three k=1 assignments are argmax hash-aggs (max_by over the
+    # identical ordering tuple the window version used — same results,
+    # no per-group sort; see operators.windows.argmax_per_group)
+    f2c = argmax_per_group(
         fine.crossJoin(F.broadcast(coarse)).select(
             "cell",
             "center",
@@ -681,12 +684,11 @@ def semdedup_scaled(
         ),
         ["cell"],
         [F.col("cd"), F.col("is_self"), -F.col("ccell")],
-        k=1,
-        descending=True,
-    ).drop("cd", "is_self")
+        ["center", "ccell"],
+    )
     vectors = fan_out(vectors)
     # vector → coarse cell (n × k1, broadcast coarse)
-    v2c = topk_per_group(
+    v2c = argmax_per_group(
         vectors.crossJoin(F.broadcast(coarse)).select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vv"),
@@ -695,13 +697,12 @@ def semdedup_scaled(
         ),
         ["id"],
         [F.col("cd"), -F.col("ccell")],
-        k=1,
-        descending=True,
-    ).drop("cd")
+        ["vv", "ccell"],
+    )
     # vector → fine cell, candidates restricted to its coarse cell's fine
     # centroids (shuffle join on ccell; AQE broadcasts it while f2c is
     # small — at huge n, f2c outgrows broadcast and this stays a keyed join)
-    assigned = topk_per_group(
+    assigned = argmax_per_group(
         v2c.join(f2c.select("cell", "center", "ccell"), "ccell").select(
             "id",
             "vv",
@@ -710,9 +711,8 @@ def semdedup_scaled(
         ),
         ["id"],
         [F.col("cd"), -F.col("cell")],
-        k=1,
-        descending=True,
-    ).drop("cd")
+        ["vv", "cell"],
+    )
     return _min_id_prune(assigned, id_col, threshold)
 
 

@@ -42,3 +42,25 @@ def topk_per_group(
     w = Window.partitionBy(*partition_by).orderBy(*_order_cols(order_by, descending))
     out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
     return out if keep_rank else out.drop(rank_col)
+
+
+def argmax_per_group(
+    df: DataFrame,
+    group_by: Sequence[str],
+    order_by: Sequence[Column],
+    payload: Sequence[str],
+) -> DataFrame:
+    """Top-1-per-group as ONE hash aggregation (`max_by` over a struct
+    ordering key) instead of a window: `topk_per_group(k=1)` pays an
+    exchange + per-partition SORT of every candidate row; this pays the
+    same exchange but only a running max — the difference is a full
+    sort of n·candidates rows per stage, which is why the k=1 argmax
+    hot paths (semdedup's three assignment steps) use it. Struct
+    comparison is lexicographic over `order_by` in order, so ties must
+    be broken by a trailing unique column exactly as the window version
+    would — callers pass the identical ordering tuple. k>1 or
+    rank-carrying callers keep using `topk_per_group`."""
+    key = F.struct(*order_by)
+    val = F.struct(*[F.col(c) for c in payload])
+    agg = df.groupBy(*group_by).agg(F.max_by(val, key).alias("__best"))
+    return agg.select(*group_by, *[F.col(f"__best.{c}").alias(c) for c in payload])
