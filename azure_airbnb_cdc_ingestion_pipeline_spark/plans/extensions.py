@@ -5414,3 +5414,66 @@ def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(media).select(
         "media_id", "width", "height", "channels", "mean_intensity"
     )
+
+
+@query(
+    "text_bigram_nll",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[i-1] AS prev, t[i] AS cur
+      FROM (SELECT doc_id, t, unnest(generate_series(2, len(t))) AS i
+            FROM tk WHERE len(t) >= 2)
+    ),
+    bc AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY prev, cur),
+    cc AS (SELECT prev, count(*) AS c1 FROM bg GROUP BY prev)
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(avg(-ln(c2 / c1)), 4) AS bnll,
+           round(exp(avg(-ln(c2 / c1))), 4) AS bppl
+    FROM bg JOIN bc USING (prev, cur) JOIN cc USING (prev)
+    GROUP BY doc_id
+    """,
+)
+def q_text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring — the conditional-probability upgrade of
+    `text_unigram_nll`: per-doc average −ln P(tᵢ | tᵢ₋₁) under the
+    corpus's own bigram model (and its exp, conditional perplexity).
+    Bigram surprise separates fluent text from word-salad that unigram
+    frequency can't (each word common, the SEQUENCE improbable) — the
+    standard second LM gate in pretraining pipelines.
+
+    Scale: bigram construction is ZERO-shuffle — a `zip_with` over the
+    token array's two offset slices, fused into the scan (no
+    self-join-on-position). The model is two corpus-bounded aggregations
+    (bigram and context counts); scoring joins them back keyed on the
+    bigram — deliberately NOT broadcast (a 100 TB corpus's bigram table
+    outgrows any broadcast budget; the join stays a keyed shuffle that
+    AQE broadcast-converts while small). One doc-keyed agg finishes."""
+    from ..functions.text import tokens
+
+    toks = tokens("text")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    bg = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    )
+    bc = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    cc = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
+    nll = -F.log(F.col("c2") / F.col("c1"))
+    return (
+        bg.join(bc, ["prev", "cur"]).join(cc, ["prev"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), 4).alias("bnll"),
+            F.round(F.exp(F.avg(nll)), 4).alias("bppl"),
+        )
+    )
