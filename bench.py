@@ -78,6 +78,8 @@ HEADLINE = [
     "embedding_decontaminate",
     "text_hash_classifier",
     "corpus_shard_manifest",
+    "corpus_budget_select",
+    "text_bigram_nll",
 ]
 
 
