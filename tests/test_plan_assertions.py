@@ -165,3 +165,61 @@ def test_mixture_weights_single_aggregation_pass(spark, sf_dir):
         "== Physical Plan =="
     )[-1]
     assert "BroadcastNestedLoopJoin" in physical or "BroadcastExchange" in physical
+
+
+def test_hash_classifier_is_map_only(spark, sf_dir):
+    """The hashing-trick classifier's whole claim is zero-shuffle scoring
+    (no vocab build, no broadcast): the physical plan must be exchange-free."""
+    plan_str = _plan(QUERIES["text_hash_classifier"](spark, sf_dir))
+    physical = plan_str.split("== Physical Plan ==")[-1]
+    assert "Exchange" not in physical
+
+
+def test_adaptive_lsh_identity_below_threshold_grows_above():
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.similarity import (
+        _adaptive_lsh_params,
+    )
+
+    # identity at the oracle-gated small SFs (≤ 16·2^8 = 4096 vectors)
+    assert _adaptive_lsh_params(500, 8, 4) == (8, 4)
+    assert _adaptive_lsh_params(4096, 8, 4) == (8, 4)
+    # +1 plane per doubling past the threshold, +1 table per 2 planes
+    assert _adaptive_lsh_params(8192, 8, 4) == (9, 5)
+    assert _adaptive_lsh_params(65536, 8, 4) == (12, 6)
+    # monotone occupancy bound: buckets ≥ n / 16 at every n
+    for n in (10_000, 100_000, 10_000_000, 1_000_000_000):
+        p, _t = _adaptive_lsh_params(n, 8, 4)
+        assert (1 << p) * 16 >= n
+
+
+def test_argmax_per_group_matches_window_topk(spark):
+    """max_by(struct) argmax must agree with the window top-1 under the
+    identical ordering tuple — including ties broken by the trailing
+    unique key (the semdedup assignment contract)."""
+    import pyspark.sql.functions as F
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.windows import (
+        argmax_per_group,
+        topk_per_group,
+    )
+
+    rows = [
+        # (grp, cand, score) with deliberate score ties inside groups
+        ("a", 1, 0.9), ("a", 2, 0.9), ("a", 3, 0.1),
+        ("b", 7, 0.5), ("b", 6, 0.5), ("b", 5, 0.5),
+        ("c", 9, 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["grp", "cand", "score"])
+    via_window = {
+        (r.grp, r.cand)
+        for r in topk_per_group(
+            df, ["grp"], [F.col("score"), -F.col("cand")], k=1, descending=True
+        ).collect()
+    }
+    via_argmax = {
+        (r.grp, r.cand)
+        for r in argmax_per_group(
+            df, ["grp"], [F.col("score"), -F.col("cand")], ["cand", "score"]
+        ).collect()
+    }
+    assert via_argmax == via_window == {("a", 1), ("b", 5), ("c", 9)}
