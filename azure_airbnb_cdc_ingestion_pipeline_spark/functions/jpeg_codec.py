@@ -51,10 +51,13 @@ QUANT_CHROMA = np.array(
     dtype=np.float64,
 )
 
-# zigzag scan order: ZIGZAG[i] = (row, col) of the i-th coefficient
+# zigzag scan order: ZIGZAG[i] = (row, col) of the i-th coefficient.
+# Per ITU-T T.81 Figure A.6: odd diagonals run top-right → bottom-left
+# (increasing row), even diagonals bottom-left → top-right (increasing
+# column), so (0,0),(0,1),(1,0),(2,0),(1,1),(0,2),...
 _zz = sorted(
     ((r, c) for r in range(8) for c in range(8)),
-    key=lambda rc: (rc[0] + rc[1], rc[1] if (rc[0] + rc[1]) % 2 else rc[0]),
+    key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else rc[1]),
 )
 ZIGZAG = _zz
 _INV_ZIGZAG = np.zeros(64, dtype=np.int64)
@@ -164,10 +167,50 @@ def _blocks_of(plane: np.ndarray) -> np.ndarray:
     return plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
 
 
+def _encode_dc(writer: _BitWriter, dc_tab: dict, diff: int) -> None:
+    s = _category(diff)
+    code, ln = dc_tab[s]
+    writer.write(code, ln)
+    if s:
+        writer.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+
+def _encode_ac_band(
+    writer: _BitWriter, ac_tab: dict, seq: np.ndarray, lo: int, hi: int
+) -> None:
+    """Run-length/size encode seq[lo..hi]. With lo=1,hi=63 this is the
+    baseline AC coder; a progressive spectral-selection scan (Ah=0) uses
+    the identical code stream when EOBRUN is flushed per block (EOB0 ==
+    baseline EOB)."""
+    run = 0
+    nz = np.nonzero(seq[lo : hi + 1])[0]
+    last_nz = (nz[-1] + lo) if nz.size else lo - 1
+    for i in range(lo, last_nz + 1):
+        v = int(seq[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            writer.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_tab[(run << 4) | s]
+        writer.write(code, ln)
+        writer.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < hi:
+        code, ln = ac_tab[0x00]  # EOB (== EOBRUN of exactly 1)
+        writer.write(code, ln)
+
+
 def encode_jpeg(
-    width: int, height: int, channels: int, pixels: bytes
+    width: int, height: int, channels: int, pixels: bytes,
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline sequential 4:4:4 JPEG from raw 8-bit pixels (row-major,
+    """Sequential-baseline (SOF0) or progressive (SOF2, spectral
+    selection only: one interleaved DC scan then one full-band AC scan
+    per component) 4:4:4 JPEG from raw 8-bit pixels (row-major,
     interleaved for 3-channel RGB). Quality is fixed at the Annex K
     tables (~50)."""
     if channels not in (1, 3):
@@ -188,58 +231,16 @@ def encode_jpeg(
     ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
     quants = [QUANT_LUMA] + [QUANT_CHROMA] * (channels - 1)
 
-    writer = _BitWriter()
-    # quantized blocks per component, then interleave per MCU (4:4:4 →
-    # one block of each component per MCU)
-    qblocks = []
+    # quantized zigzag sequences per component: (bh, bw, 64)
+    qseq = []
     for ci, comp in enumerate(comps):
         padded = np.pad(
             comp, ((0, ph - height), (0, pw - width)), mode="edge"
         )
         blocks = _blocks_of(padded) - 128.0
         coef = np.einsum("km,ijmn,ln->ijkl", _C, blocks, _C)
-        qblocks.append(
-            np.round(coef / quants[ci]).astype(np.int64)
-        )
-    prev_dc = [0] * channels
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            for ci in range(channels):
-                tsel = 0 if ci == 0 else 1
-                dc_tab, ac_tab = _ENC_DC[tsel], _ENC_AC[tsel]
-                blk = qblocks[ci][by, bx]
-                seq = blk.reshape(64)[_INV_ZIGZAG]
-                diff = int(seq[0]) - prev_dc[ci]
-                prev_dc[ci] = int(seq[0])
-                s = _category(diff)
-                code, ln = dc_tab[s]
-                writer.write(code, ln)
-                if s:
-                    bits = diff if diff > 0 else diff + (1 << s) - 1
-                    writer.write(bits, s)
-                run = 0
-                last_nz = 0
-                nz = np.nonzero(seq[1:])[0]
-                last_nz = (nz[-1] + 1) if nz.size else 0
-                for i in range(1, last_nz + 1):
-                    v = int(seq[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_tab[0xF0]  # ZRL
-                        writer.write(code, ln)
-                        run -= 16
-                    s = _category(v)
-                    code, ln = ac_tab[(run << 4) | s]
-                    writer.write(code, ln)
-                    bits = v if v > 0 else v + (1 << s) - 1
-                    writer.write(bits, s)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = ac_tab[0x00]  # EOB
-                    writer.write(code, ln)
-    scan = writer.flush()
+        qb = np.round(coef / quants[ci]).astype(np.int64)
+        qseq.append(qb.reshape(ph // 8, pw // 8, 64)[..., _INV_ZIGZAG])
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -254,26 +255,70 @@ def encode_jpeg(
         )
 
     sof_body = struct.pack(">BHHB", 8, height, width, channels)
-    sos_body = bytes([channels])
     for ci in range(channels):
         tq = 0 if ci == 0 else 1
         sof_body += bytes([ci + 1, 0x11, tq])  # 1×1 sampling: 4:4:4
-        sos_body += bytes([ci + 1, (tq << 4) | tq])
-    sos_body += bytes([0, 63, 0])
 
     out = b"\xff\xd8"  # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
     out += dqt(0, QUANT_LUMA)
     if channels == 3:
         out += dqt(1, QUANT_CHROMA)
-    out += seg(0xC0, sof_body)
+    out += seg(0xC2 if progressive else 0xC0, sof_body)
     out += dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
     out += dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
     if channels == 3:
         out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
         out += dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
-    out += seg(0xDA, sos_body)
-    out += scan
+
+    bh, bw = ph // 8, pw // 8
+    if not progressive:
+        sos_body = bytes([channels])
+        for ci in range(channels):
+            tq = 0 if ci == 0 else 1
+            sos_body += bytes([ci + 1, (tq << 4) | tq])
+        sos_body += bytes([0, 63, 0])
+        writer = _BitWriter()
+        prev_dc = [0] * channels
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(channels):
+                    tsel = 0 if ci == 0 else 1
+                    seq = qseq[ci][by, bx]
+                    diff = int(seq[0]) - prev_dc[ci]
+                    prev_dc[ci] = int(seq[0])
+                    _encode_dc(writer, _ENC_DC[tsel], diff)
+                    _encode_ac_band(writer, _ENC_AC[tsel], seq, 1, 63)
+        out += seg(0xDA, sos_body) + writer.flush()
+    else:
+        # scan 1: interleaved DC-only (Ss=0, Se=0, Ah=0, Al=0)
+        sos_body = bytes([channels])
+        for ci in range(channels):
+            tsel = 0 if ci == 0 else 1
+            sos_body += bytes([ci + 1, tsel << 4])
+        sos_body += bytes([0, 0, 0])
+        writer = _BitWriter()
+        prev_dc = [0] * channels
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(channels):
+                    tsel = 0 if ci == 0 else 1
+                    diff = int(qseq[ci][by, bx, 0]) - prev_dc[ci]
+                    prev_dc[ci] = int(qseq[ci][by, bx, 0])
+                    _encode_dc(writer, _ENC_DC[tsel], diff)
+        out += seg(0xDA, sos_body) + writer.flush()
+        # one spectral-selection AC scan per component (Ss=1, Se=63):
+        # per-block EOB0 keeps the stream baseline-shaped
+        for ci in range(channels):
+            tsel = 0 if ci == 0 else 1
+            sos_body = bytes([1, ci + 1, tsel]) + bytes([1, 63, 0])
+            writer = _BitWriter()
+            for by in range(bh):
+                for bx in range(bw):
+                    _encode_ac_band(
+                        writer, _ENC_AC[tsel], qseq[ci][by, bx], 1, 63
+                    )
+            out += seg(0xDA, sos_body) + writer.flush()
     out += b"\xff\xd9"  # EOI
     return out
 
@@ -346,21 +391,164 @@ def _extend(v: int, s: int) -> int:
     return v - ((1 << s) - 1) if v < (1 << (s - 1)) else v
 
 
+def _skip_entropy(buf: bytes, pos: int) -> int:
+    """Advance past entropy-coded data to the next real marker (skipping
+    stuffed 0xFF00 and restart markers)."""
+    n = len(buf)
+    while pos + 1 < n:
+        if buf[pos] == 0xFF:
+            nxt = buf[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _to_image(planes: list[np.ndarray], h: int, w: int) -> dict:
+    """YCbCr→RGB (or passthrough gray), crop to (h, w), package result."""
+    nch = len(planes)
+    if nch == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        img = np.stack([r, g, b], axis=-1)
+    else:
+        img = planes[0][..., None]
+    img = np.clip(np.round(img[:h, :w]), 0, 255).astype(np.uint8)
+    return {
+        "width": w,
+        "height": h,
+        "channels": nch,
+        "pixels": img.tobytes(),
+        "mean_intensity": float(img.mean()),
+    }
+
+
+def _decode_progressive(
+    payload: bytes,
+    frame: tuple,
+    quant: dict[int, np.ndarray],
+    scans: list[tuple],
+) -> dict:
+    """Progressive (SOF2) reconstruction: DC first + DC refinement scans
+    and spectral-selection AC scans (Ah=0) are decoded exactly; AC
+    successive-approximation refinement scans are skipped (coefficients
+    stay at their coarser approximation — a fidelity degrade, never a
+    layout error)."""
+    h, w, comps = frame
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    bh, bw = ph // 8, pw // 8
+    nch = len(comps)
+    comp_idx = {cid: k for k, (cid, _tq) in enumerate(comps)}
+    # zigzag-order coefficient store per component
+    coef = [np.zeros((bh, bw, 64), dtype=np.int64) for _ in range(nch)]
+    for scomps, ss, se, ah, al, start, dc_tabs, ac_tabs in scans:
+        reader = _BitReader(payload, start)
+        if ss == 0:
+            if se != 0:
+                raise ValueError(
+                    "malformed JPEG: progressive DC scan with Se != 0"
+                )
+            idxs = [comp_idx[cid] for cid, _td, _ta in scomps]
+            if ah == 0:
+                prev = [0] * len(scomps)
+                for by in range(bh):
+                    for bx in range(bw):
+                        for k, (cid, td, _ta) in enumerate(scomps):
+                            if td not in dc_tabs:
+                                raise ValueError(
+                                    "malformed JPEG: missing DC table"
+                                )
+                            s = _read_symbol(reader, dc_tabs[td])
+                            diff = _extend(reader.bits(s), s) if s else 0
+                            prev[k] += diff
+                            coef[idxs[k]][by, bx, 0] = prev[k] << al
+            else:
+                # DC refinement: one raw bit per block; plain addition is
+                # correct under T.81's arithmetic-shift approximation
+                for by in range(bh):
+                    for bx in range(bw):
+                        for k in idxs:
+                            if reader.bit():
+                                coef[k][by, bx, 0] += 1 << al
+        else:
+            if len(scomps) != 1:
+                raise ValueError(
+                    "malformed JPEG: progressive AC scan must be "
+                    "single-component"
+                )
+            if se > 63 or ss > se:
+                raise ValueError("malformed JPEG: bad spectral band")
+            if ah != 0:
+                continue  # AC refinement: degrade (skip this scan)
+            cid, _td, ta = scomps[0]
+            ci = comp_idx[cid]
+            if ta not in ac_tabs:
+                raise ValueError("malformed JPEG: missing AC table")
+            tab = ac_tabs[ta]
+            eobrun = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _read_symbol(reader, tab)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError(
+                                "malformed JPEG: AC index overrun"
+                            )
+                        coef[ci][by, bx, k] = _extend(
+                            reader.bits(s), s
+                        ) << al
+                        k += 1
+    planes = []
+    for ci, (cid, tq) in enumerate(comps):
+        if tq not in quant:
+            raise ValueError("malformed JPEG: missing quant table")
+        natural = np.zeros((bh, bw, 64), dtype=np.float64)
+        natural[..., _INV_ZIGZAG] = coef[ci]
+        blk = natural.reshape(bh, bw, 8, 8) * quant[tq]
+        px = np.einsum("km,ijkl,ln->ijmn", _C, blk, _C) + 128.0
+        planes.append(px.transpose(0, 2, 1, 3).reshape(ph, pw))
+    return _to_image(planes, h, w)
+
+
 def decode_jpeg(payload: bytes) -> dict:
-    """Decode a baseline sequential JPEG within the supported profile
-    (8-bit, 1 or 3 components, 4:4:4, no restarts). Returns
-    {width, height, channels, pixels (bytes, RGB/gray row-major),
-    mean_intensity}. ValueError on malformed bytes;
-    NotImplementedError on valid-but-unsupported profiles (progressive,
-    subsampled, 12-bit, restart intervals, arithmetic coding) so callers
-    degrade to the header walk."""
+    """Decode a JPEG within the supported profile: 8-bit, 1 or 3
+    components, 4:4:4, no restarts; baseline sequential (SOF0) fully,
+    progressive (SOF2) via DC first/refinement scans plus
+    spectral-selection AC scans (Ah=0) — AC successive-approximation
+    refinement scans are skipped, degrading to a coarser (never wrong-
+    layout) image. Returns {width, height, channels, pixels (bytes,
+    RGB/gray row-major), mean_intensity}. ValueError on malformed bytes;
+    NotImplementedError on valid-but-unsupported profiles (subsampled,
+    12-bit, hierarchical, restart intervals, arithmetic coding) so
+    callers degrade to the header walk."""
     if payload is None or not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG payload (bad SOI marker)")
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (h, w, [(cid, tq)])
+    progressive = False
     scan_comps = None
+    # progressive scans: (comps, Ss, Se, Ah, Al, data_start, dc_tabs, ac_tabs)
+    scans: list[tuple] = []
     i, n = 2, len(payload)
     while i + 4 <= n:
         if payload[i] != 0xFF:
@@ -377,11 +565,14 @@ def decode_jpeg(payload: bytes) -> dict:
         if i + 4 > n:
             raise ValueError("malformed JPEG: truncated segment header")
         seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        if seg_len < 2:
+            raise ValueError("malformed JPEG: segment length < 2")
         body = payload[i + 4 : i + 2 + seg_len]
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                       0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential Huffman JPEG (SOF0) supported"
+                "only baseline (SOF0) and progressive Huffman (SOF2) "
+                "JPEG supported"
             )
         if marker == 0xDD:
             raise NotImplementedError("restart intervals not supported")
@@ -411,12 +602,15 @@ def decode_jpeg(payload: bytes) -> dict:
                 vals = list(body[j + 17 : j + 17 + cnt])
                 (huff_ac if tc else huff_dc)[th] = _decode_tables(bits, vals)
                 j += 17 + cnt
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             if len(body) < 6:
                 raise ValueError("malformed JPEG: truncated SOF segment")
             _prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if ncomp not in (1, 3):
                 raise NotImplementedError(f"{ncomp}-component JPEG not supported")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("malformed JPEG: truncated SOF components")
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
@@ -429,14 +623,40 @@ def decode_jpeg(payload: bytes) -> dict:
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("malformed JPEG: SOS before SOF")
+            if len(body) < 1:
+                raise ValueError("malformed JPEG: empty SOS segment")
             ns = body[0]
+            if ns < 1 or len(body) < 1 + 2 * ns:
+                raise ValueError("malformed JPEG: truncated SOS components")
+            frame_ids = {cid for cid, _tq in frame[2]}
             scan_comps = []
             for c in range(ns):
                 cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                if cid not in frame_ids:
+                    raise ValueError(
+                        "malformed JPEG: scan component id not in frame"
+                    )
                 scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
-            i = i + 2 + seg_len
-            break  # entropy-coded data follows
+            if not progressive:
+                i = i + 2 + seg_len
+                break  # entropy-coded data follows
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("malformed JPEG: truncated SOS params")
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            data_start = i + 2 + seg_len
+            scans.append((
+                scan_comps, ss, se, ahal >> 4, ahal & 0x0F, data_start,
+                dict(huff_dc), dict(huff_ac),
+            ))
+            scan_comps = None
+            i = _skip_entropy(payload, data_start)
+            continue
         i += 2 + seg_len
+    if progressive:
+        if not scans:
+            raise NoScanData("JPEG has headers but no scan data")
+        return _decode_progressive(payload, frame, quant, scans)
     if scan_comps is None:
         if frame is not None:
             raise NoScanData("JPEG has headers but no scan data")
@@ -478,19 +698,4 @@ def decode_jpeg(payload: bytes) -> dict:
                 planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                     _C.T @ blk @ _C + 128.0
                 )
-    if nch == 3:
-        y, cb, cr = planes
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
-        img = np.stack([r, g, b], axis=-1)
-    else:
-        img = planes[0][..., None]
-    img = np.clip(np.round(img[:h, :w]), 0, 255).astype(np.uint8)
-    return {
-        "width": w,
-        "height": h,
-        "channels": nch,
-        "pixels": img.tobytes(),
-        "mean_intensity": float(img.mean()),
-    }
+    return _to_image(planes, h, w)

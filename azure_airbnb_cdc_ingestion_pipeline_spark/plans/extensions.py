@@ -5372,9 +5372,12 @@ def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gray = 20 + 2·(doc_id % 100), dims 8·(1+doc_id%3) × 8·(1+doc_id%2))
     with `functions.jpeg_codec.encode_jpeg`, decode it back through the
     `decode_features` Arrow stage, and emit the decoded dimensions and
-    mean intensity. Both synthesis and decode are narrow mapInPandas
-    passes — payload bytes never shuffle, so the pattern is scan-speed
-    linear at any corpus size."""
+    mean intensity. r5: odd doc_ids encode PROGRESSIVE (SOF2, DC +
+    spectral-AC scans) so the oracle now also gates the progressive
+    decode path — flat blocks reconstruct bit-identically under either
+    coding. Both synthesis and decode are narrow mapInPandas passes —
+    payload bytes never shuffle, so the pattern is scan-speed linear at
+    any corpus size."""
     import pandas as _pd
 
     from ..functions.jpeg_codec import encode_jpeg
@@ -5393,7 +5396,9 @@ def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 v = 20 + 2 * (did % 100)
                 payloads.append(
                     encode_jpeg(
-                        w, h, 1, _np.full((h, w), v, dtype=_np.uint8).tobytes()
+                        w, h, 1,
+                        _np.full((h, w), v, dtype=_np.uint8).tobytes(),
+                        progressive=bool(did % 2),
                     )
                 )
             yield _pd.DataFrame(

@@ -1102,7 +1102,7 @@ def test_jpeg_roundtrip_codec():
     assert np.abs(dec3[2:-2, 2:5].astype(int) - [200, 30, 30]).max() < 30
 
     # truncated scan → ValueError (quarantine); header-only → NoScanData
-    # (degrade); progressive SOF → NotImplementedError (degrade)
+    # (degrade)
     import pytest as _pytest
 
     from azure_airbnb_cdc_ingestion_pipeline_spark.functions.codecs import (
@@ -1114,9 +1114,85 @@ def test_jpeg_roundtrip_codec():
         decode_jpeg(full[: len(full) // 2])
     with _pytest.raises(NoScanData):
         decode_jpeg(encode_jpeg_header(64, 64, 3))
-    prog = full.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with _pytest.raises(NotImplementedError):
-        decode_jpeg(prog)
+    # a baseline stream merely relabeled SOF2 is MALFORMED (progressive
+    # DC scan requires Se=0) → quarantine, not degrade
+    with _pytest.raises(ValueError):
+        decode_jpeg(full.replace(b"\xff\xc0", b"\xff\xc2", 1))
+
+
+def test_jpeg_zigzag_matches_t81():
+    """ITU-T T.81 Figure A.6 order — guards against the transposed-key
+    regression the r4 advisor flagged (odd diagonals run by row, even by
+    column)."""
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.jpeg_codec import (
+        ZIGZAG,
+    )
+
+    assert ZIGZAG[:10] == [
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1),
+        (0, 2), (0, 3), (1, 2), (2, 1), (3, 0),
+    ]
+    assert ZIGZAG[-4:] == [(5, 7), (6, 7), (7, 6), (7, 7)]
+
+
+def test_jpeg_progressive_roundtrip():
+    """SOF2 encode (interleaved DC scan + per-component spectral AC
+    scans) decodes to the SAME pixels as the baseline encoding of the
+    same source — the spectral scans carry full coefficient precision."""
+    import numpy as np
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    for ch, (w, h) in [(1, (24, 16)), (3, (20, 12)), (3, (13, 11))]:
+        px = rng.integers(0, 256, size=h * w * ch, dtype=np.uint8).tobytes()
+        base = decode_jpeg(encode_jpeg(w, h, ch, px))
+        prog_payload = encode_jpeg(w, h, ch, px, progressive=True)
+        assert b"\xff\xc2" in prog_payload and b"\xff\xc0" not in prog_payload
+        prog = decode_jpeg(prog_payload)
+        assert prog["pixels"] == base["pixels"]
+        assert (prog["width"], prog["height"], prog["channels"]) == (w, h, ch)
+    # truncated progressive scan data still quarantines
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(prog_payload[: len(prog_payload) - 40])
+
+
+def test_jpeg_malformed_raises_valueerror_only():
+    """The quarantine contract: malformed bytes raise ValueError, never
+    KeyError/IndexError (r4 advisor finding — empty SOS body, foreign
+    scan component ids, truncated component lists)."""
+    import struct
+
+    import pytest as _pytest
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    good = encode_jpeg(8, 8, 1, bytes(64))
+    i = good.find(b"\xff\xda")
+    seglen = struct.unpack(">H", good[i + 2 : i + 4])[0]
+    tail = good[i + 2 + seglen :]
+    # empty SOS body
+    with _pytest.raises(ValueError):
+        decode_jpeg(good[:i] + b"\xff\xda\x00\x02" + tail)
+    # scan component id absent from SOF
+    body = bytearray(good[i + 4 : i + 2 + seglen])
+    body[1] = 99
+    with _pytest.raises(ValueError):
+        decode_jpeg(good[: i + 4] + bytes(body) + tail)
+    # truncated SOS component list
+    with _pytest.raises(ValueError):
+        decode_jpeg(good[:i] + b"\xff\xda\x00\x03\x02" + tail)
+    # zero-length segment
+    with _pytest.raises(ValueError):
+        decode_jpeg(good[:i] + b"\xff\xda\x00\x01" + tail)
 
 
 def test_decode_media_jpeg_pixels(spark):
