@@ -586,7 +586,19 @@ def semdedup(
 def _min_id_prune(assigned: DataFrame, id_col: str, threshold: float) -> DataFrame:
     """Shared SemDeDup back half: within each cell, mark any vector with a
     LOWER-id neighbor at cosine ≥ threshold as a duplicate (greedy min-id
-    survivor). ``assigned``: (id, vv, cell)."""
+    survivor). ``assigned``: (id, vv, cell).
+
+    ``assigned`` feeds THREE branches of the final plan (both sides of
+    the within-cell self-join plus the keep-flag left join); without a
+    persist Spark recomputes the entire upstream assignment pipeline —
+    for `semdedup_scaled` that is two crossJoin+argmax levels — once per
+    branch (measured 3x wall at sf0.1, the r4 verdict's top regression).
+    MEMORY_AND_DISK persist of the (id, vec, cell) frame is O(corpus)
+    storage, the standard reuse-3x trade; `release_persisted()` frees it
+    between queries."""
+    from ..session import track_persist
+
+    assigned = track_persist(assigned)
     a = assigned.select(
         F.col("id").alias("a_id"), F.col("vv").alias("va"), "cell"
     )
@@ -649,9 +661,15 @@ def semdedup_scaled(
     """
     import math
 
-    from ..session import fan_out
+    from ..session import fan_out, track_persist
     from .windows import argmax_per_group
 
+    # Persist BEFORE counting: the corpus lineage feeds the sizing count,
+    # both centroid TakeOrdered jobs, and the vector-side assignment —
+    # four scans that would otherwise each recompute the upstream plan
+    # (r4 advisor pattern; same O(corpus) MEMORY_AND_DISK trade as the
+    # assigned-frame persist in _min_id_prune).
+    vectors = track_persist(fan_out(vectors))
     n = vectors.count()
     k2 = max(1, n // target_cell)
     k1 = max(1, int(math.floor(math.sqrt(k2))))
@@ -686,7 +704,6 @@ def semdedup_scaled(
         [F.col("cd"), F.col("is_self"), -F.col("ccell")],
         ["center", "ccell"],
     )
-    vectors = fan_out(vectors)
     # vector → coarse cell (n × k1, broadcast coarse)
     v2c = argmax_per_group(
         vectors.crossJoin(F.broadcast(coarse)).select(
