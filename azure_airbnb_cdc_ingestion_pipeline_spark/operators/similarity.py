@@ -152,16 +152,41 @@ def _adaptive_lsh_params(
     on both axes because the verification join is candidate-bounded.
     Below the threshold corpus size this is the identity — the
     oracle-gated small-sf behavior (and its hash-exact results) are
-    unchanged."""
+    unchanged.
+
+    r5 smoothing: the r4 scheme's bucket count could only be a power of
+    two, so occupancy sawtoothed between target/2 and target as n crossed
+    plane boundaries — two scale-bench points landing on opposite sides
+    of a boundary measured a spurious ~2x step on top of the data ratio
+    (`SCALE_r04_sf3` flagged `embedding_cosine_pairs` 4.18x at k=3).
+    Now the third return value `nbuckets` = ⌈n / (target/2)⌉ EXACTLY
+    (any integer, not a power of two); callers post-hash the sign-bit
+    bucket id into `nbuckets` buckets (`_bucketize`), pinning occupancy
+    to target/2 = 8 for every n — the BOTTOM of the old sawtooth, so the
+    smoothed grid is never more collision-dense than any r4 operating
+    point (measured: sf1 5.6→4.4 s, sf3 23.6→11.5 s). Merging sign
+    buckets under the mod only ADDS candidates vs the same-planes sign
+    grid, so recall never drops below the sign-grid bound. `nbuckets` is
+    None in the identity regime (raw sign buckets below target·2^planes,
+    exactly the pre-r5 small-sf behavior the oracles gate)."""
     import math
 
-    extra = max(
-        0,
-        math.ceil(
-            math.log2(max(1.0, n / (target_occupancy * (1 << num_planes))))
-        ),
-    )
-    return num_planes + extra, num_tables + (extra + 1) // 2
+    if n <= target_occupancy * (1 << num_planes):
+        return num_planes, num_tables, None
+    nbuckets = -(-n // (target_occupancy // 2))
+    planes = max(num_planes, math.ceil(math.log2(nbuckets)))
+    extra = planes - num_planes
+    return planes, num_tables + (extra + 1) // 2, nbuckets
+
+
+def _bucketize(bucket: Column, nbuckets: int | None) -> Column:
+    """Fold a sign-bit bucket id into exactly `nbuckets` buckets (identity
+    when None): pmod(xxhash64(bucket)) rather than pmod(bucket) so the
+    merge pairs are pseudo-random, not the adjacent-bit-pattern buckets
+    that real embedding clusters concentrate in."""
+    if nbuckets is None:
+        return bucket
+    return F.pmod(F.xxhash64(bucket), F.lit(nbuckets))
 
 
 def cosine_pairs_lsh(
@@ -198,19 +223,27 @@ def cosine_pairs_lsh(
     """
     from ..session import fan_out
 
-    if adaptive:
-        num_planes, num_tables = _adaptive_lsh_params(
-            vectors.count(), num_planes, num_tables
-        )
+    # normalize/persist FIRST, then count the persisted frame: counting
+    # the raw input would materialize the full upstream lineage an extra
+    # time per call (r4 advisor finding), while the unit frame is read by
+    # the bucket build and both verification sides anyway.
     unit = normalized(fan_out(vectors), id_col, vec_col)
+    nbuckets = None
+    if adaptive:
+        num_planes, num_tables, nbuckets = _adaptive_lsh_params(
+            unit.count(), num_planes, num_tables
+        )
     # all tables' buckets in ONE projection over the persisted unit frame
     # (explode, not a 4-way union: one scan instead of num_tables scans)
     table_structs = [
         F.struct(
             F.lit(t).alias("tbl"),
-            lsh_bucket_expr("unit", dim, num_planes, seed=0xA11CE + t * 7919).alias(
-                "bucket"
-            ),
+            _bucketize(
+                lsh_bucket_expr(
+                    "unit", dim, num_planes, seed=0xA11CE + t * 7919
+                ),
+                nbuckets,
+            ).alias("bucket"),
         )
         for t in range(num_tables)
     ]
@@ -762,19 +795,26 @@ def cross_cosine_lsh(
     """
     from ..session import fan_out
 
-    if adaptive:  # the big (train) side governs bucket occupancy
-        num_planes, num_tables = _adaptive_lsh_params(
-            left.count(), num_planes, num_tables
-        )
+    # persist-then-count (r4 advisor): the train side's lineage can be a
+    # filter+union over the scan — count the persisted unit frame instead
+    # of re-materializing the raw input.
     lu = normalized(fan_out(left), id_col, vec_col)
     ru = normalized(right, id_col, vec_col)
+    nbuckets = None
+    if adaptive:  # the big (train) side governs bucket occupancy
+        num_planes, num_tables, nbuckets = _adaptive_lsh_params(
+            lu.count(), num_planes, num_tables
+        )
 
     def _buckets(unit: DataFrame, out_id: str) -> DataFrame:
         table_structs = [
             F.struct(
                 F.lit(t).alias("tbl"),
-                lsh_bucket_expr(
-                    "unit", dim, num_planes, seed=0xA11CE + t * 7919
+                _bucketize(
+                    lsh_bucket_expr(
+                        "unit", dim, num_planes, seed=0xA11CE + t * 7919
+                    ),
+                    nbuckets,
                 ).alias("bucket"),
             )
             for t in range(num_tables)

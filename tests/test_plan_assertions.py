@@ -180,16 +180,20 @@ def test_adaptive_lsh_identity_below_threshold_grows_above():
         _adaptive_lsh_params,
     )
 
-    # identity at the oracle-gated small SFs (≤ 16·2^8 = 4096 vectors)
-    assert _adaptive_lsh_params(500, 8, 4) == (8, 4)
-    assert _adaptive_lsh_params(4096, 8, 4) == (8, 4)
-    # +1 plane per doubling past the threshold, +1 table per 2 planes
-    assert _adaptive_lsh_params(8192, 8, 4) == (9, 5)
-    assert _adaptive_lsh_params(65536, 8, 4) == (12, 6)
-    # monotone occupancy bound: buckets ≥ n / 16 at every n
+    # identity at the oracle-gated small SFs (≤ 16·2^8 = 4096 vectors):
+    # raw sign buckets, no post-hash
+    assert _adaptive_lsh_params(500, 8, 4) == (8, 4, None)
+    assert _adaptive_lsh_params(4096, 8, 4) == (8, 4, None)
+    # above the threshold the bucket count is EXACTLY ⌈n/8⌉ (smooth —
+    # not a power of two), planes grow to cover it, +1 table per 2 planes
+    assert _adaptive_lsh_params(8192, 8, 4) == (10, 5, 1024)
+    assert _adaptive_lsh_params(65536, 8, 4) == (13, 7, 8192)
+    assert _adaptive_lsh_params(20_000, 8, 4) == (12, 6, 2500)
     for n in (10_000, 100_000, 10_000_000, 1_000_000_000):
-        p, _t = _adaptive_lsh_params(n, 8, 4)
-        assert (1 << p) * 16 >= n
+        p, _t, b = _adaptive_lsh_params(n, 8, 4)
+        # occupancy pinned to (7, 8]: no sawtooth between scale points
+        assert b == -(-n // 8) and (1 << p) >= b
+        assert 7.0 < n / b <= 8.0 or n <= 8
 
 
 def test_argmax_per_group_matches_window_topk(spark):
