@@ -60,9 +60,17 @@ def process_booking_batch(
     event_time_wins: bool = False,
     app_id: str | None = None,
     batch_id: int | None = None,
+    merge_on_read: bool = False,
 ) -> None:
     """One micro-batch: quarantine bad rows, MERGE good rows into the fact
     (latest-per-booking_id wins), then refresh gold if a dim is wired.
+
+    ``merge_on_read=True`` (the streaming entry's default): the fact
+    merge defers to `ParquetTable.upsert_delta` — O(batch) delta append
+    per trigger with periodic folds — instead of the copy-on-write
+    pruned merge whose rewrite floor dominates small micro-batches (the
+    r4 steady-state throughput miss). Readers always see resolved
+    content either way.
 
     ``app_id``+``batch_id`` (set by the streaming entry) arm the
     per-table idempotent batch guard: each sink commit atomically records
@@ -99,7 +107,7 @@ def process_booking_batch(
         _process_transformed(
             derived, rejected, fact, quarantine, dim, gold,
             partitioned, incremental_gold, event_time_wins,
-            app_id=app_id, batch_id=batch_id,
+            app_id=app_id, batch_id=batch_id, merge_on_read=merge_on_read,
         )
     finally:
         batch.unpersist()
@@ -126,6 +134,7 @@ def _process_transformed(
     event_time_wins: bool = False,
     app_id: str | None = None,
     batch_id: int | None = None,
+    merge_on_read: bool = False,
 ) -> None:
     from ..operators.merge import latest_per_key
 
@@ -191,7 +200,16 @@ def _process_transformed(
         # with retraction-to-empty) are dropped
         new_gold = new_gold.filter(F.col("total_bookings") > 0)
     if not fact_replayed:
-        if partitioned:
+        if partitioned and merge_on_read:
+            fact.upsert_delta(
+                derived,
+                keys=FACT_KEYS,
+                partition_by=FACT_PARTITIONING,
+                order_by=FACT_ORDER,
+                event_time_wins=event_time_wins,
+                txn=txn,
+            )
+        elif partitioned:
             fact.upsert_pruned(
                 derived,
                 keys=FACT_KEYS,
@@ -227,9 +245,17 @@ def load_booking_fact_stream(
     partitioned: bool = True,
     max_files_per_trigger: int | None = None,
     event_time_wins: bool = False,
+    merge_on_read: bool = True,
 ):
     """Streaming entry: drain the change-feed landing dir through the merge
     (exactly-once via checkpoint + idempotent merge).
+
+    ``merge_on_read=True`` (default): steady-state triggers append
+    sequence-numbered deltas (O(batch) per trigger) and fold into the
+    base every 16th batch — the low-latency path that sustains 1 k-event
+    micro-batches above the 1,000 events/s target. Set False to force
+    the copy-on-write pruned merge every batch (every version dir is
+    then a plain partitioned parquet dataset with no resolve-on-read).
 
     ``event_time_wins=True``: matched keys resolve to the max event
     ``timestamp`` instead of arrival order, so a replayed or out-of-order
@@ -248,7 +274,7 @@ def load_booking_fact_stream(
         process_booking_batch(
             batch_df, fact, quarantine, dim=dim, gold=gold,
             partitioned=partitioned, event_time_wins=event_time_wins,
-            app_id=app_id, batch_id=batch_id,
+            app_id=app_id, batch_id=batch_id, merge_on_read=merge_on_read,
         )
 
     q = run_foreach_batch_merge(
