@@ -3468,6 +3468,79 @@ def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sessionize_coverage",
+    # Invariant oracle (the stream_tumbling_coverage pattern, r4 verdict
+    # task #4): the stateful sessionizer's drained output must equal the
+    # batch session computation restricted to CLOSED sessions (end + gap
+    # at or below the final watermark = max ts − 1 day). Absolute epoch
+    # values are deliberately excluded — session DURATION, per-user
+    # ordinal, count and value sum are all timezone-free, so the gate
+    # holds under the driver's hostile non-UTC session.
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             coalesce(value, 0.0) AS v
+      FROM events
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 1 DAY AS w FROM e),
+    lagged AS (
+      SELECT user_id, ts, v,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM e
+    ),
+    marked AS (
+      SELECT user_id, ts, v,
+             CASE WHEN prev IS NULL
+                       OR date_diff('microsecond', prev, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM lagged
+    ),
+    seqd AS (
+      SELECT user_id, ts, v,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS sess
+      FROM marked
+    ),
+    sessions AS (
+      SELECT user_id, sess, min(ts) AS s, max(ts) AS e2,
+             count(*) AS n_events, round(sum(v), 2) AS total_value
+      FROM seqd GROUP BY user_id, sess
+    )
+    SELECT user_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY s)
+                AS BIGINT) AS session_seq,
+           CAST(date_diff('millisecond', s, e2) + 1800000 AS BIGINT)
+             AS dur_ms,
+           n_events,
+           total_value
+    FROM sessions, wm
+    WHERE e2 + INTERVAL 30 MINUTE <= w
+    """,
+)
+def q_sessionize_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage gate over the emit-on-close stateful sessionizer: every
+    drained session's (per-user ordinal, duration, event count, value
+    sum) must match the exact batch sessionization of the same corpus
+    filtered to sessions the final watermark closed — certifies
+    applyInPandasWithState merged events across micro-batches, emitted
+    each closed session exactly once, and dropped none. Folds the r4
+    rows-only key into the hash-checked set (≤ 4 no-oracle keys
+    remain)."""
+    out = q_stream_sessionize_stateful(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("session_start_ms")
+    return out.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("session_seq"),
+        (F.col("session_end_ms") - F.col("session_start_ms"))
+        .cast("bigint")
+        .alias("dur_ms"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("total_value", 2).alias("total_value"),
+    )
+
+
+@query(
     "doc_chunk_overlap",
     oracle="""
     WITH tk AS (
