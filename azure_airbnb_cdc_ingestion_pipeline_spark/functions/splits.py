@@ -88,15 +88,30 @@ def budget_select(
     Returns (id, score, weight) for the selected set; ``score`` is the
     quantized value used for ordering.
     """
+    import math
+
     from pyspark.sql import Window
 
+    # the round(score, d) quantizer only matches the documented
+    # 1/resolution granularity when resolution is 10^d — enforce it
+    # instead of silently quantizing at the next power of 10 down
+    # (r4 advisor: resolution=5000 quantized at 1/1000)
+    decimals = round(math.log10(resolution))
+    if 10**decimals != resolution:
+        raise ValueError(
+            f"resolution must be a power of 10, got {resolution} "
+            "(the quantizer is round(score, log10(resolution)))"
+        )
     sc = F.col(score_col) if isinstance(score_col, str) else score_col
     wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # NULL scores are unrankable: excluded EXPLICITLY (previously they
+    # fell out of the >/== cutoff filters over budget but leaked into
+    # the whole-corpus-fits branch — inconsistent)
     scored = docs.select(
         F.col(id_col).alias("id"),
-        F.round(sc, len(str(resolution)) - 1).alias("score"),
+        F.round(sc, decimals).alias("score"),
         wc.cast("long").alias("weight"),
-    )
+    ).filter(F.col("score").isNotNull())
     buckets = (
         scored.groupBy("score")
         .agg(F.sum("weight").alias("w"))

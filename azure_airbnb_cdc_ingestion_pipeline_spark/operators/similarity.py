@@ -823,15 +823,24 @@ def cross_cosine_lsh(
             F.col("id").alias(out_id), F.explode(F.array(*table_structs)).alias("tb")
         ).select(out_id, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
+    # the eval suite is broadcast-sized BY CONTRACT (a fixed benchmark
+    # set vs an unbounded train corpus) — pin both right-side joins to
+    # broadcast so the whole scan stays one map-side pass over train
+    # (plan-asserted: tests/test_plan_assertions.py)
     cand = (
         _buckets(lu, "left_id")
-        .join(_buckets(ru, "right_id"), ["tbl", "bucket"])
+        .join(F.broadcast(_buckets(ru, "right_id")), ["tbl", "bucket"])
         .select("left_id", "right_id")
         .dropDuplicates(["left_id", "right_id"])
     )
     return (
         cand.join(lu.select(F.col("id").alias("left_id"), F.col("unit").alias("vl")), "left_id")
-        .join(ru.select(F.col("id").alias("right_id"), F.col("unit").alias("vr")), "right_id")
+        .join(
+            F.broadcast(
+                ru.select(F.col("id").alias("right_id"), F.col("unit").alias("vr"))
+            ),
+            "right_id",
+        )
         .withColumn("cos_sim", F.round(dot(F.col("vl"), F.col("vr")), 4))
         .filter(F.col("cos_sim") >= threshold)
         .select("left_id", "right_id", "cos_sim")

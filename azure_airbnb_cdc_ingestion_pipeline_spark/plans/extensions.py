@@ -5347,13 +5347,20 @@ def q_source_jsonl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     good channel — byte-equal to the original table (the oracle); the
     reject channel's content is pinned by
     tests/test_extensions.py::test_jsonl_rejects."""
+    import hashlib
     import os
     import tempfile
 
     from ..sources.readers import read_jsonl_with_rejects
 
     docs = _t(spark, sf_dir, "documents")
-    tmp = os.path.join(tempfile.mkdtemp(prefix="jsonl_"), "docs")
+    # one DETERMINISTIC fixture dir per (sf_dir) reused across
+    # invocations — a fresh mkdtemp per call leaked a corpus-sized dir
+    # every bench/correctness run (r4 advisor). mode("overwrite")
+    # replaces the content each time. Raw newlines cannot corrupt the
+    # line format: to_json emits JSON-escaped (\n) strings by spec.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tmp = os.path.join(tempfile.gettempdir(), f"jsonl_fixture_{tag}", "docs")
     docs.select(
         F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars")).alias(
             "value"

@@ -227,3 +227,105 @@ def test_argmax_per_group_matches_window_topk(spark):
         ).collect()
     }
     assert via_argmax == via_window == {("a", 1), ("b", 5), ("c", 9)}
+
+
+def test_incremental_minhash_single_band_join_no_corpus_self_pair(
+    spark, sf_dir
+):
+    """The incremental dedup's whole claim is corpus-never-self-pairs:
+    exactly ONE (band, bucket-hash)-keyed candidate join may appear —
+    corpus-buckets x delta-buckets. A corpus self-dedup slipping in
+    would add a second band-keyed join (the batch LSH shape). The
+    corpus shingle frame must also be persisted (InMemoryTableScan) so
+    the corpus text parses once, not once per consumer."""
+    physical = _plan(QUERIES["dedup_incremental_minhash"](spark, sf_dir)).split(
+        "== Physical Plan =="
+    )[-1]
+    band_joins = [
+        l
+        for l in physical.splitlines()
+        if "Join" in l and "band#" in l and "bh#" in l
+    ]
+    assert len(band_joins) == 1, band_joins
+    assert "InMemoryTableScan" in physical
+
+
+def test_budget_select_driver_prefix_bounded_no_global_sort(spark):
+    """budget_select's scale contract: the driver touches at most
+    2*resolution+1 bucket rows (never O(corpus)) and the selection plan
+    contains no global sort (Exchange rangepartitioning)."""
+    import pyspark.sql.functions as F
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.splits import (
+        budget_select,
+    )
+
+    resolution = 10
+    docs = spark.range(5000).select(
+        F.col("id"),
+        (F.round((F.col("id") % 21) / 10.0 - 1.0, 1)).alias("s"),
+        (F.col("id") % 7 + 1).alias("w"),
+    )
+    sizes: list[int] = []
+    cls = type(docs)  # patch the CONCRETE DataFrame class (classic impl)
+    orig = cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    cls.collect = spy
+    try:
+        out = budget_select(docs, "id", "s", "w", budget=300,
+                            resolution=resolution)
+        n = out.count()
+    finally:
+        cls.collect = orig
+    assert n > 0
+    assert sizes and all(s <= 2 * resolution + 1 for s in sizes), sizes
+    physical = _plan(out).split("== Physical Plan ==")[-1]
+    assert "rangepartitioning" not in physical
+
+
+def test_budget_select_rejects_non_power_of_ten_resolution(spark):
+    import pytest
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.splits import (
+        budget_select,
+    )
+
+    docs = spark.range(10).select(
+        "id", (F.col("id") / 10.0).alias("s"), F.lit(1).alias("w")
+    )
+    with pytest.raises(ValueError):
+        budget_select(docs, "id", "s", "w", budget=5, resolution=5000)
+
+
+def test_budget_select_null_scores_excluded(spark):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.splits import (
+        budget_select,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 0.9, 10), (2, None, 10), (3, 0.5, 10)],
+        "id long, s double, w long",
+    )
+    # under budget: previously the whole-corpus-fits branch leaked the
+    # NULL-score row; now unrankable rows are excluded consistently
+    got = {r.id for r in budget_select(docs, "id", "s", "w", 1000).collect()}
+    assert got == {1, 3}
+    got = {r.id for r in budget_select(docs, "id", "s", "w", 10).collect()}
+    assert got == {1}
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """Cross-corpus embedding decontamination: the eval suite is
+    broadcast-sized by contract — both the bucket-candidate join and the
+    verification join against the eval vectors must be broadcasts, so
+    the scan stays one map-side pass over the train corpus."""
+    physical = _plan(QUERIES["embedding_decontaminate"](spark, sf_dir)).split(
+        "== Physical Plan =="
+    )[-1]
+    assert physical.count("BroadcastExchange") >= 2
+    assert "BroadcastHashJoin" in physical
