@@ -136,6 +136,13 @@ def main() -> None:
     calib1 = _calibrate()
     steal1 = _steal_ticks()
     total = round(sum(timings.values()), 3)
+    calib = min(calib0, calib1)
+    # Calibrated units (r4 verdict task #7): scale every wall by
+    # (REF_CALIB / host_calib_sec) — the fixed yardstick loop's speed
+    # ratio vs the r4 reference host — so cross-round deltas compare
+    # engine changes, not VM weather. calibrated_sec = sec * REF/calib.
+    # Formula documented in README.md §Benchmarking.
+    cal = (_REF_CALIB / calib) if calib > 0 else 1.0
     out = {
         "metric": "headline_suite_wall",
         "value": total,
@@ -146,27 +153,46 @@ def main() -> None:
         # single-thread Python loop (seconds; bigger = slower host) and
         # the VM's CPU-steal fraction over the suite window. Round-over-
         # round wall deltas should be read against these.
-        "host_calib_sec": min(calib0, calib1),
+        "host_calib_sec": calib,
         "host_steal_pct": _steal_pct(steal0, steal1),
+        "host_calib_ref": _REF_CALIB,
+        "value_calibrated": round(total * cal, 3),
     }
     # Diagnostics go to stderr + a sidecar file, NOT the stdout metric
     # line: the driver tail-captures ~2000 chars of stdout and must always
     # see the final JSON line intact (BENCH_r02 lost its record when io_mb
     # pushed the line past the window).
     diag: dict[str, object] = {}
-    prev = _previous_round(out["sf"])
+    prev, prev_calib = _previous_round(out["sf"])
     if prev:
         # round-over-round regression visibility: per-query delta vs the
         # previous round's recorded bench (same sf only)
         diag["delta_vs_prev"] = {
             n: round(t - prev[n], 3) for n, t in timings.items() if n in prev
         }
+        if prev_calib:
+            # calibrated delta: both rounds rescaled to the reference
+            # host before differencing, so a slow-VM round doesn't read
+            # as a code regression
+            pcal = _REF_CALIB / prev_calib
+            diag["delta_vs_prev_calibrated"] = {
+                n: round(t * cal - prev[n] * pcal, 3)
+                for n, t in timings.items()
+                if n in prev
+            }
         # apples-to-apples wall: the suite grows every round, so also emit
         # this run's total over ONLY the queries the previous round timed
         out["prev_subset_wall"] = round(
             sum(t for n, t in timings.items() if n in prev), 3
         )
         out["prev_wall"] = round(sum(prev.values()), 3)
+        if prev_calib:
+            out["prev_subset_wall_calibrated"] = round(
+                sum(t * cal for n, t in timings.items() if n in prev), 3
+            )
+            out["prev_wall_calibrated"] = round(
+                sum(v * (_REF_CALIB / prev_calib) for v in prev.values()), 3
+            )
     if io_stats:
         # per-query shuffle/scan volume (MB) from the status API — the
         # "is there a shuffle that shouldn't be here" signal at a glance
@@ -234,12 +260,18 @@ def _cumulative_stage_bytes(spark) -> dict[str, float] | None:
     return out
 
 
-def _previous_round(sf) -> dict[str, float] | None:
-    """Per-query timings from the newest BENCH_r*.json at the same sf."""
+#: host-calibration reference: the r4 bench host's yardstick-loop time
+#: (BENCH_r04 host_calib_sec). calibrated_sec = sec * _REF_CALIB / calib.
+_REF_CALIB = 0.162
+
+
+def _previous_round(sf) -> tuple[dict[str, float] | None, float | None]:
+    """(per-query timings, host_calib_sec) from the newest BENCH_r*.json
+    at the same sf (calib None when that round predates the field)."""
     import glob
     import re
 
-    best: tuple[int, dict] | None = None
+    best: tuple[int, dict, float | None] | None = None
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
@@ -253,8 +285,8 @@ def _previous_round(sf) -> dict[str, float] | None:
         if parsed.get("sf") == sf and parsed.get("queries"):
             n = int(m.group(1))
             if best is None or n > best[0]:
-                best = (n, parsed["queries"])
-    return best[1] if best else None
+                best = (n, parsed["queries"], parsed.get("host_calib_sec"))
+    return (best[1], best[2]) if best else (None, None)
 
 
 if __name__ == "__main__":
