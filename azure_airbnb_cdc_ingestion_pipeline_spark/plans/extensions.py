@@ -5562,3 +5562,336 @@ def q_text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(F.avg(nll)), 4).alias("bppl"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r5 additions: hybrid retrieval fusion, contrastive mining, exact-substring
+# span dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "retrieval_hybrid_rrf",
+    # Both rankers and the fusion are replayed exactly in SQL: BM25 as in
+    # text_bm25_rank; the dense side is a 16-bucket hashing-trick
+    # count-vector cosine (bucket = md5-prefix % 16 — the established
+    # portable-hash idiom); RRF = Σ 1/(60 + rank) over the rankers a doc
+    # appears in (missing rank contributes 0).
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(lower(text), ' ')) AS dl FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, t.term, count(*) AS tf
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+      WHERE t.term IN {_BM25_TERMS!r}
+      GROUP BY doc_id, t.term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    bscore AS (
+      SELECT tf.doc_id,
+             round(sum(ln(1.0 + (stats.n_docs - dfreq.df + 0.5)
+                              / (dfreq.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))),
+                   4) AS bm25
+      FROM tf
+      JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    brank AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM bscore QUALIFY r <= 50
+    ),
+    tok AS (
+      SELECT doc_id, t.term FROM documents,
+             unnest(string_split(lower(text), ' ')) AS t(term)
+    ),
+    bc AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(term), 1, 4))::BIGINT % 16 AS b,
+             count(*) AS c
+      FROM tok GROUP BY doc_id, b
+    ),
+    dense AS (
+      SELECT doc_id,
+             round(sum(CASE WHEN b IN (11, 14, 6) THEN c ELSE 0 END)
+                   / (sqrt(sum(c * c)) * sqrt(3.0)), 4) AS cosv
+      FROM bc GROUP BY doc_id
+    ),
+    drank AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cosv DESC, doc_id) AS r
+      FROM dense WHERE cosv > 0 QUALIFY r <= 50
+    ),
+    fused AS (
+      SELECT coalesce(brank.doc_id, drank.doc_id) AS doc_id,
+             brank.r AS bm25_rnk, drank.r AS dense_rnk,
+             round(coalesce(1.0 / (60 + brank.r), 0)
+                   + coalesce(1.0 / (60 + drank.r), 0), 6) AS rrf
+      FROM brank FULL OUTER JOIN drank ON brank.doc_id = drank.doc_id
+    )
+    SELECT doc_id, bm25_rnk, dense_rnk, rrf
+    FROM fused
+    QUALIFY row_number() OVER (ORDER BY rrf DESC, doc_id) <= 20
+    """,
+)
+def q_retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (RRF, k=60) — the
+    standard way RAG stacks combine keyword and dense rankers without
+    score calibration: fuse per-ranker RANKS, not scores. Ranker 1 is
+    the BM25 top-50 (same scoring as `text_bm25_rank`); ranker 2 is a
+    16-bucket hashing-trick count-vector cosine against the query's
+    bucket vector (the portable stand-in for a dense encoder — the
+    fusion machinery is identical for real embeddings). A doc missing
+    from one ranker contributes 0 from it.
+
+    Scale: each ranker ends in a TakeOrdered over its candidate scores
+    (no global sort); the fusion joins two ≤50-row frames — driver-
+    trivial at any corpus size. The dense side is one map pass + one
+    (doc, bucket)-keyed agg."""
+    import hashlib as _hashlib
+
+    from ..functions.text import token_count, tokens
+
+    K1, B, DIM, RRF_K = 1.2, 0.75, 16, 60
+    docs = _t(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", token_count("text").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
+    bscore = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * (K1 + 1.0) / denom), 4).alias("bm25"))
+    )
+    wb = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    brank = (
+        bscore.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(50)
+        .withColumn("bm25_rnk", F.row_number().over(wb))
+        .select("doc_id", "bm25_rnk")
+    )
+    # dense ranker: hashing-trick bucket counts; the query's bucket
+    # weights are computed driver-side with the SAME md5-prefix hash
+    qb: dict[int, int] = {}
+    for t in _BM25_TERMS:
+        b = int(_hashlib.md5(t.encode()).hexdigest()[:4], 16) % DIM
+        qb[b] = qb.get(b, 0) + 1
+    qnorm = sum(w * w for w in qb.values()) ** 0.5
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("long"), F.lit(DIM)
+    )
+    bc = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", bucket.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    qweight = F.lit(0)
+    for b, w in qb.items():
+        qweight = F.when(F.col("b") == b, F.lit(w)).otherwise(qweight)
+    dense = bc.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("c") * qweight)
+            / (F.sqrt(F.sum(F.col("c") * F.col("c"))) * F.lit(qnorm)),
+            4,
+        ).alias("cosv")
+    )
+    wd = Window.orderBy(F.col("cosv").desc(), F.col("doc_id"))
+    drank = (
+        dense.filter(F.col("cosv") > 0)
+        .orderBy(F.col("cosv").desc(), F.col("doc_id")).limit(50)
+        .withColumn("dense_rnk", F.row_number().over(wd))
+        .select("doc_id", "dense_rnk")
+    )
+    fused = (
+        brank.join(drank, "doc_id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("bm25_rnk")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("dense_rnk")), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    wf = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(20)
+        .withColumn("__r", F.row_number().over(wf))
+        .drop("__r")
+        .select("doc_id", "bm25_rnk", "dense_rnk", "rrf")
+    )
+
+
+@query(
+    "ann_hard_negatives",
+    oracle=f"""
+    WITH aug AS ({_EMB_AUG_SQL}),
+    q AS (SELECT vec_id AS qid, v AS qv FROM aug WHERE vec_id % 23 = 0),
+    scored AS (
+      SELECT q.qid, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qv, a.v), 4) AS cos
+      FROM q JOIN aug a ON a.vec_id != q.qid
+    ),
+    neg AS (SELECT * FROM scored WHERE cos < 0.95)
+    SELECT qid, neighbor_id, cos,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cos DESC, neighbor_id
+      ) AS rnk FROM neg
+    ) WHERE rnk <= 3
+    """,
+)
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector (every 23rd id), the top-3 most-similar corpus vectors that
+    are NOT near-duplicates (cos < 0.95) — the highest-value negatives
+    for embedding-model training (too-easy negatives teach nothing;
+    near-dups would be false negatives).
+
+    Scale: the query set is broadcast-sized by construction; scoring is
+    one map pass over the corpus (broadcast join, JVM-side cosine), the
+    positive-exclusion is a filter BEFORE the per-query top-k agg, so
+    no score matrix ever shuffles."""
+    from ..operators.similarity import cosine, normalized
+    from ..operators.windows import topk_per_group
+    from ..session import fan_out
+
+    aug = _emb_aug(spark, sf_dir)
+    corpus = normalized(fan_out(aug), "vec_id", "v")
+    q = corpus.filter(F.col("id") % 23 == 0).select(
+        F.col("id").alias("qid"), F.col("unit").alias("qv")
+    )
+    from ..operators.similarity import dot
+
+    scored = (
+        corpus.join(F.broadcast(q), F.col("id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("id").alias("neighbor_id"),
+            F.round(dot(F.col("unit"), F.col("qv")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") < 0.95)
+    )
+    ranked = topk_per_group(
+        scored, ["qid"], [F.col("cos"), -F.col("neighbor_id")],
+        k=3, descending=True, keep_rank=True,
+    )
+    return ranked.select("qid", "neighbor_id", "cos", F.col("rn").alias("rank"))
+
+
+@query(
+    "dedup_substring_spans",
+    # Exact cross-doc duplicated-substring spans at 8-token shingle
+    # granularity (the Lee et al. 2022 exact-substring dedup shape):
+    # positions whose shingle occurs in >= 2 DISTINCT docs, merged into
+    # maximal spans per doc (consecutive marked positions <= 8 apart
+    # overlap or touch).
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(t) - 7)) AS p, t
+      FROM tk WHERE len(t) >= 8
+    ),
+    sh AS (
+      SELECT doc_id, p, array_to_string(t[p : p + 7], ' ') AS s FROM pos
+    ),
+    dup AS (
+      SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+    ),
+    marked AS (SELECT doc_id, p FROM sh JOIN dup USING (s)),
+    brk AS (
+      SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+                       OR lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                          IS NULL
+                  THEN 1 ELSE 0 END AS nb
+      FROM marked
+    ),
+    isl AS (
+      SELECT doc_id, p,
+             sum(nb) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS island
+      FROM brk
+    )
+    SELECT doc_id, CAST(island AS BIGINT) AS span_seq,
+           min(p) AS start_pos, max(p) + 8 AS end_pos,
+           max(p) + 8 - min(p) AS n_tokens
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection: every maximal token span
+    (≥ 8 tokens) that also occurs verbatim in another document — the
+    surgical alternative to whole-doc dedup (cut the duplicated
+    boilerplate span, keep the unique remainder; Lee et al. 2022 showed
+    span-level exact dedup beats doc-level on LM quality). Returns
+    (doc_id, span_seq, start_pos, end_pos, n_tokens), 1-based token
+    positions, end exclusive.
+
+    Scale: positional shingles are a map-side explode (linear in corpus
+    tokens); the duplicate-shingle set comes from ONE (shingle)-keyed
+    agg filtered to distinct-doc-count ≥ 2, and the span merge is a
+    single per-doc window (gaps-and-islands — break when consecutive
+    marked positions are > 8 apart). Shingles join by TEXT here so the
+    SQL oracle replays bit-exactly; at 100 TB key the join on
+    xxhash64(shingle) instead (same plan shape, 8-byte keys)."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "__t", F.split(F.lower("text"), " ")
+    )
+    npos = F.size("__t") - 7
+    sh = (
+        d.filter(F.size("__t") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), npos),
+                    lambda i: F.struct(
+                        i.alias("p"),
+                        F.concat_ws(" ", F.slice("__t", i, 8)).alias("s"),
+                    ),
+                )
+            ).alias("ps"),
+        )
+        .select("doc_id", F.col("ps.p").alias("p"), F.col("ps.s").alias("s"))
+    )
+    dup = (
+        sh.groupBy("s")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("s")
+    )
+    marked = sh.join(dup, "s").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    brk = marked.withColumn(
+        "nb",
+        F.when(
+            F.col("p") - F.lag("p").over(w) > 8, F.lit(1)
+        ).when(F.lag("p").over(w).isNull(), F.lit(1)).otherwise(F.lit(0)),
+    )
+    isl = brk.withColumn(
+        "island",
+        F.sum("nb").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return isl.groupBy("doc_id", F.col("island").alias("span_seq")).agg(
+        F.min("p").alias("start_pos"),
+        (F.max("p") + 8).alias("end_pos"),
+        (F.max("p") + 8 - F.min("p")).alias("n_tokens"),
+    )

@@ -435,10 +435,18 @@ def q_source_csv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # S1 — incremental stream source (SURVEY §2.1 S1): file-stream read of the
 # events table (change-feed-from-the-beginning analog), drained with an
-# availableNow trigger into a memory sink. Rows-only check (streaming).
+# availableNow trigger into a memory sink.
 # Reference: /root/reference/dataflow/BookingDataTransformation.json:55-72.
+# r5: EXACT oracle — the drain is a deterministic pass-through of four
+# parquet columns (no event-time, no window boundaries), so the full
+# drained content hash-compares against the plain batch projection;
+# exactly-once delivery of the backfill is thereby value-checked, not
+# just row-counted.
 # ---------------------------------------------------------------------------
-@query("source_stream_incremental")  # no oracle: streaming, rows-only
+@query(
+    "source_stream_incremental",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
 def q_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema

@@ -80,6 +80,11 @@ HEADLINE = [
     "corpus_shard_manifest",
     "corpus_budget_select",
     "text_bigram_nll",
+    # r5 additions: hybrid-retrieval fusion, contrastive hard-negative
+    # mining, exact-substring span dedup
+    "retrieval_hybrid_rrf",
+    "ann_hard_negatives",
+    "dedup_substring_spans",
 ]
 
 
@@ -99,6 +104,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     io_stats: dict[str, dict] = {}
     names = [n for n in HEADLINE if n in QUERIES]
+    only = [n for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if n]
+    if only:  # family-focused scale runs (e.g. sf10 dedup validation)
+        names = [n for n in names if n in only]
     extra = [n for n in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",") if n]
     # Best-of-k per query (k=2 default): the shared host shows 20%+ CPU
     # steal and per-query run-to-run swings of 2-10x; min-of-repeats is
