@@ -163,18 +163,25 @@ def _process_transformed(
         # be the post-merge state (delta ≈ 0 → gold stuck stale), so read
         # the pre-merge snapshot the txn marker recorded instead.
         batch_latest = latest_per_key(derived, FACT_KEYS, FACT_ORDER)
-        fact_now = fact.read()
         if fact_replayed:
             from ..sources.tables import read_version
 
+            fact_now = fact.read()
             base_v = fact.last_txn_base(app_id)
             if base_v:
                 fact_now = read_version(fact, base_v)
-        before = fact_now.join(
-            F.broadcast(batch_latest.select(*FACT_KEYS).distinct()),
-            on=FACT_KEYS,
-            how="left_semi",
-        )
+            before = fact_now.join(
+                F.broadcast(batch_latest.select(*FACT_KEYS).distinct()),
+                on=FACT_KEYS,
+                how="left_semi",
+            )
+        else:
+            # key-restricted resolved read: under merge-on-read a plain
+            # read().semi-join would resolve the WHOLE table first (the
+            # semi-join can't push through the max_by resolve) — this
+            # pushes the batch keys into every frame of the stack, so
+            # the before-image costs O(batch keys), not O(table)
+            before = fact.read_for_keys(batch_latest, FACT_KEYS)
         if event_time_wins:
             # the merge resolves matched keys to max event time, so the
             # post-merge state of a batch key is the winner of (existing

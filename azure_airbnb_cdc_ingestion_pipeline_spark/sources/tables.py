@@ -161,6 +161,32 @@ class ParquetTable:
         )
         return resolved.select(*base.columns)
 
+    def read_for_keys(self, keys_df: DataFrame, key_cols: list[str]) -> DataFrame:
+        """Resolved rows for a bounded key set — the point-lookup read.
+
+        A consumer that semi-joins AFTER :meth:`read` pays the full
+        merge-on-read resolution first (Catalyst cannot push a semi-join
+        through the max_by aggregate); this pushes the key restriction
+        INTO each frame of the stack before the union+argmax, so the
+        resolve cost is O(matching rows), not O(table) — what the
+        incremental-gold before-image needs per micro-batch. Equivalent
+        to ``read().join(keys_df, key_cols, "left_semi")`` in content.
+        """
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"table at {self.root} has no committed version")
+        vdir = self._version_dir(v)
+        keys = F.broadcast(keys_df.select(*key_cols).dropDuplicates(key_cols))
+        base = self.spark.read.parquet(vdir)
+        mor = self._read_meta(vdir).get("mor") or {}
+        if not mor.get("pending"):
+            return base.join(keys, key_cols, "left_semi")
+        frames = [base.join(keys, key_cols, "left_semi")] + [
+            self.spark.read.parquet(d).join(keys, key_cols, "left_semi")
+            for d in self._delta_dirs(vdir)
+        ]
+        return _mor_resolve(frames, mor).select(*base.columns)
+
     # -- writes --------------------------------------------------------------
     def overwrite(
         self,

@@ -146,3 +146,25 @@ def test_mor_spec_mismatch_raises(spark, table):  # noqa: F811
         table.upsert_delta(_mk(spark, [(1, 2, "b", 0)]),
                            keys=["k"], partition_by=["p"], order_by=["ts"],
                            event_time_wins=True)
+
+
+def test_mor_read_for_keys_matches_semi_join(spark, table):
+    table.upsert_delta(_mk(spark, [(1, 1, "a", 0), (2, 1, "b", 1)]),
+                       keys=["k"], partition_by=["p"], order_by=["ts"])
+    table.upsert_delta(_mk(spark, [(1, 2, "a2", 0), (3, 1, "c", 2)]),
+                       keys=["k"], partition_by=["p"], order_by=["ts"])
+    want_keys = spark.createDataFrame([(1,), (3,), (99,)], "k long")
+    via_read = {
+        (r.k, r.val)
+        for r in table.read().join(want_keys, ["k"], "left_semi").collect()
+    }
+    via_keys = {
+        (r.k, r.val)
+        for r in table.read_for_keys(want_keys, ["k"]).collect()
+    }
+    assert via_keys == via_read == {(1, "a2"), (3, "c")}
+    # the key-restricted plan must NOT carry a full-table resolve: the
+    # semi-joins sit BELOW the max_by aggregate
+    plan = table.read_for_keys(want_keys, ["k"])._jdf.queryExecution().toString()
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert physical.count("BroadcastHashJoin") >= 2  # base + delta restricted
