@@ -422,3 +422,124 @@ def encode_mp4_header(
     )
     moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
     return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+# --- YUV4MPEG2 (.y4m) — REAL raw-frame video codec (r5) ------------------
+# The uncompressed interchange format of the ffmpeg/x264 toolchain: a
+# text header, then one "FRAME\n" + planar YUV payload per frame. Full
+# decode (every luma sample) needs nothing beyond the stdlib + numpy, so
+# this closes the "video decode is header-only" gap the way PNG/WAV did
+# for image/audio: width/height/frame count/duration AND pixel-level
+# mean intensity are actual decoded values, and frame SAMPLING (every
+# k-th frame) exercises the batch shape a real video featurizer uses.
+
+_Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def encode_y4m(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    fps_num: int = 25,
+    fps_den: int = 1,
+    colorspace: str = "mono",
+) -> bytes:
+    """Encode luma planes as YUV4MPEG2. ``frames``: one width*height
+    Y-plane per frame; for '420'/'444' neutral (128) chroma planes are
+    appended, so gray content round-trips through any colorspace."""
+    if colorspace not in ("mono", "420", "444"):
+        raise NotImplementedError(f"colorspace {colorspace!r} not supported")
+    tag = {"mono": "mono", "420": "420jpeg", "444": "444"}[colorspace]
+    out = bytearray(
+        f"YUV4MPEG2 W{width} H{height} F{fps_num}:{fps_den} Ip A1:1 "
+        f"C{tag}\n".encode()
+    )
+    chroma = b""
+    if colorspace == "420":
+        chroma = b"\x80" * ((width // 2) * (height // 2) * 2)
+    elif colorspace == "444":
+        chroma = b"\x80" * (width * height * 2)
+    for y in frames:
+        if len(y) != width * height:
+            raise ValueError("frame size does not match W*H")
+        out += b"FRAME\n" + y + chroma
+    return bytes(out)
+
+
+def decode_y4m(payload: bytes, sample_every: int = 1) -> dict:
+    """Decode a YUV4MPEG2 stream: dimensions, frame count, duration from
+    the fps header, and the mean luma over every ``sample_every``-th
+    frame (frame sampling — feature extraction rarely needs every
+    frame). ValueError on malformed/truncated bytes (quarantine);
+    NotImplementedError on valid-but-unsupported colorspaces/interlace
+    (degrade)."""
+    import numpy as np
+
+    if payload is None or not payload.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("malformed y4m: unterminated header")
+    width = height = None
+    fps_num, fps_den = 25, 1
+    cspace = "420jpeg"  # spec default when C is absent
+    for tok in payload[len(_Y4M_MAGIC):nl].split(b" "):
+        if not tok:
+            continue
+        key, val = tok[:1], tok[1:]
+        try:
+            if key == b"W":
+                width = int(val)
+            elif key == b"H":
+                height = int(val)
+            elif key == b"F":
+                num, den = val.split(b":")
+                fps_num, fps_den = int(num), int(den)
+            elif key == b"C":
+                cspace = val.decode("ascii", "replace")
+            elif key == b"I" and val not in (b"p", b"?"):
+                raise NotImplementedError("interlaced y4m not supported")
+        except (ValueError, UnicodeDecodeError) as exc:
+            if isinstance(exc, ValueError):
+                raise ValueError(f"malformed y4m header token {tok!r}") from exc
+            raise
+    if not width or not height or width < 0 or height < 0:
+        raise ValueError("malformed y4m: missing/invalid W or H")
+    if fps_num <= 0 or fps_den <= 0:
+        raise ValueError("malformed y4m: invalid frame rate")
+    ysize = width * height
+    if cspace.startswith("420"):
+        fsize, nch = ysize + 2 * ((width // 2) * (height // 2)), 3
+    elif cspace == "444":
+        fsize, nch = 3 * ysize, 3
+    elif cspace == "mono":
+        fsize, nch = ysize, 1
+    else:
+        raise NotImplementedError(f"y4m colorspace {cspace!r} not supported")
+    pos, n_frames = nl + 1, 0
+    luma_sum, luma_n = 0.0, 0
+    while pos < len(payload):
+        if not payload.startswith(b"FRAME", pos):
+            raise ValueError("malformed y4m: expected FRAME marker")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("malformed y4m: unterminated FRAME header")
+        data = fnl + 1
+        if data + fsize > len(payload):
+            raise ValueError("malformed y4m: truncated frame data")
+        if n_frames % max(1, sample_every) == 0:
+            y = np.frombuffer(payload[data : data + ysize], dtype=np.uint8)
+            luma_sum += float(y.sum())
+            luma_n += ysize
+        n_frames += 1
+        pos = data + fsize
+    if n_frames == 0:
+        raise ValueError("malformed y4m: no frames")
+    return {
+        "width": width,
+        "height": height,
+        "channels": nch,
+        "n_frames": n_frames,
+        "duration_ms": int(n_frames * 1000 * fps_den / fps_num),
+        "mean_intensity": luma_sum / luma_n if luma_n else None,
+    }

@@ -159,11 +159,25 @@ def decode_media(payload: bytes, mime: str, fake: bool = False) -> dict[str, Any
             "mean_intensity": None,
             "duration_ms": vi["duration_ms"],
         }
+    if mime in ("video/y4m", "video/x-yuv4mpeg"):
+        # FULL raw-frame decode (r5): dimensions, frame count/duration
+        # and pixel-level mean luma over sampled frames —
+        # functions/codecs.py::decode_y4m. Unsupported colorspaces /
+        # interlace raise NotImplementedError (degrade); malformed bytes
+        # ValueError (quarantine), same contract as the other codecs.
+        vi = codecs.decode_y4m(payload, sample_every=1)
+        return {
+            "width": vi["width"],
+            "height": vi["height"],
+            "channels": vi["channels"],
+            "mean_intensity": vi["mean_intensity"],
+            "duration_ms": vi["duration_ms"],
+        }
     raise NotImplementedError(
         f"no codec for {mime} in this environment (stdlib codecs cover "
-        "image/png and audio/wav fully; image/jpeg, audio/mpeg and "
-        "video/mp4 header-only) — pass fake=True for the deterministic "
-        "stub decoder"
+        "image/png, audio/wav and video/y4m fully; image/jpeg baseline+"
+        "progressive; audio/mpeg and video/mp4 header-only) — pass "
+        "fake=True for the deterministic stub decoder"
     )
 
 

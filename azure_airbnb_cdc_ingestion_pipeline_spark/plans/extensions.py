@@ -5895,3 +5895,79 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("p") + 8).alias("end_pos"),
         (F.max("p") + 8 - F.min("p")).alias("n_tokens"),
     )
+
+
+@query(
+    "multimodal_video_frames",
+    # Flat-luma frames decode exactly: frame f of doc d is the constant
+    # 20 + d%100 + 5f, so the sampled-frame mean is analytic —
+    # 20 + d%100 + 2.5*(n-1) for n = 1 + d%4 frames at 25 fps (40 ms
+    # per frame). The oracle predicts every decoded field from doc_id.
+    oracle="""
+    SELECT doc_id AS media_id,
+           16 AS width,
+           8 + (doc_id % 3) * 4 AS height,
+           CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS channels,
+           CAST(20 + doc_id % 100 + 2.5 * (doc_id % 4) AS DOUBLE)
+             AS mean_intensity,
+           CAST((1 + doc_id % 4) * 40 AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-pixel VIDEO decode under the oracle gate (r5): synthesize a
+    real YUV4MPEG2 clip per doc (n = 1+doc%4 flat-luma frames at 25 fps,
+    16 × (8 + 4·(doc%3)), frame f luma = 20 + doc%100 + 5f) with
+    `functions.codecs.encode_y4m`, decode it back through the
+    `decode_features` Arrow stage — every emitted field (dimensions,
+    channel count, frame-sampled mean luma, fps-derived duration) is an
+    actual decoded value. Synthesis and decode are narrow mapInPandas
+    passes; payload bytes never shuffle."""
+    import pandas as _pd
+
+    from ..functions.codecs import encode_y4m
+    from ..operators.multimodal import decode_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 16, 8 + (did % 3) * 4
+                n = 1 + did % 4
+                frames = [
+                    bytes([20 + did % 100 + 5 * f]) * (w * h)
+                    for f in range(n)
+                ]
+                payloads.append(
+                    encode_y4m(w, h, frames,
+                               colorspace=("mono", "420", "444")[did % 3])
+                )
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(_synth, "media_id long, payload binary").select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("video/y4m").alias("mime"),
+            F.lit("synth").alias("source"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    # the DECODED channel count is part of the gate: mono clips report
+    # 1 channel, chroma-carrying 420/444 report 3 (neutral chroma keeps
+    # the luma mean identical across colorspaces)
+    return decode_features(media).select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        "mean_intensity",
+        "duration_ms",
+    )

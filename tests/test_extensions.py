@@ -1224,3 +1224,63 @@ def test_decode_media_jpeg_pixels(spark):
     out = {r.media_id: r for r in decode_features(media).collect()}
     assert out[1].width == 8 and abs(out[1].mean_intensity - 100) < 3
     assert out[2].width == 32 and out[2].mean_intensity is None
+
+
+def test_y4m_codec_roundtrip_and_contracts():
+    """YUV4MPEG2 codec (r5): full raw-frame decode across colorspaces,
+    frame sampling, and the degrade/quarantine error contract."""
+    import pytest as _pytest
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.codecs import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    frames = [bytes([40 + 5 * f]) * 128 for f in range(3)]
+    for cs, nch in (("mono", 1), ("420", 3), ("444", 3)):
+        d = decode_y4m(encode_y4m(16, 8, frames, colorspace=cs))
+        assert (d["width"], d["height"], d["n_frames"]) == (16, 8, 3)
+        assert d["duration_ms"] == 120 and d["channels"] == nch
+        assert abs(d["mean_intensity"] - 45.0) < 1e-9
+    # frame sampling: every 2nd frame -> frames 0 and 2 only
+    p = encode_y4m(16, 8, [bytes([10]) * 128, bytes([99]) * 128,
+                           bytes([20]) * 128])
+    assert decode_y4m(p, sample_every=2)["mean_intensity"] == 15.0
+    # quarantine: truncation / bad marker -> ValueError
+    with _pytest.raises(ValueError):
+        decode_y4m(p[:-10])
+    with _pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W16 H8 F25:1\nFRAMX\n")
+    # degrade: unsupported colorspace / interlace -> NotImplementedError
+    mono = encode_y4m(16, 8, [bytes([40]) * 128], colorspace="mono")
+    with _pytest.raises(NotImplementedError):
+        decode_y4m(mono.replace(b"Cmono", b"C422"))
+    with _pytest.raises(NotImplementedError):
+        decode_y4m(mono.replace(b"Ip", b"It"))
+
+
+def test_decode_media_y4m_through_spark(spark):
+    """video/y4m flows through the decode_features Arrow stage with real
+    decoded fields; corrupt payloads quarantine instead of failing."""
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.codecs import (
+        encode_y4m,
+    )
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.multimodal import (
+        decode_features,
+    )
+
+    good = encode_y4m(16, 8, [bytes([50]) * 128, bytes([60]) * 128])
+    meta = lambda: {"mime": "video/y4m", "source": "t", "width": None,
+                    "height": None, "duration_ms": None}
+    media = spark.createDataFrame(
+        [(1, bytearray(good), meta()), (2, bytearray(good[:-20]), meta())],
+        "media_id long, payload binary, meta struct<mime:string,source:string,width:int,height:int,duration_ms:bigint>",
+    )
+    rows = {
+        r.media_id: r
+        for r in decode_features(media, on_error="quarantine").collect()
+    }
+    assert rows[1].width == 16 and rows[1].duration_ms == 80
+    assert abs(rows[1].mean_intensity - 55.0) < 1e-9
+    assert rows[1].error is None
+    assert rows[2].error is not None  # truncated -> quarantined
