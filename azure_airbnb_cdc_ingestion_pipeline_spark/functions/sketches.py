@@ -1,0 +1,159 @@
+"""Mergeable cardinality / frequency sketches with EXACT cross-engine
+oracles (charter extension; complements the invariant-gated
+`approx_quantile_bounded` / `heavy_hitters_gated` family).
+
+Both sketches derive every hash from ``md5`` — available bit-identically
+in Spark (`F.md5` + `F.conv`) and DuckDB (`md5` + hex-string cast) — so
+the oracle recomputes the *same sketch*, not just a tolerance gate. Only
+the first 13 hex chars (52 bits) are used: 52-bit integers are exact in
+IEEE doubles, so ratio arithmetic agrees across engines to the last bit.
+
+- **KMV (k-minimum-values)** distinct-count: keep the k smallest distinct
+  hash values per group; estimate ``(k-1) * 2^52 / h_(k)``. Mergeable
+  (union of k-smallest sets, re-take k smallest) — the 100 TB shape: per
+  partition bounded state, one tiny merge. Implemented with a salted
+  two-phase TOP-k (per-salt window prunes to k rows each, then a final
+  window over <= n_salt*k survivors) so no partition ever materializes a
+  full per-group sort.
+- **Count-min** frequency: d x w counter matrix, ``est(x) = min_j
+  C[j][h_j(x)]`` — always an overestimate (property certified in the
+  output). The matrix is a d*w-row DataFrame (mergeable by summing
+  buckets); point queries broadcast the candidate side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^52: hashes are 52-bit so this is the normalization constant; exact in
+# a double, so Spark and DuckDB divide identically.
+HASH_SPACE = float(1 << 52)
+
+
+def md5_hash52(col) -> F.Column:
+    """52-bit integer hash from the md5 hex prefix — the shared
+    cross-engine hash primitive (DuckDB: ``('0x' || substr(md5(x),1,13))
+    ::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 13), 16, 10).cast("long")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    n_salt: int = 32,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate next to the exact count.
+
+    Returns (group_col, exact_distinct, kmv_distinct, rel_err_pct).
+    Groups with fewer than k distinct values report the exact count (the
+    sketch IS exact below k — standard KMV convention).
+    """
+    d = (
+        df.select(group_col, value_col)
+        .distinct()
+        .withColumn("h", md5_hash52(F.col(value_col)))
+    )
+    # phase 1: per (group, salt) keep the k smallest hashes — bounded
+    # window partitions regardless of group skew; the global k smallest
+    # are necessarily among the per-salt k smallest.
+    w1 = Window.partitionBy(group_col, F.col("h") % n_salt).orderBy("h")
+    pruned = (
+        d.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    # phase 2: <= n_salt*k rows per group — find the k-th smallest.
+    w2 = Window.partitionBy(group_col).orderBy("h")
+    kth = (
+        pruned.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == k)
+        .select(group_col, F.col("h").alias("kth_hash"))
+    )
+    exact = d.groupBy(group_col).agg(F.count(F.lit(1)).alias("exact_distinct"))
+    est = (
+        F.when(
+            F.col("kth_hash").isNotNull(),
+            F.round((k - 1) * F.lit(HASH_SPACE) / F.col("kth_hash"), 0),
+        )
+        .otherwise(F.col("exact_distinct"))
+        .cast("long")
+    )
+    return (
+        exact.join(F.broadcast(kth), group_col, "left")
+        .withColumn("kmv_distinct", est)
+        .withColumn(
+            "rel_err_pct",
+            F.round(
+                F.abs(F.col("kmv_distinct") - F.col("exact_distinct"))
+                * 100.0
+                / F.col("exact_distinct"),
+                2,
+            ),
+        )
+        .select(group_col, "exact_distinct", "kmv_distinct", "rel_err_pct")
+    )
+
+
+def countmin_estimates(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+    top: int = 20,
+) -> DataFrame:
+    """Count-min frequency estimates for the `top` heaviest values.
+
+    Builds the d x w sketch as a DataFrame (one groupBy — mergeable
+    partial aggregation), takes the exact top-`top` values (count desc,
+    value asc — deterministic), and reads each candidate's min-bucket
+    estimate. Returns (value_col, exact_cnt, cm_est, overcount,
+    is_overestimate) — `is_overestimate` is provably TRUE (CM never
+    undercounts).
+    """
+    vals = df.select(F.col(value_col).alias("v"))
+    rows = F.array(*[F.lit(j) for j in range(depth)])
+
+    def bucket(col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), col.cast("string"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+
+    sketch = (
+        vals.withColumn("j", F.explode(rows))
+        .withColumn("bucket", bucket(F.col("v")))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    candidates = (
+        vals.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("v").asc())
+        .limit(top)
+    )
+    probes = candidates.withColumn("j", F.explode(rows)).withColumn(
+        "bucket", bucket(F.col("v"))
+    )
+    est = (
+        sketch.join(F.broadcast(probes), ["j", "bucket"])
+        .groupBy("v", "exact_cnt")
+        .agg(F.min("cnt").alias("cm_est"))
+    )
+    return est.select(
+        F.col("v").alias(value_col),
+        "exact_cnt",
+        "cm_est",
+        (F.col("cm_est") - F.col("exact_cnt")).alias("overcount"),
+        (F.col("cm_est") >= F.col("exact_cnt")).alias("is_overestimate"),
+    )

@@ -5738,7 +5738,8 @@ def q_retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_hard_negatives",
     oracle=f"""
     WITH aug AS ({_EMB_AUG_SQL}),
-    q AS (SELECT vec_id AS qid, v AS qv FROM aug WHERE vec_id % 23 = 0),
+    q AS (SELECT vec_id AS qid, v AS qv FROM aug
+          WHERE vec_id % 23 = 0 AND vec_id < 4600),
     scored AS (
       SELECT q.qid, a.vec_id AS neighbor_id,
              round(list_cosine_similarity(q.qv, a.v), 4) AS cos
@@ -5755,23 +5756,29 @@ def q_retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard-negative mining for contrastive training: for each query
-    vector (every 23rd id), the top-3 most-similar corpus vectors that
-    are NOT near-duplicates (cos < 0.95) — the highest-value negatives
-    for embedding-model training (too-easy negatives teach nothing;
-    near-dups would be false negatives).
+    """Hard-negative mining for contrastive training: for each probe
+    vector (every 23rd id in the FIXED base id range — a constant-size
+    probe set at every scale factor), the top-3 most-similar corpus
+    vectors that are NOT near-duplicates (cos < 0.95) — the
+    highest-value negatives for embedding-model training (too-easy
+    negatives teach nothing; near-dups would be false negatives).
 
-    Scale: the query set is broadcast-sized by construction; scoring is
-    one map pass over the corpus (broadcast join, JVM-side cosine), the
-    positive-exclusion is a filter BEFORE the per-query top-k agg, so
-    no score matrix ever shuffles."""
+    Scale: the probe set is constant-size (id-range-bounded), so work is
+    O(|corpus| * |probes|) — LINEAR in the corpus (the r5 scale bench
+    measured the unbounded probe set at 22.6x for 10x data: n/23
+    probes made the score matrix quadratic; this cap is the fix).
+    Scoring is one map pass over the corpus (broadcast join, JVM-side
+    cosine); the positive-exclusion is a filter BEFORE the per-query
+    top-k agg, so no score matrix ever shuffles. Mining negatives for a
+    full corpus-sized training set would instead reuse the LSH-blocked
+    candidate path (`cosine_pairs_lsh`) per batch."""
     from ..operators.similarity import cosine, normalized
     from ..operators.windows import topk_per_group
     from ..session import fan_out
 
     aug = _emb_aug(spark, sf_dir)
     corpus = normalized(fan_out(aug), "vec_id", "v")
-    q = corpus.filter(F.col("id") % 23 == 0).select(
+    q = corpus.filter((F.col("id") % 23 == 0) & (F.col("id") < 4600)).select(
         F.col("id").alias("qid"), F.col("unit").alias("qv")
     )
     from ..operators.similarity import dot

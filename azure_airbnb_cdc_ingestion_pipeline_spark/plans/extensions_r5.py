@@ -1,0 +1,363 @@
+"""Round-5 charter extensions: exact-oracle sketches (KMV distinct,
+count-min frequency), Z-order layout clustering, deterministic random
+projection, and weighted PageRank.
+
+What this batch adds over the existing catalog:
+
+- The existing sketch keys (`approx_quantile_bounded`,
+  `heavy_hitters_gated`, `approx_distinct_bounded`) use *invariant*
+  oracles — DuckDB certifies a tolerance/containment property. The two
+  sketches here are **bit-exact cross-engine**: every hash derives from
+  md5 (identical in both engines), so the oracle rebuilds the *same
+  sketch* and the driver hash-compares actual estimates.
+- `table_zorder_layout` is the data-LAYOUT operator class (Delta/Iceberg
+  `OPTIMIZE ZORDER BY`) — at 100 TB, clustering is what makes min/max
+  file skipping fire on more than one dimension.
+- `graph_pagerank` joins `dedup_cluster_canonical` (connected
+  components) to round out iterative graph analytics; the oracle is the
+  same fixed-point unrolled as a 5-deep CTE chain.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.sketches import HASH_SPACE, countmin_estimates, kmv_distinct
+from ..functions.zorder import zvalue, zvalue_sql
+from ..operators.graph import copurchase_edges, pagerank
+from .queries import _t, query
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch — exact cross-engine oracle
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+_KMV_ORACLE = f"""
+    WITH d AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT AS h
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS exact
+      FROM d
+    ),
+    agg AS (
+      SELECT event_type,
+             max(exact) AS exact_distinct,
+             CAST(coalesce(
+               round({_KMV_K - 1}.0 * {int(HASH_SPACE)} /
+                     max(CASE WHEN rn = {_KMV_K} THEN h END), 0),
+               max(exact)) AS BIGINT) AS kmv_distinct
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, exact_distinct, kmv_distinct,
+           round(abs(kmv_distinct - exact_distinct) * 100.0
+                 / exact_distinct, 2) AS rel_err_pct
+    FROM agg
+"""
+
+
+@query("sketch_kmv_distinct", oracle=_KMV_ORACLE)
+def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-user estimate per event type,
+    k=64, md5-hashed so DuckDB recomputes the IDENTICAL sketch (52-bit
+    hashes are exact in doubles — the estimate matches to the last
+    digit, not within a tolerance). Spark side prunes with a salted
+    two-phase top-k window so no partition sorts a full group
+    (functions/sketches.py::kmv_distinct)."""
+    return kmv_distinct(
+        _t(spark, sf_dir, "events"), "event_type", "user_id", k=_KMV_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — exact cross-engine oracle
+# ---------------------------------------------------------------------------
+
+_CM_ORACLE = """
+    WITH v AS (SELECT user_id AS v FROM events),
+    js AS (SELECT unnest(range(4)) AS j),
+    sketch AS (
+      SELECT j, ('0x' || substr(md5(j::VARCHAR || ':' || v::VARCHAR), 1, 13))::BIGINT % 512 AS bucket,
+             count(*) AS cnt
+      FROM v, js GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT v, count(*) AS exact_cnt FROM v GROUP BY v
+      ORDER BY exact_cnt DESC, v ASC LIMIT 20
+    ),
+    probe AS (
+      SELECT c.v, c.exact_cnt, js.j,
+             ('0x' || substr(md5(js.j::VARCHAR || ':' || c.v::VARCHAR), 1, 13))::BIGINT % 512 AS bucket
+      FROM cand c, js
+    ),
+    est AS (
+      SELECT p.v, p.exact_cnt, min(s.cnt) AS cm_est
+      FROM probe p JOIN sketch s USING (j, bucket) GROUP BY 1, 2
+    )
+    SELECT v AS user_id, exact_cnt, cm_est,
+           cm_est - exact_cnt AS overcount,
+           cm_est >= exact_cnt AS is_overestimate
+    FROM est
+"""
+
+
+@query("sketch_countmin_freq", oracle=_CM_ORACLE)
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4, w=512) event-count estimates for the 20
+    heaviest users, md5-hashed for bit-exact oracle parity. The sketch
+    is one mergeable groupBy (d*w bounded state); probes broadcast.
+    `is_overestimate` certifies the CM one-sided error guarantee on
+    every output row (functions/sketches.py::countmin_estimates)."""
+    return countmin_estimates(
+        _t(spark, sf_dir, "events"), "user_id", depth=4, width=512, top=20
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+# ---------------------------------------------------------------------------
+
+_Z_ORACLE = f"""
+    WITH raw AS (
+      SELECT o_custkey AS x,
+             date_diff('day', DATE '1992-01-01', o_orderdate::DATE) AS y
+      FROM orders
+    ),
+    ext AS (
+      SELECT min(x) AS minx, max(x) - min(x) + 1 AS rngx,
+             min(y) AS miny, max(y) - min(y) + 1 AS rngy
+      FROM raw
+    ),
+    q AS (
+      SELECT CAST(floor((x - minx) * 256.0 / rngx) AS BIGINT) AS xq,
+             CAST(floor((y - miny) * 256.0 / rngy) AS BIGINT) AS yq
+      FROM raw, ext
+    ),
+    z AS (SELECT xq, yq, {zvalue_sql('xq', 'yq', bits=8)} AS zval FROM q)
+    SELECT zval >> 10 AS z_bucket,
+           count(*) AS n_orders,
+           min(xq) AS min_cust, max(xq) AS max_cust,
+           min(yq) AS min_day, max(yq) AS max_day
+    FROM z GROUP BY 1
+"""
+
+
+@query("table_zorder_layout", oracle=_Z_ORACLE)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering of orders on (customer, order-day):
+    min/max-quantize each dimension to 8 bits (domain-adaptive, so the
+    layout works at every scale factor), interleave, bucket by the top
+    6 z-bits (64 file-sized buckets), report per-bucket min/max stats —
+    the exact stats a lakehouse writer would persist for file skipping.
+    Bucket spans on BOTH dimensions shrink to ~1/8 of the global span,
+    so a predicate on either dimension prunes ~7/8 of the files
+    (locality asserted in tests/test_extensions_r5.py). Pure JVM bit
+    arithmetic (functions/zorder.py); one tiny extent agg (broadcast) +
+    one groupBy shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    raw = orders.select(
+        F.col("o_custkey").cast("long").alias("x"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("y"),
+    )
+    ext = raw.agg(
+        F.min("x").alias("minx"),
+        (F.max("x") - F.min("x") + 1).alias("rngx"),
+        F.min("y").alias("miny"),
+        (F.max("y") - F.min("y") + 1).alias("rngy"),
+    )
+    q = raw.crossJoin(F.broadcast(ext)).select(
+        F.floor((F.col("x") - F.col("minx")) * 256.0 / F.col("rngx")).alias("xq"),
+        F.floor((F.col("y") - F.col("miny")) * 256.0 / F.col("rngy")).alias("yq"),
+    )
+    z = q.withColumn("zval", zvalue(F.col("xq"), F.col("yq"), bits=8))
+    return z.groupBy(F.shiftright("zval", 10).alias("z_bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("xq").alias("min_cust"),
+        F.max("xq").alias("max_cust"),
+        F.min("yq").alias("min_day"),
+        F.max("yq").alias("max_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random projection (Achlioptas-style sign matrix)
+# ---------------------------------------------------------------------------
+
+_IN_DIM, _OUT_DIM = 64, 16
+
+
+def _proj_signs() -> list[list[float]]:
+    """±1 sign matrix [out_dim][in_dim] from md5("i_j") — reproducible
+    from the formula alone in any engine/language."""
+    return [
+        [
+            1.0 if hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0] < "8" else -1.0
+            for i in range(_IN_DIM)
+        ]
+        for j in range(_OUT_DIM)
+    ]
+
+
+_SIGNS = _proj_signs()
+
+_PROJ_ORACLE = "SELECT vec_id, " + ", ".join(
+    f"round(list_dot_product(embedding::DOUBLE[], "
+    f"[{', '.join(str(s) for s in row)}]::DOUBLE[]), 3) AS p{j:02d}"
+    for j, row in enumerate(_SIGNS)
+) + " FROM embeddings"
+
+
+@query("embedding_random_projection", oracle=_PROJ_ORACLE)
+def q_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction 64 -> 16 with a
+    deterministic ±1 sign matrix (md5-derived, so the oracle embeds the
+    identical literals). Map-only JVM fold (`zip_with` + `aggregate`)
+    — no UDF, no shuffle; at 100 TB this is a pure scan-fused pass.
+    Distance preservation within JL bounds is asserted in
+    tests/test_extensions_r5.py."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cols = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    "v",
+                    F.array(*[F.lit(s) for s in _SIGNS[j]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            3,
+        ).alias(f"p{j:02d}")
+        for j in range(_OUT_DIM)
+    ]
+    return emb.select("vec_id", *cols)
+
+
+# ---------------------------------------------------------------------------
+# Weighted PageRank over the co-purchase part graph
+# ---------------------------------------------------------------------------
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    ctes = [
+        """pairs AS (
+          SELECT a.l_partkey AS s, b.l_partkey AS d, count(*)::DOUBLE AS w
+          FROM lineitem a
+          JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2
+        )""",
+        "deg AS (SELECT s, sum(w) AS wsum FROM pairs GROUP BY s)",
+        "norm AS (SELECT p.s, p.d, p.w / g.wsum AS pr FROM pairs p JOIN deg g USING (s))",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM deg)",
+        "r0 AS (SELECT s AS node, 1.0 / (SELECT n FROM nn) AS r FROM deg)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""r{i} AS (
+              SELECT nm.d AS node,
+                     0.15 / (SELECT n FROM nn)
+                     + 0.85 * sum(r{i - 1}.r * nm.pr) AS r
+              FROM norm nm JOIN r{i - 1} ON r{i - 1}.node = nm.s
+              GROUP BY nm.d
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT node AS part_key, round(r, 6) AS pagerank
+        FROM r{iterations}
+        QUALIFY row_number() OVER (ORDER BY round(r, 6) DESC, node ASC) <= 20
+        """
+    )
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (5 iterations, d=0.85) over the symmetric
+    part co-purchase graph; top-20 parts. Edge build is keyed on
+    l_orderkey (<= 7 lines/order — bounded pair fan-out); iterations
+    are join-aggregate rounds against a persisted normalized edge list
+    (operators/graph.py). Oracle = the same fixed-point unrolled as a
+    5-deep CTE chain."""
+    edges = copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    ranks = pagerank(edges, iterations=5, damping=0.85)
+    out = ranks.select(
+        F.col("node").alias("part_key"), F.round("pagerank", 6).alias("pagerank")
+    )
+    return out.orderBy(F.col("pagerank").desc(), F.col("part_key").asc()).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Streaming exactly-once dedup (dropDuplicatesWithinWatermark)
+# ---------------------------------------------------------------------------
+
+@query("stream_dropdup_watermark")  # streaming — rows-only check
+def q_stream_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: a duplicate-injected event stream (every
+    10th event arrives twice — deterministic) deduped on event_id via
+    `dropDuplicatesWithinWatermark`, the bounded-state streaming dedup
+    (keys expire once the watermark passes — at 100 TB the state store
+    holds one watermark-width of keys, not the full history)."""
+    from .extensions import _events_stream
+
+    stream = _events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    dup = (
+        stream.withColumn(
+            "_copies",
+            F.when(
+                F.col("event_id") % 10 == 0, F.array(F.lit(0), F.lit(1))
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .withColumn("_c", F.explode("_copies"))
+        .drop("_copies", "_c")
+    )
+    deduped = dup.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    qname = "stream_dropdup_sink"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(qname)
+
+
+@query(
+    "stream_dropdup_coverage",
+    # Invariant oracle (stream_tumbling_coverage pattern): the deduped
+    # stream must emit EXACTLY the original distinct event set — the
+    # injected duplicates vanish, nothing else does. Per-type counts are
+    # timezone-free.
+    oracle="""
+    SELECT event_type, count(DISTINCT event_id) AS n_events, TRUE AS exact_once
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_dropdup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage gate over the streaming dedup: per-type emitted counts
+    equal the batch distinct-event counts — certifies the injected
+    duplicates were dropped and no original event was lost."""
+    out = q_stream_dropdup(spark, sf_dir)
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("exact_once", F.lit(True))
+    )

@@ -85,6 +85,11 @@ HEADLINE = [
     "retrieval_hybrid_rrf",
     "ann_hard_negatives",
     "dedup_substring_spans",
+    "sketch_kmv_distinct",
+    "sketch_countmin_freq",
+    "table_zorder_layout",
+    "embedding_random_projection",
+    "graph_pagerank",
 ]
 
 

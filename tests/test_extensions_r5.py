@@ -1,0 +1,148 @@
+"""Semantic tests for the round-5 extension batch: exact-oracle
+sketches, Z-order layout, random projection, PageRank."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_airbnb_cdc_ingestion_pipeline_spark.functions.sketches import (
+    countmin_estimates,
+    kmv_distinct,
+)
+from azure_airbnb_cdc_ingestion_pipeline_spark.functions.zorder import zvalue
+from azure_airbnb_cdc_ingestion_pipeline_spark.operators.graph import (
+    copurchase_edges,
+    pagerank,
+)
+from azure_airbnb_cdc_ingestion_pipeline_spark.plans import extensions_r5 as x5
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# KMV
+# ---------------------------------------------------------------------------
+
+def test_kmv_error_within_theory_bound(spark, sf_dir):
+    rows = kmv_distinct(_events(spark, sf_dir), "event_type", "user_id", k=64).collect()
+    assert rows
+    for r in rows:
+        # KMV std error ~ 1/sqrt(k-1) = 12.6%; 4 sigma bound
+        assert r.rel_err_pct <= 50.0, r
+        assert r.kmv_distinct > 0
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", i) for i in range(200)],
+        ["g", "v"],
+    )
+    out = {r.g: r for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    # group below k distinct values -> sketch reports the exact count
+    assert out["a"].kmv_distinct == out["a"].exact_distinct == 10
+    assert out["a"].rel_err_pct == 0.0
+    assert out["b"].exact_distinct == 200
+
+
+# ---------------------------------------------------------------------------
+# Count-min
+# ---------------------------------------------------------------------------
+
+def test_countmin_never_undercounts(spark, sf_dir):
+    rows = countmin_estimates(_events(spark, sf_dir), "user_id", top=20).collect()
+    # sf0.001 has only 15 distinct users — top-20 returns all of them
+    assert 10 <= len(rows) <= 20
+    for r in rows:
+        assert r.is_overestimate, r
+        assert r.cm_est >= r.exact_cnt
+        assert r.overcount == r.cm_est - r.exact_cnt
+
+
+# ---------------------------------------------------------------------------
+# Z-order
+# ---------------------------------------------------------------------------
+
+def test_zvalue_interleave_known_bits(spark):
+    # x=0b11 (odd positions), y=0b01 (even positions):
+    # z = (1<<1)|(1<<3) | (1<<0) = 0b1011 = 11
+    df = spark.range(1).select(
+        zvalue(F.lit(3), F.lit(1)).alias("z"),
+        zvalue(F.lit(0), F.lit(0)).alias("z0"),
+        zvalue(F.lit(65535), F.lit(65535)).alias("zmax"),
+    )
+    r = df.first()
+    assert r.z == 11
+    assert r.z0 == 0
+    assert r.zmax == (1 << 32) - 1
+
+
+def test_zorder_buckets_are_local(spark, sf_dir):
+    rows = x5.q_zorder_layout(spark, sf_dir).collect()
+    assert rows
+    g_cust = max(r.max_cust for r in rows) - min(r.min_cust for r in rows)
+    # weight per-bucket span by rows: z-clustering must shrink the
+    # average custkey span well below the global span
+    n = sum(r.n_orders for r in rows)
+    avg_span = sum((r.max_cust - r.min_cust) * r.n_orders for r in rows) / n
+    assert avg_span <= g_cust / 3, (avg_span, g_cust)
+
+
+# ---------------------------------------------------------------------------
+# Random projection
+# ---------------------------------------------------------------------------
+
+def test_projection_is_map_only(spark, sf_dir):
+    plan = x5.q_embedding_projection(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_projection_preserves_scaled_norms(spark, sf_dir):
+    # E[||Sv||^2] = in_dim * ... for unit sign matrix: E||Sv||^2 = out_dim * ||v||^2
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    out = x5.q_embedding_projection(spark, sf_dir).limit(50).collect()
+    norms = {
+        r.vec_id: sum(float(v) ** 2 for v in r.embedding)
+        for r in emb.collect()
+    }
+    ratios = []
+    for r in out:
+        p2 = sum(getattr(r, f"p{j:02d}") ** 2 for j in range(16))
+        ratios.append(p2 / (16 * norms[r.vec_id]))
+    mean_ratio = sum(ratios) / len(ratios)
+    # JL concentration: mean over 50 vectors should be near 1
+    assert 0.5 <= mean_ratio <= 2.0, mean_ratio
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def test_pagerank_mass_conserved(spark, sf_dir):
+    edges = copurchase_edges(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    ranks = pagerank(edges, iterations=5)
+    total = ranks.agg(F.sum("pagerank")).first()[0]
+    # symmetric graph, no dangling nodes -> total mass stays 1
+    assert math.isclose(total, 1.0, rel_tol=1e-6), total
+
+
+def test_pagerank_triangle_uniform(spark):
+    # symmetric unweighted triangle -> uniform stationary distribution
+    e = [(a, b, 1) for a in (1, 2, 3) for b in (1, 2, 3) if a != b]
+    edges = spark.createDataFrame(e, ["src", "dst", "w"])
+    rows = pagerank(edges, iterations=5).collect()
+    for r in rows:
+        assert math.isclose(r.pagerank, 1 / 3, rel_tol=1e-9), rows
+
+
+def test_pagerank_star_center_dominates(spark):
+    # star: center 0 linked to 1..4 (symmetric) -> center outranks leaves
+    e = []
+    for leaf in range(1, 5):
+        e.append((0, leaf, 1))
+        e.append((leaf, 0, 1))
+    edges = spark.createDataFrame(e, ["src", "dst", "w"])
+    rows = {r.node: r.pagerank for r in pagerank(edges, iterations=5).collect()}
+    assert rows[0] > max(rows[i] for i in range(1, 5)) * 2
