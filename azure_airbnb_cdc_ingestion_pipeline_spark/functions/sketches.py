@@ -97,6 +97,138 @@ def kmv_distinct(
     )
 
 
+def kmv_set_ops(
+    left: DataFrame,
+    right: DataFrame,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Theta-sketch-style set operations from two KMV sketches: distinct
+    estimates for |L|, |R|, |L ∪ R| and |L ∩ R| without ever computing
+    the exact distinct sets together.
+
+    Union: merge the two k-smallest sets, re-take k smallest (a valid
+    KMV of the union — the classic mergeability property). Intersection
+    via the theta-sketch estimator: among the union sketch's k hashes,
+    the fraction present in BOTH sides, scaled by the union estimate.
+    All hashes are md5-derived, so the oracle rebuilds identical
+    sketches. Returns a single row (est_left, est_right, est_union,
+    est_intersection) — each a bigint.
+
+    100 TB posture: each side reduces to <= k rows before anything is
+    combined; the combine is a k-row union + window — driver never sees
+    more than one output row.
+    """
+
+    def sketch(df: DataFrame) -> DataFrame:
+        d = (
+            df.select(F.col(value_col).alias("v"))
+            .distinct()
+            .select(md5_hash52(F.col("v")).alias("h"))
+            .distinct()  # 52-bit collisions: keep hash-set semantics exact
+        )
+        w = Window.partitionBy(F.lit(1)).orderBy("h")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+
+    ls, rs = sketch(left), sketch(right)
+
+    def estimate(sk: DataFrame):
+        """KMV estimate as a 1-row frame (n, kth, est)."""
+        w = Window.partitionBy(F.lit(1)).orderBy("h")
+        ranked = sk.withColumn("rn", F.row_number().over(w))
+        return ranked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"),
+        ).select(
+            F.when(
+                F.col("kth").isNotNull(),
+                F.round((k - 1) * F.lit(HASH_SPACE) / F.col("kth"), 0),
+            )
+            .otherwise(F.col("n"))
+            .cast("long")
+            .alias("est")
+        )
+
+    # union sketch: k smallest of the merged hash sets
+    both = ls.select("h").union(rs.select("h")).distinct()
+    wu = Window.partitionBy(F.lit(1)).orderBy("h")
+    union_ranked = both.withColumn("rn", F.row_number().over(wu))
+    union_sketch = union_ranked.filter(F.col("rn") <= k).drop("rn")
+    union_est = estimate(union_sketch)
+
+    # intersection: fraction of the union sketch's hashes in both sides
+    marked = (
+        union_sketch.join(ls.select(F.col("h").alias("h")).withColumn("_l", F.lit(1)), "h", "left")
+        .join(rs.select(F.col("h").alias("h")).withColumn("_r", F.lit(1)), "h", "left")
+        .agg(
+            F.count(F.lit(1)).alias("ku"),
+            F.sum(
+                F.when(F.col("_l").isNotNull() & F.col("_r").isNotNull(), 1).otherwise(0)
+            ).alias("kboth"),
+        )
+    )
+    return (
+        estimate(ls).withColumnRenamed("est", "est_left")
+        .crossJoin(estimate(rs).withColumnRenamed("est", "est_right"))
+        .crossJoin(union_est.withColumnRenamed("est", "est_union"))
+        .crossJoin(marked)
+        .select(
+            "est_left",
+            "est_right",
+            "est_union",
+            F.round(F.col("est_union") * F.col("kboth") / F.col("ku"), 0)
+            .cast("long")
+            .alias("est_intersection"),
+        )
+    )
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int = 100,
+) -> DataFrame:
+    """Deterministic Efraimidis–Spirakis weighted sampling without
+    replacement: key each row by u^(1/w) with u = md5-hash-uniform in
+    (0,1), keep the n largest keys. Heavier rows win proportionally —
+    the exact A-ES reservoir semantics, but reproducible (no RNG) and
+    oracle-checkable. Equivalent single-pass form at scale: per
+    partition keep n largest (mergeable), then merge — here expressed
+    as a salted two-phase top-n so no partition sorts the full input.
+
+    Returns (id_col, weight_col, es_key) for the n winners."""
+    # u in (0,1]: (h+1) / 2^52 — strictly positive so log is defined
+    u = (md5_hash52(F.col(id_col)) + 1) / F.lit(HASH_SPACE)
+    keyed = df.select(
+        id_col,
+        weight_col,
+        F.round(
+            F.pow(u, 1.0 / F.col(weight_col).cast("double")), 8
+        ).alias("es_key"),
+    )
+    w1 = Window.partitionBy(md5_hash52(F.col(id_col)) % 32).orderBy(
+        F.col("es_key").desc(), F.col(id_col).asc()
+    )
+    pruned = (
+        keyed.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= n)
+        .drop("rn")
+    )
+    w2 = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("es_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        pruned.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= n)
+        .drop("rn")
+    )
+
+
 def countmin_estimates(
     df: DataFrame,
     value_col: str,

@@ -300,6 +300,99 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# KMV set operations (theta-sketch-style union / intersection estimates)
+# ---------------------------------------------------------------------------
+
+_SETOPS_K = 256
+
+_SETOPS_ORACLE = f"""
+    WITH lh AS (
+      SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT AS h
+      FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+    ),
+    rh AS (
+      SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT AS h
+      FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    ),
+    ls AS (SELECT h FROM lh QUALIFY row_number() OVER (ORDER BY h) <= {_SETOPS_K}),
+    rs AS (SELECT h FROM rh QUALIFY row_number() OVER (ORDER BY h) <= {_SETOPS_K}),
+    us AS (
+      SELECT h FROM (SELECT DISTINCT h FROM (SELECT h FROM ls UNION ALL SELECT h FROM rs))
+      QUALIFY row_number() OVER (ORDER BY h) <= {_SETOPS_K}
+    ),
+    est AS (
+      SELECT
+        (SELECT CAST(coalesce(round({_SETOPS_K - 1}.0 * {int(HASH_SPACE)} /
+            max(CASE WHEN rn = {_SETOPS_K} THEN h END), 0), max(rn)) AS BIGINT)
+         FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ls)) AS est_left,
+        (SELECT CAST(coalesce(round({_SETOPS_K - 1}.0 * {int(HASH_SPACE)} /
+            max(CASE WHEN rn = {_SETOPS_K} THEN h END), 0), max(rn)) AS BIGINT)
+         FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM rs)) AS est_union_l,
+        (SELECT CAST(coalesce(round({_SETOPS_K - 1}.0 * {int(HASH_SPACE)} /
+            max(CASE WHEN rn = {_SETOPS_K} THEN h END), 0), max(rn)) AS BIGINT)
+         FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM us)) AS est_union,
+        (SELECT count(*) FROM us) AS ku,
+        (SELECT count(*) FROM us
+         WHERE h IN (SELECT h FROM ls) AND h IN (SELECT h FROM rs)) AS kboth
+    )
+    SELECT est_left, est_union_l AS est_right, est_union,
+           CAST(round(est_union * kboth / ku, 0) AS BIGINT) AS est_intersection
+    FROM est
+"""
+
+
+@query("sketch_kmv_setops", oracle=_SETOPS_ORACLE)
+def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style set algebra from mergeable KMV sketches:
+    distinct-user estimates for clickers, purchasers, their union
+    (merge sketches, re-take k smallest) and intersection (fraction of
+    union-sketch hashes present in both sides, scaled) — cardinality
+    set operations WITHOUT co-shuffling the exact distinct sets. Each
+    side reduces to <= k=256 rows before combining; bit-exact oracle
+    (functions/sketches.py::kmv_set_ops)."""
+    from ..functions.sketches import kmv_set_ops
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_set_ops(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "user_id",
+        k=_SETOPS_K,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted reservoir sampling (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+_WRS_ORACLE = f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             round(pow(
+               (('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT + 1)
+                 / {HASH_SPACE!r}::DOUBLE,
+               1.0 / n_chars), 8) AS es_key
+      FROM documents
+    )
+    SELECT doc_id, n_chars, es_key FROM keyed
+    QUALIFY row_number() OVER (ORDER BY es_key DESC, doc_id ASC) <= 100
+"""
+
+
+@query("sample_weighted_reservoir", oracle=_WRS_ORACLE)
+def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement:
+    100 documents weighted by length, keys u^(1/w) with md5-uniform u —
+    reproducible (no RNG), bit-exact oracle. Salted two-phase top-n, so
+    no partition sorts the full corpus
+    (functions/sketches.py::weighted_reservoir_sample)."""
+    from ..functions.sketches import weighted_reservoir_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_reservoir_sample(docs, "doc_id", "n_chars", n=100)
+
+
+# ---------------------------------------------------------------------------
 # Streaming exactly-once dedup (dropDuplicatesWithinWatermark)
 # ---------------------------------------------------------------------------
 

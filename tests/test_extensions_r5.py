@@ -61,6 +61,44 @@ def test_countmin_never_undercounts(spark, sf_dir):
         assert r.overcount == r.cm_est - r.exact_cnt
 
 
+def test_kmv_setops_estimates_near_truth(spark, sf_dir):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.sketches import (
+        kmv_set_ops,
+    )
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "click")
+    right = ev.filter(F.col("event_type") == "purchase")
+    r = kmv_set_ops(left, right, "user_id", k=256).first()
+    lt = left.select("user_id").distinct().count()
+    rt = right.select("user_id").distinct().count()
+    ut = left.select("user_id").union(right.select("user_id")).distinct().count()
+    it = lt + rt - ut
+    # sf0.001 cardinalities are below k -> exact; larger sfs within sketch error
+    for est, truth in [(r.est_left, lt), (r.est_right, rt), (r.est_union, ut)]:
+        assert abs(est - truth) <= max(3, truth * 0.3), (est, truth)
+    assert abs(r.est_intersection - it) <= max(5, it * 0.5), (r.est_intersection, it)
+
+
+def test_weighted_reservoir_favors_heavy_rows(spark):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.sketches import (
+        weighted_reservoir_sample,
+    )
+
+    # 500 light rows (w=1) + 100 heavy rows (w=200): a 100-row sample
+    # must be dominated by heavy rows (A-ES inclusion ∝ weight)
+    df = spark.range(600).selectExpr(
+        "id", "CASE WHEN id < 100 THEN 200 ELSE 1 END AS w"
+    )
+    got = weighted_reservoir_sample(df, "id", "w", n=100).collect()
+    assert len(got) == 100
+    heavy = sum(1 for r in got if r.id < 100)
+    assert heavy >= 80, heavy
+    # deterministic: same input -> same sample
+    again = {r.id for r in weighted_reservoir_sample(df, "id", "w", n=100).collect()}
+    assert again == {r.id for r in got}
+
+
 # ---------------------------------------------------------------------------
 # Z-order
 # ---------------------------------------------------------------------------
