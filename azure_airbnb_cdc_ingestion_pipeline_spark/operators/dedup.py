@@ -235,6 +235,12 @@ def minhash_lsh_pairs(
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
+    # (r5 note: a 64-hash signature-estimate prefilter between the band
+    # join and the exact verification was measured at sf10 and REVERTED —
+    # on ~100-token docs the shingle arrays are barely larger than the
+    # signatures, so the two extra attach-joins cost more than the saved
+    # intersects: 89 s → 111 s. Worth revisiting only for long-document
+    # corpora where |shingles| ≫ num_hashes.)
     sets = sh_df
     verified = (
         cand.join(sets.select(F.col("id").alias("a_id"), F.col("sh").alias("sha")), "a_id")
@@ -419,25 +425,77 @@ def simhash_pairs(
     max_distance: int = 3,
     num_bits: int = 64,
     hasher=None,
+    scheme: tuple[int, int] | None = None,
 ) -> DataFrame:
-    """All pairs within Hamming distance ≤ max_distance (≤ 3 guaranteed
-    complete by the 4-chunk pigeonhole: any such pair agrees on at least
-    one num_bits/4-bit chunk, so the block join on (chunk_idx, chunk_value)
-    loses nothing). Returns (a_id, b_id, hamming)."""
-    sh = simhash(df, id_col, text_col, num_bits=num_bits, hasher=hasher)
-    chunk_bits = num_bits // 4
-    mask = (1 << chunk_bits) - 1
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("ci"),
-                F.shiftrightunsigned(F.col("simhash"), chunk_bits * i)
-                .bitwiseAND(F.lit(mask))
-                .alias("cv"),
-            )
-            for i in range(4)
-        ]
+    """All pairs within Hamming distance ≤ max_distance, guaranteed
+    complete by pigeonhole blocking, adaptively widened with corpus
+    size (r5). Returns (a_id, b_id, hamming).
+
+    Blocking schemes (both lossless for d ≤ max_distance):
+
+    - **(c=d+1 chunks, keys = single chunks)** — the classic pigeonhole:
+      a pair differing in ≤ d bits leaves ≥ 1 chunk untouched. Key width
+      num_bits/(d+1) (16 bits at d=3/64) ⇒ random-collision candidates
+      grow ~n²/2^16 — fine to ~30 k docs, birthday-quadratic past it
+      (measured: `dedup_simhash` 15.9× for 10× data sf1→sf10 with the
+      fixed 4×16-bit scheme).
+    - **(c=6 chunks, keys = 3-chunk combinations)** — any pair with ≤ 3
+      flipped bits touches ≤ 3 of the 6 chunks, so ≥ 3 chunks are
+      untouched and at least one of the C(6,3)=20 combination keys
+      matches exactly. Key width ~3·num_bits/6 = 32 bits ⇒ random
+      collisions ~n²·20/2^32 — negligible through tens of millions of
+      docs; the block join is then bounded by TRUE near-dups (linear by
+      corpus construction). 20 exploded rows/doc instead of 4 — the
+      constant the collision-free join buys.
+
+    The cutover is internal: both schemes generate a candidate superset
+    and the exact Hamming filter decides membership, so results are
+    IDENTICAL — the oracle never sees the scheme."""
+    import itertools
+
+    from ..session import track_persist
+
+    sh = track_persist(
+        simhash(df, id_col, text_col, num_bits=num_bits, hasher=hasher)
     )
+    if scheme is not None:  # test hook: force a blocking scheme
+        c, g = scheme
+    else:
+        n = sh.count()
+        if n <= 30_000 or max_distance > 3:
+            c, g = max_distance + 1, 1
+        else:
+            c, g = 6, 3
+    if c - max_distance < g:
+        raise ValueError(
+            f"blocking scheme ({c},{g}) cannot guarantee Hamming <= {max_distance}"
+        )
+
+    base_w = num_bits // c
+    rem = num_bits % c
+    widths = [base_w + (1 if i < rem else 0) for i in range(c)]
+    offsets = [sum(widths[:i]) for i in range(c)]
+
+    def chunk_val(i):
+        # full-width chunk (d=0 → one 64-bit chunk): 2^64-1 overflows a
+        # long literal — an all-ones mask is just -1 in two's complement
+        mask = -1 if widths[i] >= 64 else (1 << widths[i]) - 1
+        return F.shiftrightunsigned(F.col("simhash"), offsets[i]).bitwiseAND(
+            F.lit(mask).cast("long")
+        )
+
+    combos = list(itertools.combinations(range(c), g))
+    structs = []
+    for ci, combo in enumerate(combos):
+        packed = F.lit(0).cast("long")
+        shift = 0
+        for i in combo:
+            packed = packed + F.shiftleft(chunk_val(i), shift)
+            shift += widths[i]
+        structs.append(
+            F.struct(F.lit(ci).alias("ci"), packed.alias("cv"))
+        )
+    chunks = F.array(*structs)
     blocked = sh.select("id", "simhash", F.explode(chunks).alias("c")).select(
         "id", "simhash", "c.ci", "c.cv"
     )

@@ -393,6 +393,92 @@ def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Audio spectral analysis (real WAV decode + FFT under an exact oracle)
+# ---------------------------------------------------------------------------
+
+_AU_N, _AU_SR, _AU_AMP = 1024, 8000, 16000
+
+_AUDIO_ORACLE = f"""
+    WITH k AS (SELECT doc_id, 10 + doc_id % 50 AS k FROM documents),
+    rms AS (
+      SELECT doc_id, k,
+             sqrt(list_sum(list_transform(range({_AU_N}),
+               t -> CAST(((t * k % {_AU_N}) * 2 * {_AU_AMP} // {_AU_N} - {_AU_AMP})
+                    * ((t * k % {_AU_N}) * 2 * {_AU_AMP} // {_AU_N} - {_AU_AMP}) AS DOUBLE)))
+               / {_AU_N}) / 32768.0 AS r
+      FROM k
+    )
+    SELECT doc_id AS media_id,
+           {_AU_SR} AS sample_rate,
+           {_AU_N} AS n_samples,
+           CAST(k AS BIGINT) AS dominant_bin,
+           k * {_AU_SR}.0 / {_AU_N} AS dominant_freq_hz,
+           round(r, 4) AS rms
+    FROM rms
+"""
+
+
+@query("audio_spectral_features", oracle=_AUDIO_ORACLE)
+def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio DSP under an exact oracle: synthesize a 16-bit PCM WAV
+    per document (sawtooth at bin k = 10 + doc%50 — INTEGER-exact
+    formula, so the oracle regenerates identical samples in SQL),
+    decode it back with the stdlib `wave` codec, then numpy rFFT →
+    dominant non-DC bin + RMS. The FFT runs on actually-decoded bytes;
+    the oracle predicts the dominant bin analytically (sawtooth
+    fundamental) and recomputes RMS from the same integer samples.
+    Arrow `mapInPandas` end-to-end — payload bytes never shuffle; at
+    100 TB this is the feature-extract stage of an audio corpus scan."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as _np
+    import pandas as _pd
+
+    from ..functions.codecs import encode_wav
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth_and_analyze(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = 10 + did % 50
+                t = _np.arange(_AU_N, dtype=_np.int64)
+                s = (t * k % _AU_N) * 2 * _AU_AMP // _AU_N - _AU_AMP
+                payload = encode_wav([int(v) for v in s], sample_rate=_AU_SR)
+                # decode through the real codec path
+                with _wave.open(_io.BytesIO(payload), "rb") as wf:
+                    sr = wf.getframerate()
+                    n = wf.getnframes()
+                    raw = _np.frombuffer(
+                        wf.readframes(n), dtype="<i2"
+                    ).astype(_np.float64)
+                spec = _np.abs(_np.fft.rfft(raw / 32768.0))
+                dom = int(_np.argmax(spec[1:]) + 1)  # exclude DC
+                rms = float(_np.sqrt(_np.mean((raw / 32768.0) ** 2)))
+                out.append((did, sr, n, dom, dom * _AU_SR / _AU_N, round(rms, 4)))
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_samples",
+                    "dominant_bin",
+                    "dominant_freq_hz",
+                    "rms",
+                ],
+            )
+
+    return docs.mapInPandas(
+        _synth_and_analyze,
+        "media_id long, sample_rate int, n_samples int, dominant_bin long, "
+        "dominant_freq_hz double, rms double",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming exactly-once dedup (dropDuplicatesWithinWatermark)
 # ---------------------------------------------------------------------------
 

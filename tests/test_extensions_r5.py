@@ -155,6 +155,68 @@ def test_projection_preserves_scaled_norms(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# SimHash combinatorial blocking (r5 scale path)
+# ---------------------------------------------------------------------------
+
+def test_simhash_combinatorial_blocking_equals_pigeonhole(spark, sf_dir):
+    """The (6 chunks, 3-chunk combination keys) large-corpus scheme must
+    return EXACTLY the same pairs as the classic (4,1) pigeonhole — both
+    are lossless candidate generators for Hamming <= 3, so the exact
+    filter decides membership identically."""
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.lower("text").alias("text")
+    )
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 50000).alias("doc_id"),
+            F.concat("text", F.lit(" zz")).alias("text"),
+        )
+    )
+    small = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in simhash_pairs(aug, "doc_id", "text", scheme=(4, 1)).collect()
+    }
+    combi = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in simhash_pairs(aug, "doc_id", "text", scheme=(6, 3)).collect()
+    }
+    assert small == combi
+    assert small  # non-trivial corpus: some pairs found
+
+
+def test_simhash_scheme_guarantee_validated(spark, sf_dir):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    with pytest.raises(ValueError):
+        # (4,2) leaves only 4-3=1 untouched chunk < g=2 — no guarantee
+        simhash_pairs(docs, "doc_id", "text", max_distance=3, scheme=(4, 2))
+
+
+# ---------------------------------------------------------------------------
+# Audio spectral
+# ---------------------------------------------------------------------------
+
+def test_audio_spectral_finds_planted_tone(spark, sf_dir):
+    rows = x5.q_audio_spectral(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        k = 10 + r.media_id % 50
+        assert r.dominant_bin == k, r
+        assert math.isclose(r.dominant_freq_hz, k * 8000 / 1024), r
+        # sawtooth RMS ~ A/sqrt(3) = 0.282 at A=16000/32768
+        assert 0.2 < r.rms < 0.35, r
+
+
+# ---------------------------------------------------------------------------
 # PageRank
 # ---------------------------------------------------------------------------
 
