@@ -393,6 +393,172 @@ def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Relational breadth: time-weighted average, pivot / unpivot, CUBE
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_time_weighted_avg",
+    # TWA over irregular samples: each observed value holds until the
+    # next observation (zero-order hold); weight = seconds until the
+    # next event of the same user. Users with one event have no held
+    # interval -> excluded (matching both engines).
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    held AS (
+      SELECT user_id,
+             date_diff('microsecond', ts, nxt) / 1e6 AS dur,
+             value
+      FROM seq WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+           round(sum(dur * coalesce(value, 0.0)) / sum(dur), 4) AS twa_value,
+           count(*) AS n_intervals
+    FROM held GROUP BY user_id
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over irregularly-sampled event values
+    (zero-order hold — the standard sensor/price aggregation where a
+    plain AVG over-weights bursts). One window shuffle keyed on
+    user_id, then a hash agg; at 100 TB this partitions by entity and
+    never sorts globally."""
+    from pyspark.sql import Window as W_
+
+    ev = _t(spark, sf_dir, "events")
+    w = W_.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("nxt", F.lead("ts").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    # timestampdiff keeps the duration integer-exact AND works on the
+    # events table's TIMESTAMP_NTZ without a session-timezone-dependent
+    # cast (unix_micros rejects NTZ; double-casting rounds at ~1e-7 s)
+    held = seq.select(
+        "user_id",
+        (
+            F.expr("timestampdiff(MICROSECOND, ts, nxt)") / F.lit(1e6)
+        ).alias("dur"),
+        F.coalesce("value", F.lit(0.0)).alias("v"),
+    )
+    return held.groupBy("user_id").agg(
+        F.round(F.sum(F.col("dur") * F.col("v")) / F.sum("dur"), 4).alias(
+            "twa_value"
+        ),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+@query(
+    "events_pivot_by_type",
+    oracle="""
+    SELECT user_id,
+           round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 2) AS click,
+           round(sum(CASE WHEN event_type = 'error' THEN value ELSE 0 END), 2) AS error,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase,
+           round(sum(CASE WHEN event_type = 'signup' THEN value ELSE 0 END), 2) AS signup,
+           round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 2) AS "view"
+    FROM events GROUP BY user_id
+    """,
+)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: long event stream → wide per-user value matrix via
+    `groupBy().pivot(values=...)`. Passing the value list explicitly
+    skips Spark's distinct-scan pre-pass (one aggregation instead of
+    two jobs) — at scale the pivot column set must be known/bounded
+    anyway, since it becomes the schema."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2))
+    )
+    # pivot cells with no rows are null; oracle's CASE yields 0.0
+    return out.select(
+        "user_id",
+        *[F.round(F.coalesce(F.col(t), F.lit(0.0)), 2).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+@query(
+    "events_unpivot_values",
+    # UNPIVOT/melt of the per-user pivot back to long form, keeping only
+    # non-zero cells — round-trips the pivot above.
+    oracle="""
+    WITH wide AS (
+      SELECT user_id,
+             round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 2) AS click,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, kind, amount FROM (
+      SELECT user_id, 'click' AS kind, click AS amount FROM wide
+      UNION ALL
+      SELECT user_id, 'purchase' AS kind, purchase AS amount FROM wide
+    ) WHERE amount <> 0
+    """,
+)
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) via the native `DataFrame.unpivot` — wide columns
+    back to (entity, kind, amount) long form; map-only after the
+    aggregation, no shuffle added by the unpivot itself."""
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2))
+        .select(
+            "user_id",
+            F.coalesce("click", F.lit(0.0)).alias("click"),
+            F.coalesce("purchase", F.lit(0.0)).alias("purchase"),
+        )
+    )
+    return wide.unpivot(
+        "user_id", ["click", "purchase"], "kind", "amount"
+    ).filter(F.col("amount") != 0)
+
+
+@query(
+    "grouping_cube",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstatus,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty,
+           grouping(l_returnflag) + 2 * grouping(l_linestatus) AS gid
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 aggregation levels in one pass —
+    Catalyst expands to a single Expand + hash agg, not 4 scans);
+    grouping-id column disambiguates coalesced NULL keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            (
+                F.grouping("l_returnflag") + 2 * F.grouping("l_linestatus")
+            ).cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "n",
+            "sum_qty",
+            "gid",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Audio spectral analysis (real WAV decode + FFT under an exact oracle)
 # ---------------------------------------------------------------------------
 

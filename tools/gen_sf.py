@@ -113,16 +113,30 @@ def generate(base: str, out: str, k: int) -> None:
         user_id + r * {S['events_user']} AS user_id,
         event_type, value, props"""))
 
-    # documents: substitute every 5th word with a (replica, position) token;
-    # positions are doc-independent so intra-replica near-dup pairs survive
+    # documents: substitute every `stride`-th word with a (replica,
+    # position) token; positions are doc-independent so intra-replica
+    # near-dup pairs survive.
+    #
+    # stride (r5 fix): 5 keeps cross-replica 3-shingle Jaccard ≈ 0.34 —
+    # fine at K ≤ 10, but at K=100 every doc gains C(K,2)-scaled
+    # moderately-similar siblings: measured at sf10, simhash emitted
+    # 59.7× the pairs for 10× the docs (cross-replica fingerprints
+    # within Hamming 3) and the minhash band join verified a
+    # workload-quadratic candidate mass — the bench measured the
+    # generator, not the engine. stride 3 puts a replica token in EVERY
+    # 3-shingle (any 3 consecutive positions contain one ≡ 0 mod 3), so
+    # cross-replica shingle Jaccard is ~0 and near-dup density stays
+    # linear, as the header contract requires. K ≤ 10 keeps stride 5 so
+    # the r4/r5 sf1 and sf3 artifacts remain byte-identical.
+    stride = 5 if k <= 10 else 3
     copy("documents", _replicated(con, base, "documents", k, f"""
         doc_id + r * {S['documents']} AS doc_id,
         CASE WHEN r = 0 THEN text ELSE array_to_string(
             list_transform(
                 list_zip(split(text, ' '),
                          range(1, len(split(text, ' ')) + 1)),
-                z -> CASE WHEN z[2] % 5 = 0
-                     THEN 'w' || r::VARCHAR || 'q' || (z[2] // 5)::VARCHAR
+                z -> CASE WHEN z[2] % {stride} = 0
+                     THEN 'w' || r::VARCHAR || 'q' || (z[2] // {stride})::VARCHAR
                      ELSE z[1] END),
             ' ') END AS text,
         lang, source,
@@ -138,13 +152,36 @@ def generate(base: str, out: str, k: int) -> None:
     """)
 
     # embeddings: per-replica cyclic rotation (isometry; replicas
-    # near-orthogonal to base for pseudo-random vectors)
+    # near-orthogonal to base for pseudo-random vectors).
+    #
+    # K > dim (r5 fix): rotation alone yields only `dim` distinct
+    # isometries — at K=100/dim=64 the old r*dim//K offsets collided 36
+    # times per base vector, planting ~C(collisions,2) EXACT-duplicate
+    # replica pairs per vector (quadratic in K) and making the sf10
+    # scale bench measure the generator, not the engine. Past r = dim
+    # the replica is the NEGATED rotation (also an isometry): cos
+    # between a rotation and any negated rotation is the negative of a
+    # near-orthogonal value — still far from every near-dup threshold —
+    # so all 2·dim isometries are pairwise non-near-dup. K ≤ dim keeps
+    # the original offsets (sf1/sf3 artifacts stay byte-identical).
+    dim = con.sql(
+        f"SELECT len(embedding) FROM read_parquet('{base}/embeddings.parquet') LIMIT 1"
+    ).fetchone()[0]
+    if k <= dim:
+        rot = f"(r * len(embedding)) // {k}"
+        neg_from = k + 1  # never triggers
+    else:
+        assert k <= 2 * dim, f"k={k} exceeds the 2*dim={2*dim} isometry budget"
+        rot = f"r % {dim}"
+        neg_from = dim
     copy("embeddings", _replicated(con, base, "embeddings", k, f"""
         vec_id + r * {S['embeddings']} AS vec_id,
-        CASE WHEN r = 0 THEN embedding ELSE list_concat(
-            embedding[1 + ((r * len(embedding)) // {k}):],
-            embedding[:((r * len(embedding)) // {k})]
-        )::FLOAT[] END AS embedding,
+        CASE WHEN r = 0 THEN embedding
+             WHEN r < {neg_from} THEN list_concat(
+                 embedding[1 + ({rot}):], embedding[:({rot})])::FLOAT[]
+             ELSE list_transform(list_concat(
+                 embedding[1 + ({rot}):], embedding[:({rot})]),
+                 x -> -x)::FLOAT[] END AS embedding,
         label"""))
 
 
