@@ -162,21 +162,37 @@ def _adaptive_lsh_params(
     Now the third return value `nbuckets` = ⌈n / (target/2)⌉ EXACTLY
     (any integer, not a power of two); callers post-hash the sign-bit
     bucket id into `nbuckets` buckets (`_bucketize`), pinning occupancy
-    to target/2 = 8 for every n — the BOTTOM of the old sawtooth, so the
-    smoothed grid is never more collision-dense than any r4 operating
-    point (measured: sf1 5.6→4.4 s, sf3 23.6→11.5 s). Merging sign
-    buckets under the mod only ADDS candidates vs the same-planes sign
-    grid, so recall never drops below the sign-grid bound. `nbuckets` is
-    None in the identity regime (raw sign buckets below target·2^planes,
-    exactly the pre-r5 small-sf behavior the oracles gate)."""
+    to target/2 for every n. Merging sign buckets under the mod only
+    ADDS candidates vs the same-planes sign grid, so recall never drops
+    below the sign-grid bound. `nbuckets` is None in the identity regime
+    (raw sign buckets below target·2^planes, exactly the pre-r5 small-sf
+    behavior the oracles gate).
+
+    r5 Poissonization (sf10 finding): with planes = ⌈log2 nbuckets⌉ the
+    sign-pattern space matched the bucket space, so the fold barely
+    mixed and the (mildly non-uniform) pattern probabilities landed on
+    buckets directly — per-table candidate pairs ran 2–2.4× the Poisson
+    expectation AND drifted upward with n (46/n at sf1 → 78/n at sf10:
+    a ~1.3×/decade superlinear residue, flagged by SCALE_r05_sf10). Now
+    planes = ⌈log2 nbuckets⌉ + 8: 256 sign patterns fold into each
+    bucket, so occupancy is hash-randomized to Poisson(target/2)
+    regardless of pattern skew, and candidates stay ~(target/2)·n/2 per
+    table at EVERY n. Tables come from the recall budget in closed form:
+    smallest T with (1 − (1−θ/π)^planes)^T ≤ 1e-4 at the near-dup
+    operating point cos ≥ 0.999 (θ/π ≈ 0.00913) — T grows ~+1 per
+    decade (5 at 8 k, 6 at 65 k through sf100) instead of +1 per two
+    planes (8 at sf10 before)."""
     import math
 
     if n <= target_occupancy * (1 << num_planes):
         return num_planes, num_tables, None
     nbuckets = -(-n // (target_occupancy // 2))
-    planes = max(num_planes, math.ceil(math.log2(nbuckets)))
-    extra = planes - num_planes
-    return planes, num_tables + (extra + 1) // 2, nbuckets
+    planes = max(num_planes, math.ceil(math.log2(nbuckets)) + 8)
+    p_table = (1.0 - 0.00913) ** planes  # per-table hit prob at cos 0.999
+    tables = max(
+        num_tables, math.ceil(math.log(1e-4) / math.log(1.0 - p_table))
+    )
+    return planes, tables, nbuckets
 
 
 def _bucketize(bucket: Column, nbuckets: int | None) -> Column:
@@ -223,15 +239,22 @@ def cosine_pairs_lsh(
     """
     from ..session import fan_out
 
-    # normalize/persist FIRST, then count the persisted frame: counting
-    # the raw input would materialize the full upstream lineage an extra
-    # time per call (r4 advisor finding), while the unit frame is read by
-    # the bucket build and both verification sides anyway.
-    unit = normalized(fan_out(vectors), id_col, vec_col)
+    # r5: NO persisted unit frame. Caching an array<double>(64) column
+    # through Spark's columnar in-memory store costs ~3.5 µs/element —
+    # 46 s for 207 k × 64 at sf10, dominating the whole query (the
+    # candidate work after Poissonized bucketing is ~5 s). Instead the
+    # GEMM stage normalizes in numpy (free against the matmul) and the
+    # candidate join is an alias self-join over ONE exploded frame, so
+    # the shuffled exchange is computed once and reused for the other
+    # side. The corpus count for adaptive sizing reads the raw frame —
+    # a cheap count-only scan.
+    src = fan_out(vectors).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
     nbuckets = None
     if adaptive:
         num_planes, num_tables, nbuckets = _adaptive_lsh_params(
-            unit.count(), num_planes, num_tables
+            src.count(), num_planes, num_tables
         )
     # All tables' sign buckets in ONE Arrow GEMM pass (r5): the unrolled
     # JVM formulation evaluated tables × planes × dim multiply-adds as
@@ -258,8 +281,11 @@ def cosine_pairs_lsh(
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.vstack(pdf["unit"].to_numpy())
-            signs = (V @ proj >= 0).astype(np.float64)
+            V = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(V, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            U = V / norms
+            signs = (U @ proj >= 0).astype(np.float64)
             cols = [
                 (signs[:, t * num_planes : (t + 1) * num_planes] @ weights).astype(
                     np.int64
@@ -268,10 +294,10 @@ def cosine_pairs_lsh(
             ]
             B = np.stack(cols, axis=1)
             yield pd.DataFrame(
-                {"id": pdf["id"], "unit": pdf["unit"], "bks": list(B)}
+                {"id": pdf["id"], "unit": list(U), "bks": list(B)}
             )
 
-    bucketed = unit.mapInPandas(
+    bucketed = src.mapInPandas(
         _gemm_buckets, "id long, unit array<double>, bks array<long>"
     )
     buckets = bucketed.select(
@@ -287,21 +313,24 @@ def cosine_pairs_lsh(
     # vectors in the (tbl, bucket) join keys the shuffle at n·tables
     # vector rows instead, the exact dot kills non-pairs before any
     # pair-keyed exchange, and the dropDuplicates input is just the true
-    # pairs × table-duplication (near-dup-density-bounded). A pair
-    # co-bucketed in m tables pays m dot products — bounded by tables —
-    # instead of an extra candidate-wide shuffle.
-    a = buckets.select(
-        F.col("id").alias("a_id"), F.col("unit").alias("va"), "tbl", "bucket"
-    )
-    b = buckets.select(
-        F.col("id").alias("b_id"), F.col("unit").alias("vb"), "tbl", "bucket"
-    )
+    # pairs × table-duplication (near-dup-density-bounded). The alias
+    # self-join keeps both sides the same physical subtree, so Spark
+    # computes the exploded exchange once and replays it (ReusedExchange)
+    # for the other side — no persist of the vector column needed.
+    a, b = buckets.alias("A"), buckets.alias("B")
     return (
-        a.join(b, ["tbl", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("cos", F.round(dot(F.col("va"), F.col("vb")), 4))
+        a.join(
+            b,
+            (F.col("A.tbl") == F.col("B.tbl"))
+            & (F.col("A.bucket") == F.col("B.bucket"))
+            & (F.col("A.id") < F.col("B.id")),
+        )
+        .select(
+            F.col("A.id").alias("a_id"),
+            F.col("B.id").alias("b_id"),
+            F.round(dot(F.col("A.unit"), F.col("B.unit")), 4).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
-        .select("a_id", "b_id", "cos")
         .dropDuplicates(["a_id", "b_id"])
     )
 

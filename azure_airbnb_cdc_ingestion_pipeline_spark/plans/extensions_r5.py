@@ -559,6 +559,88 @@ def q_grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Data-quality expectation suite (single-pass rule evaluation)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dq_expectations",
+    oracle="""
+    WITH t AS (SELECT count(*) AS total FROM orders)
+    SELECT r.rule, r.violations, t.total,
+           round(1.0 - r.violations * 1.0 / t.total, 4) AS pass_rate
+    FROM (
+      SELECT 'orderkey_not_null' AS rule,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+      FROM orders
+      UNION ALL
+      SELECT 'totalprice_positive',
+             CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'status_in_domain',
+             CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orderdate_in_range',
+             CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                        OR o_orderdate > TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orderkey_unique',
+             (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+    ) r, t
+    """,
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite — the batch contract check a
+    pipeline runs before publishing a table (the generalization of the
+    reference's rejected-rows split, dataflow/…:31-34): null checks,
+    range checks, domain membership, and key uniqueness, ALL evaluated
+    in one aggregation pass (conditional sums — no per-rule scans; the
+    uniqueness rule reuses the same scan via count-distinct). Output:
+    (rule, violations, total, pass_rate)."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+            "orderkey_not_null"
+        ),
+        F.sum(
+            F.when(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0), 1
+            ).otherwise(0)
+        ).alias("totalprice_positive"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("status_in_domain"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp_ntz"))
+                | (F.col("o_orderdate") > F.lit("2030-01-01").cast("timestamp_ntz")),
+                1,
+            ).otherwise(0)
+        ).alias("orderdate_in_range"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "orderkey_unique"
+        ),
+    )
+    rules = [
+        "orderkey_not_null",
+        "totalprice_positive",
+        "status_in_domain",
+        "orderdate_in_range",
+        "orderkey_unique",
+    ]
+    long = agg.unpivot("total", rules, "rule", "violations")
+    return long.select(
+        "rule",
+        "violations",
+        "total",
+        F.round(1.0 - F.col("violations") / F.col("total"), 4).alias("pass_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Audio spectral analysis (real WAV decode + FFT under an exact oracle)
 # ---------------------------------------------------------------------------
 

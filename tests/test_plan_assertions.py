@@ -185,15 +185,23 @@ def test_adaptive_lsh_identity_below_threshold_grows_above():
     assert _adaptive_lsh_params(500, 8, 4) == (8, 4, None)
     assert _adaptive_lsh_params(4096, 8, 4) == (8, 4, None)
     # above the threshold the bucket count is EXACTLY ⌈n/8⌉ (smooth —
-    # not a power of two), planes grow to cover it, +1 table per 2 planes
-    assert _adaptive_lsh_params(8192, 8, 4) == (10, 5, 1024)
-    assert _adaptive_lsh_params(65536, 8, 4) == (13, 7, 8192)
-    assert _adaptive_lsh_params(20_000, 8, 4) == (12, 6, 2500)
+    # not a power of two); sign planes carry 8 EXTRA bits past the
+    # bucket resolution (256 patterns fold per bucket → Poisson
+    # occupancy, the r5 sf10 overdispersion fix); tables come from the
+    # 1e-4 recall budget at cos ≥ 0.999 — ~+1 per decade, not +1/2
+    # planes
+    assert _adaptive_lsh_params(8192, 8, 4) == (18, 5, 1024)
+    assert _adaptive_lsh_params(65536, 8, 4) == (21, 6, 8192)
+    assert _adaptive_lsh_params(20_000, 8, 4) == (20, 6, 2500)
     for n in (10_000, 100_000, 10_000_000, 1_000_000_000):
-        p, _t, b = _adaptive_lsh_params(n, 8, 4)
+        p, t, b = _adaptive_lsh_params(n, 8, 4)
         # occupancy pinned to (7, 8]: no sawtooth between scale points
-        assert b == -(-n // 8) and (1 << p) >= b
+        assert b == -(-n // 8) and (1 << p) >= 256 * b
         assert 7.0 < n / b <= 8.0 or n <= 8
+        # recall budget honored at the operating point
+        miss = (1 - (1 - 0.00913) ** p) ** t
+        assert miss <= 1e-4, (n, p, t, miss)
+        assert t <= 8  # table growth stays logarithmic-slow
 
 
 def test_argmax_per_group_matches_window_topk(spark):
