@@ -120,6 +120,13 @@ def fan_out(df, min_factor: int = 2):
             _fanout_probe_cache[df] = n
         except TypeError:  # unhashable/no-weakref frame — just skip memo
             pass
-    if n * min_factor <= target:
+    # r5: `n < target`, not `n * 2 <= target`. Size-based parquet splits
+    # can exceed the row-group count, leaving most splits EMPTY (sf10
+    # docs: 5 row groups → 28 splits, 5 non-empty → the CPU-bound
+    # simhash build ran ~5-way on 32 cores, 21.6× for 10× docs). Any
+    # split count below the session parallelism is worth one cheap
+    # redistribution for the kernels this guards; at real scale scans
+    # have ≥ target splits and this stays a no-op.
+    if n < target:
         return df.repartition(target)
     return df

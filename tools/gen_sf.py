@@ -55,6 +55,11 @@ STRIDES = {
 }
 
 COPY_OPTS = "(FORMAT PARQUET, ROW_GROUP_SIZE 131072)"
+# documents/embeddings: few rows but CPU-heavy per row — small row groups
+# so Spark's size-based splits are all non-empty and the per-row kernels
+# parallelize (sf10 docs in 131072-row groups gave 5 non-empty splits on
+# 32 cores; real multi-file tables don't have this problem)
+COPY_OPTS_WIDE = "(FORMAT PARQUET, ROW_GROUP_SIZE 16384)"
 
 
 def _replicated(con: duckdb.DuckDBPyConnection, base: str, table: str,
@@ -74,7 +79,8 @@ def generate(base: str, out: str, k: int) -> None:
     S = STRIDES
 
     def copy(table: str, sql: str) -> None:
-        con.sql(f"COPY ({sql}) TO '{out}/{table}.parquet' {COPY_OPTS}")
+        opts = COPY_OPTS_WIDE if table in ("documents", "embeddings") else COPY_OPTS
+        con.sql(f"COPY ({sql}) TO '{out}/{table}.parquet' {opts}")
         n = con.sql(
             f"SELECT count(*) FROM read_parquet('{out}/{table}.parquet')"
         ).fetchone()[0]
@@ -148,7 +154,7 @@ def generate(base: str, out: str, k: int) -> None:
                      lang, source,
                      coalesce(n_chars, length(text)) AS n_chars
               FROM read_parquet('{out}/documents.parquet'))
-        TO '{out}/documents.parquet' {COPY_OPTS}
+        TO '{out}/documents.parquet' {COPY_OPTS_WIDE}
     """)
 
     # embeddings: per-replica cyclic rotation (isometry; replicas
