@@ -559,6 +559,82 @@ def q_grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming KMV sketch (mergeable sketch state across micro-batches)
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_kmv_distinct",
+    # EXACT oracle, not a tolerance gate: KMV merge is associative and
+    # lossless for the k-smallest set, so the estimate after N
+    # micro-batches is bit-identical to the batch sketch over the same
+    # rows. DuckDB rebuilds that batch sketch.
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT AS h
+      FROM events
+    ),
+    r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn, count(*) OVER () AS exact FROM d)
+    SELECT CAST(coalesce(
+             round(63.0 * {int(HASH_SPACE)} / max(CASE WHEN rn = 64 THEN h END), 0),
+             max(exact)) AS BIGINT) AS kmv_distinct,
+           TRUE AS merged_across_batches
+    FROM r
+    """,
+)
+def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count sketch: the event stream drains through
+    `foreachBatch`, each micro-batch reduces to its k=64 smallest
+    distinct md5 hashes (a full KMV sketch), and the driver merges
+    sketches across batches — O(k) state total, the mergeability that
+    makes KMV the streaming/distributed cardinality shape. Because the
+    merge is lossless for the k-minimum set, the final estimate is
+    BIT-IDENTICAL to the batch sketch, so the oracle is exact (unique
+    among the streaming keys, which otherwise need coverage gates)."""
+    from .extensions import _events_stream
+    from ..functions.sketches import HASH_SPACE as _HS, md5_hash52
+
+    k = 64
+    merged: list[int] = []
+
+    def _merge_batch(batch_df, _bid):
+        hs = (
+            batch_df.select(md5_hash52(F.col("user_id")).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+            .collect()
+        )
+        s = sorted(set(merged) | {r.h for r in hs})
+        merged[:] = s[:k]
+
+    stream = _events_stream(spark, sf_dir).select("user_id")
+    q = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            f"/tmp/stream_kmv_ckpt_{abs(hash(sf_dir))}",
+        )
+        .start()
+    )
+    q.awaitTermination(180)
+    import shutil
+
+    shutil.rmtree(f"/tmp/stream_kmv_ckpt_{abs(hash(sf_dir))}", ignore_errors=True)
+    import math
+
+    if len(merged) >= k:
+        # floor(x+0.5) = round-half-away-from-zero for positives — the
+        # DuckDB/Spark round() convention (Python round() is half-even)
+        est = int(math.floor((k - 1) * _HS / merged[k - 1] + 0.5))
+    else:
+        est = len(merged)  # exact below k (no hash lost before k fills)
+    return spark.createDataFrame(
+        [(est, True)], "kmv_distinct long, merged_across_batches boolean"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Data-quality expectation suite (single-pass rule evaluation)
 # ---------------------------------------------------------------------------
 

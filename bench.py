@@ -90,6 +90,13 @@ HEADLINE = [
     "table_zorder_layout",
     "embedding_random_projection",
     "graph_pagerank",
+    "sketch_kmv_setops",
+    "sample_weighted_reservoir",
+    "audio_spectral_features",
+    "events_time_weighted_avg",
+    "events_pivot_by_type",
+    "grouping_cube",
+    "dq_expectations",
 ]
 
 
