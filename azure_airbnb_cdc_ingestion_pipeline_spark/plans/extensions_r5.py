@@ -559,6 +559,179 @@ def q_grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Triangle counting over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.s AS x, e1.d AS y, e2.d AS z
+      FROM pairs e1
+      JOIN pairs e2 ON e2.s = e1.d
+      JOIN pairs e3 ON e3.s = e1.s AND e3.d = e2.d
+    )
+    SELECT count(*) AS n_triangles,
+           count(DISTINCT x) AS nodes_in_triangles
+    FROM tri
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (the clustering-coefficient kernel) over the
+    part co-purchase graph, via the standard ordered-edge join: edges
+    kept only as (small → large), wedges from edge⋈edge, closed by a
+    third edge probe — each triangle counted exactly once, no
+    orientation blowup. Co-purchase edges are order-key-bounded (≤ 7
+    lines/order), so the wedge join is degree-bounded — the shape that
+    survives power-law graphs when paired with degree-ordering."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("d"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("s") < F.col("d"))
+        .select("s", "d")
+        .distinct()
+    )
+    e1 = pairs.select(F.col("s").alias("x"), F.col("d").alias("y"))
+    e2 = pairs.select(F.col("s").alias("y2"), F.col("d").alias("z"))
+    e3 = pairs.select(F.col("s").alias("x3"), F.col("d").alias("z3"))
+    wedges = e1.join(e2, F.col("y") == F.col("y2"))
+    tri = wedges.join(
+        e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3"))
+    )
+    return tri.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+        F.countDistinct("x").alias("nodes_in_triangles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-analytics suite (lag / lead / ntile / percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_analytics_suite",
+    oracle="""
+    SELECT event_id, user_id,
+           round(coalesce(lag(value) OVER w, 0.0), 4) AS prev_value,
+           round(coalesce(lead(value) OVER w, 0.0), 4) AS next_value,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ordered-analytics surface over one entity-keyed window —
+    lag/lead (neighbor context), ntile (equi-depth bucketing),
+    percent_rank/cume_dist (empirical CDF). ONE window spec → ONE sort
+    within one shuffle; Catalyst evaluates all five functions in a
+    single Window physical node (plan-asserted single exchange)."""
+    from pyspark.sql import Window as W_
+
+    ev = _t(spark, sf_dir, "events")
+    w = W_.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.coalesce(F.lag("value").over(w), F.lit(0.0)), 4).alias(
+            "prev_value"
+        ),
+        F.round(F.coalesce(F.lead("value").over(w), F.lit(0.0)), 4).alias(
+            "next_value"
+        ),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval coverage (gaps-and-islands union of overlapping intervals)
+# ---------------------------------------------------------------------------
+
+@query(
+    "interval_coverage",
+    # Each event opens a 30-minute activity interval; overlapping
+    # intervals merge into islands; per user: islands + total covered
+    # seconds (double-counting overlap would inflate it — the point of
+    # the merge).
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e) AS island
+      FROM marked
+    ),
+    merged AS (
+      SELECT user_id, island, min(s) AS s0, max(e) AS e1
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           count(*) AS n_islands,
+           CAST(sum(date_diff('microsecond', s0, e1) // 1000000) AS BIGINT)
+             AS covered_seconds
+    FROM merged GROUP BY user_id
+    """,
+)
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of overlapping per-user activity intervals (gaps-and-
+    islands): an island starts where an interval begins after the
+    running max of prior ends; covered time sums island spans — the
+    dedup that makes utilization metrics correct. One window pass over
+    one user-keyed shuffle, then a hash agg; no self-join."""
+    from pyspark.sql import Window as W_
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    w = (
+        W_.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W_.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.max("e").over(w), 1).otherwise(0),
+    )
+    w2 = W_.partitionBy("user_id").orderBy("s", "e")
+    islands = marked.withColumn("island", F.sum("new_island").over(w2))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("s0"), F.max("e").alias("e1")
+    )
+    # whole-second floor of the exact µs span, matching the oracle's
+    # `date_diff('microsecond') // 1e6` (DuckDB's date_diff('second')
+    # counts BOUNDARY crossings, not elapsed seconds — off by one for
+    # sub-second phases)
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.expr("timestampdiff(MICROSECOND, s0, e1) div 1000000"))
+        .cast("long")
+        .alias("covered_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming KMV sketch (mergeable sketch state across micro-batches)
 # ---------------------------------------------------------------------------
 
