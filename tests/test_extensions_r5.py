@@ -253,6 +253,101 @@ def test_simhash_scheme_guarantee_validated(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Triangles / window suite / interval coverage / dq / stream KMV
+# ---------------------------------------------------------------------------
+
+def test_window_suite_single_exchange(spark, sf_dir):
+    """All five analytics functions share one window spec — the plan
+    must contain exactly one Exchange (the user_id shuffle) and one
+    Window node."""
+    plan = (
+        x5.q_window_analytics(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_triangle_count_known_graph(spark):
+    # orders as baskets: {1,2,3} and {2,3,4} -> triangles (1,2,3), (2,3,4)
+    rows = [(10, p) for p in (1, 2, 3)] + [(20, p) for p in (2, 3, 4)]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("d"))
+    pairs = a.join(b, "ok").filter(F.col("s") < F.col("d")).select("s", "d").distinct()
+    e1 = pairs.select(F.col("s").alias("x"), F.col("d").alias("y"))
+    e2 = pairs.select(F.col("s").alias("y2"), F.col("d").alias("z"))
+    e3 = pairs.select(F.col("s").alias("x3"), F.col("d").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+    )
+    assert tri.count() == 2
+
+
+def test_interval_coverage_merges_overlaps(spark):
+    # two overlapping 30-min intervals (10:00, 10:10) -> ONE island of
+    # 40 min; a third at 12:00 -> separate island
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:10:00"),
+        (1, "2024-01-01 12:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    from pyspark.sql import Window as W_
+
+    iv = ev.select(
+        "user_id", F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    w = W_.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        W_.unboundedPreceding, -1
+    )
+    marked = iv.withColumn(
+        "new_island", F.when(F.col("s") > F.max("e").over(w), 1).otherwise(0)
+    )
+    w2 = W_.partitionBy("user_id").orderBy("s", "e")
+    islands = marked.withColumn("island", F.sum("new_island").over(w2))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("s0"), F.max("e").alias("e1")
+    )
+    out = merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("timestampdiff(SECOND, s0, e1)")).alias("secs"),
+    ).first()
+    assert out.n == 2
+    assert out.secs == 40 * 60 + 30 * 60
+
+
+def test_dq_expectations_all_pass_on_clean_data(spark, sf_dir):
+    rows = {r.rule: r for r in x5.q_dq_expectations(spark, sf_dir).collect()}
+    assert len(rows) == 5
+    for rule, r in rows.items():
+        assert r.violations == 0, (rule, r)
+        assert r.pass_rate == 1.0
+
+
+def test_stream_kmv_matches_batch_sketch(spark, sf_dir):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.sketches import (
+        kmv_distinct,
+    )
+
+    streamed = x5.q_stream_kmv(spark, sf_dir).first()
+    batch = (
+        kmv_distinct(
+            _events(spark, sf_dir).withColumn("g", F.lit(1)), "g", "user_id", k=64
+        )
+        .first()
+    )
+    # lossless merge: streamed estimate == batch sketch estimate
+    assert streamed.kmv_distinct == batch.kmv_distinct
+
+
+# ---------------------------------------------------------------------------
 # Audio spectral
 # ---------------------------------------------------------------------------
 
