@@ -48,8 +48,13 @@ def pagerank(
     n = deg.count()  # single scalar — bounded driver state
     ranks = deg.select(F.col(src).alias("node"), F.lit(1.0 / n).alias("r"))
     for _ in range(iterations):
+        # ranks is O(|V|) — broadcast it so each iteration's probe is a
+        # map-side hash join over the persisted edge partitions; the only
+        # shuffle per round is the partial-aggregated groupBy on dst.
+        # (At |V| beyond broadcast size, drop the hint and this becomes
+        # the shuffled-ranks formulation automatically.)
         ranks = (
-            norm.join(ranks, norm["_s"] == ranks["node"])
+            norm.join(F.broadcast(ranks), norm["_s"] == ranks["node"])
             .groupBy("_d")
             .agg(F.sum(F.col("r") * F.col("_p")).alias("_in"))
             .select(

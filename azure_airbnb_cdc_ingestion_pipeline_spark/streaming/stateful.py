@@ -98,8 +98,15 @@ def _merge_sessions(sessions: list, gap_ms: int) -> list:
     return out
 
 
-def make_sessionizer(gap_ms: int):
-    """Build the applyInPandasWithState hook for :func:`sessionize_stream`."""
+def make_sessionizer(gap_ms: int, session_tz: str = "UTC"):
+    """Build the applyInPandasWithState hook for :func:`sessionize_stream`.
+
+    `session_tz` must be the session's `spark.sql.session.timeZone`:
+    Arrow delivers event-time to the worker as tz-NAIVE wall time in the
+    session zone, while `state.getCurrentWatermarkMs()` is true epoch
+    ms — a naive `astype(int64)` silently shifts every event by the zone
+    offset and closes sessions early/late (found by the hostile non-UTC
+    parity run: +79 premature closes under America/New_York)."""
 
     def _fn(key, pdfs, state):
         open_sessions = (
@@ -111,10 +118,15 @@ def make_sessionizer(gap_ms: int):
             else []
         )
         for pdf in pdfs:
-            ts_ms = (
-                pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").astype("int64")
-                // 1_000_000
-            ).tolist()
+            ser = pd.to_datetime(pdf["ts"])
+            if ser.dt.tz is None:
+                # session-local wall time → true epoch (see docstring);
+                # pragmatic DST options: repeated wall hour reads as DST,
+                # skipped hour shifts forward — deterministic either way
+                ser = ser.dt.tz_localize(
+                    session_tz, ambiguous=True, nonexistent="shift_forward"
+                )
+            ts_ms = (ser.astype("int64") // 1_000_000).tolist()
             vals = pdf["value"].fillna(0.0).tolist()
             open_sessions.extend(
                 (t, t, 1, float(v)) for t, v in zip(ts_ms, vals)
@@ -167,8 +179,13 @@ def sessionize_stream(
     handful of (start,last,n,sum) tuples per key, evicted on close via
     EventTimeTimeout — bounded by open sessions, not history. Input
     needs (user_id, ts TIMESTAMP w/ watermark, value)."""
+    # no default arg: conf.get(key) resolves the EFFECTIVE session zone
+    # (JVM default when unset); conf.get(key, "UTC") would return the
+    # literal "UTC" on any session that never set the key explicitly —
+    # exactly the hostile-session case this conversion exists for
+    session_tz = stream.sparkSession.conf.get("spark.sql.session.timeZone")
     return stream.groupBy(key_col).applyInPandasWithState(
-        make_sessionizer(gap_ms),
+        make_sessionizer(gap_ms, session_tz),
         outputStructType=SESSION_OUTPUT,
         stateStructType=SESSION_STATE,
         outputMode="append",

@@ -348,6 +348,60 @@ def test_stream_kmv_matches_batch_sketch(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Sessionizer timezone correctness (hostile non-UTC session regression)
+# ---------------------------------------------------------------------------
+
+class _FakeState:
+    def __init__(self, wm_ms):
+        self.exists = False
+        self._wm = wm_ms
+        self.updated = None
+        self.removed = False
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def update(self, v):
+        self.updated = v
+
+    def remove(self):
+        self.removed = True
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout = ms
+
+
+def test_sessionizer_converts_session_local_walltime_to_epoch():
+    """Arrow hands the state hook tz-NAIVE wall time in the session
+    zone; the watermark is true epoch ms. Under America/New_York a
+    naive astype(int64) shifted events −5 h and closed sessions early
+    (hostile-parity finding: 9303 vs 9224 sessions). The hook must
+    localize with the session zone before comparing."""
+    import pandas as pd
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.streaming.stateful import (
+        make_sessionizer,
+    )
+
+    wall = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 12:00:00"]), "value": [1.0]}
+    )
+    # watermark sits between wall-as-UTC (12:00Z) and true NY epoch
+    # (17:00Z) for this event's close: naive conversion would CLOSE the
+    # session; correct NY conversion must keep it OPEN
+    gap = 30 * 60 * 1000
+    wm = int(pd.Timestamp("2024-01-01 14:00:00").value // 1_000_000)
+    utc_closed = list(
+        make_sessionizer(gap, "UTC")(("u",), [wall], _FakeState(wm))
+    )
+    ny_closed = list(
+        make_sessionizer(gap, "America/New_York")(("u",), [wall], _FakeState(wm))
+    )
+    assert utc_closed, "UTC wall 12:00 + 30min < wm 14:00Z -> closed"
+    assert not ny_closed, "NY wall 12:00 = 17:00Z -> still open at wm 14:00Z"
+
+
+# ---------------------------------------------------------------------------
 # Audio spectral
 # ---------------------------------------------------------------------------
 
