@@ -559,6 +559,40 @@ def q_grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product-quantization ANN (compressed index + exact re-rank)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_pq_recall",
+    # The planted-recall invariant (ann_lsh_recall / ann_int8_recall
+    # pattern): each planted query's true nearest neighbor must survive
+    # the PQ shortlist and win the exact re-rank, and the reported
+    # cosine is the TRUE full-precision one.
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id, list_prepend(v[1] + 0.05, v[2:]) AS qv, v
+          FROM e WHERE vec_id < 10)
+    SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id,
+           round(list_cosine_similarity(qv, v), 4) AS cos_sim
+    FROM q
+    """,
+)
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization search (Jégou et al. 2011): the corpus
+    compressed to 8 one-byte codes/vector (64× smaller resident index),
+    scanned with asymmetric-distance lookup tables, shortlist re-ranked
+    at full precision. Codebooks are deterministic bounded-sample Lloyd
+    iterations — no RNG (operators/similarity.py::pq_topk). Completes
+    the quantized-ANN family next to int8: PQ is the memory-bound
+    100 TB lever (codes + codebooks fit where fp vectors cannot)."""
+    from ..operators.similarity import pq_topk
+    from .extensions import _planted_queries
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(_planted_queries(emb), emb, dim=64, k=1)
+
+
+# ---------------------------------------------------------------------------
 # Triangle counting over the co-purchase graph
 # ---------------------------------------------------------------------------
 

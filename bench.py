@@ -97,6 +97,7 @@ HEADLINE = [
     "events_pivot_by_type",
     "grouping_cube",
     "dq_expectations",
+    "ann_pq_recall",
 ]
 
 
