@@ -201,16 +201,30 @@ def weighted_reservoir_sample(
     partition keep n largest (mergeable), then merge — here expressed
     as a salted two-phase top-n so no partition sorts the full input.
 
-    Returns (id_col, weight_col, es_key) for the n winners."""
+    Returns (id_col, weight_col, es_key) for the n winners.
+
+    Weights must be strictly positive — the E-S scheme is undefined
+    otherwise (w=0 divides by zero → null key → silent drop; w<0
+    inverts the key ordering → silently wrong sample). Enforced
+    JVM-side via a conditional raise_error inside the key expression:
+    zero extra passes, fails loud on the first bad row (r6 advisor)."""
     # u in (0,1]: (h+1) / 2^52 — strictly positive so log is defined
     u = (md5_hash52(F.col(id_col)) + 1) / F.lit(HASH_SPACE)
-    keyed = df.select(
-        id_col,
-        weight_col,
-        F.round(
-            F.pow(u, 1.0 / F.col(weight_col).cast("double")), 8
-        ).alias("es_key"),
-    )
+    w = F.col(weight_col).cast("double")
+    es_key = F.when(
+        w <= 0,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "weighted_reservoir_sample: non-positive weight for "
+                    f"{id_col}="
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(" — E-S sampling requires weight > 0"),
+            )
+        ).cast("double"),
+    ).otherwise(F.round(F.pow(u, 1.0 / w), 8))
+    keyed = df.select(id_col, weight_col, es_key.alias("es_key"))
     w1 = Window.partitionBy(md5_hash52(F.col(id_col)) % 32).orderBy(
         F.col("es_key").desc(), F.col(id_col).asc()
     )

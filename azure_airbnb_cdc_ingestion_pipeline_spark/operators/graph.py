@@ -23,6 +23,17 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+#: Rank rows are (long node, double r) — ~32 bytes each in a broadcast
+#: hash relation. 10 MiB (Spark's autoBroadcastJoinThreshold default)
+#: / 32 B ≈ 300 k nodes; stay comfortably under it.
+_BROADCAST_NODE_LIMIT = 250_000
+
+#: Re-root the rank lineage every few iterations: each round appends a
+#: join+agg to the plan, and past ~8 rounds analysis/codegen time and
+#: the shuffle-reuse map grow without bound.
+_CHECKPOINT_EVERY = 4
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -30,11 +41,40 @@ def pagerank(
     weight: str = "w",
     iterations: int = 5,
     damping: float = 0.85,
+    check_dangling: bool = True,
 ) -> DataFrame:
     """Weighted PageRank over an edge list with no dangling nodes
     (every node has at least one out-edge — true for symmetrized
-    graphs). Returns (node, pagerank) for every node."""
+    graphs). Returns (node, pagerank) for every node.
+
+    The no-dangling precondition is ENFORCED (one anti-join count up
+    front, same cost class as the degree scan): a node appearing as dst
+    but never as src would silently leak rank mass every iteration, so
+    we raise instead of returning quietly-wrong ranks. Pass
+    ``check_dangling=False`` only when the caller has symmetrized the
+    graph itself.
+
+    The per-iteration rank broadcast is size-gated on |V|: a broadcast
+    *hint* is not adaptive — Spark will attempt it at any size and OOM
+    the driver past the broadcast limit — so beyond
+    ``_BROADCAST_NODE_LIMIT`` nodes the hint is dropped and each
+    iteration is a shuffled hash join against the persisted,
+    pre-partitioned edge frame (both branches plan-asserted in
+    tests/test_plan_assertions.py)."""
     deg = edges.groupBy(src).agg(F.sum(weight).alias("_wsum"))
+    if check_dangling:
+        dangling = (
+            edges.select(F.col(dst).alias("_n"))
+            .distinct()
+            .join(deg.select(F.col(src).alias("_n")), "_n", "left_anti")
+            .count()
+        )
+        if dangling:
+            raise ValueError(
+                f"pagerank: {dangling} dangling node(s) (appear as {dst} "
+                f"but have no out-edge) — rank mass would be lost. "
+                f"Symmetrize the graph or pass check_dangling=False."
+            )
     norm = (
         edges.join(deg, src)
         .select(
@@ -46,15 +86,16 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = deg.count()  # single scalar — bounded driver state
+    small = n <= _BROADCAST_NODE_LIMIT
     ranks = deg.select(F.col(src).alias("node"), F.lit(1.0 / n).alias("r"))
-    for _ in range(iterations):
-        # ranks is O(|V|) — broadcast it so each iteration's probe is a
-        # map-side hash join over the persisted edge partitions; the only
-        # shuffle per round is the partial-aggregated groupBy on dst.
-        # (At |V| beyond broadcast size, drop the hint and this becomes
-        # the shuffled-ranks formulation automatically.)
+    for it in range(iterations):
+        # ranks is O(|V|): below the gate, broadcast it so each
+        # iteration's probe is a map-side hash join over the persisted
+        # edge partitions (only shuffle per round = the partial-agged
+        # groupBy on dst); above it, let the shuffled join stand.
+        probe = F.broadcast(ranks) if small else ranks
         ranks = (
-            norm.join(F.broadcast(ranks), norm["_s"] == ranks["node"])
+            norm.join(probe, norm["_s"] == probe["node"])
             .groupBy("_d")
             .agg(F.sum(F.col("r") * F.col("_p")).alias("_in"))
             .select(
@@ -62,6 +103,12 @@ def pagerank(
                 (F.lit((1.0 - damping) / n) + damping * F.col("_in")).alias("r"),
             )
         )
+        if (
+            iterations > _CHECKPOINT_EVERY + 1
+            and (it + 1) % _CHECKPOINT_EVERY == 0
+            and it + 1 < iterations
+        ):
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("r").alias("pagerank"))
 
 

@@ -135,7 +135,12 @@ def cosine_pairs(
 
 
 def _adaptive_lsh_params(
-    n: int, num_planes: int, num_tables: int, target_occupancy: int = 16
+    n: int,
+    num_planes: int,
+    num_tables: int,
+    target_occupancy: int = 16,
+    recall_at: float = 0.999,
+    max_tables: int = 32,
 ) -> tuple[int, int]:
     """Corpus-proportional LSH sizing: with a FIXED plane count the bucket
     grid is constant, so expected bucket occupancy grows ∝ n and the
@@ -178,20 +183,40 @@ def _adaptive_lsh_params(
     bucket, so occupancy is hash-randomized to Poisson(target/2)
     regardless of pattern skew, and candidates stay ~(target/2)·n/2 per
     table at EVERY n. Tables come from the recall budget in closed form:
-    smallest T with (1 − (1−θ/π)^planes)^T ≤ 1e-4 at the near-dup
-    operating point cos ≥ 0.999 (θ/π ≈ 0.00913) — T grows ~+1 per
-    decade (5 at 8 k, 6 at 65 k through sf100) instead of +1 per two
-    planes (8 at sf10 before)."""
+    smallest T with (1 − (1−θ/π)^planes)^T ≤ 1e-4 at the caller's
+    recall operating point — T grows ~+1 per decade instead of +1 per
+    two planes (8 at sf10 before).
+
+    r6 (advisor): the operating angle is DERIVED from `recall_at`, not
+    hard-coded. `recall_at` is the cosine at which the ≤1e-4 miss
+    budget is guaranteed; it is deliberately decoupled from the
+    verification threshold, because the table count explodes as the
+    angle widens (recall at cos 0.95 with 20 planes needs ~70 tables —
+    a 12× candidate-generation cost). The near-dup contract this
+    operator serves plants duplicates at cos ≥ 0.999, so that is the
+    default guarantee point; pairs in [threshold, recall_at) are
+    found best-effort. Callers that genuinely need full recall at a
+    wider angle pass recall_at=threshold and pay the table budget —
+    fail-loud (`max_tables`) rather than silently shipping a sizing
+    that can't meet the budget."""
     import math
 
     if n <= target_occupancy * (1 << num_planes):
         return num_planes, num_tables, None
     nbuckets = -(-n // (target_occupancy // 2))
     planes = max(num_planes, math.ceil(math.log2(nbuckets)) + 8)
-    p_table = (1.0 - 0.00913) ** planes  # per-table hit prob at cos 0.999
+    theta_pi = math.acos(recall_at) / math.pi  # operating angle fraction
+    p_table = (1.0 - theta_pi) ** planes  # per-table hit prob at recall_at
     tables = max(
         num_tables, math.ceil(math.log(1e-4) / math.log(1.0 - p_table))
     )
+    if tables > max_tables:
+        raise ValueError(
+            f"adaptive LSH: meeting the 1e-4 miss budget at cos>={recall_at} "
+            f"with {planes} planes needs {tables} tables (> max_tables="
+            f"{max_tables}). Raise max_tables to pay the cost explicitly, or "
+            f"raise recall_at toward the near-dup regime (default 0.999)."
+        )
     return planes, tables, nbuckets
 
 
@@ -214,10 +239,17 @@ def cosine_pairs_lsh(
     num_planes: int = 8,
     num_tables: int = 4,
     adaptive: bool = True,
+    recall_at: float = 0.999,
 ) -> DataFrame:
     """Embedding near-dup at scale: LSH-blocked candidate generation +
     exact-cosine verification — the registered replacement for the
     all-pairs `cosine_pairs` baseline (kept as the test oracle kernel).
+
+    `threshold` is the exact-verification cut; `recall_at` is the cosine
+    at which adaptive sizing guarantees the ≤1e-4 miss budget (pairs in
+    [threshold, recall_at) are best-effort in adaptive mode — see
+    `_adaptive_lsh_params` for why the two are decoupled; pass
+    recall_at=threshold to buy full recall at the verification cut).
 
     Each of `num_tables` hash tables assigns every vector a bucket id from
     the sign bits of `num_planes` fixed hyperplane projections (different
@@ -254,7 +286,7 @@ def cosine_pairs_lsh(
     nbuckets = None
     if adaptive:
         num_planes, num_tables, nbuckets = _adaptive_lsh_params(
-            src.count(), num_planes, num_tables
+            src.count(), num_planes, num_tables, recall_at=recall_at
         )
     # All tables' sign buckets in ONE Arrow GEMM pass (r5): the unrolled
     # JVM formulation evaluated tables × planes × dim multiply-adds as
@@ -840,6 +872,7 @@ def cross_cosine_lsh(
     num_planes: int = 8,
     num_tables: int = 4,
     adaptive: bool = True,
+    recall_at: float = 0.999,
 ) -> DataFrame:
     """Cross-corpus embedding contamination scan: which LEFT (train)
     vectors are near-duplicates of any RIGHT (eval) vector — the
@@ -867,7 +900,7 @@ def cross_cosine_lsh(
     nbuckets = None
     if adaptive:  # the big (train) side governs bucket occupancy
         num_planes, num_tables, nbuckets = _adaptive_lsh_params(
-            lu.count(), num_planes, num_tables
+            lu.count(), num_planes, num_tables, recall_at=recall_at
         )
 
     def _buckets(unit: DataFrame, out_id: str) -> DataFrame:
@@ -948,16 +981,30 @@ def pq_topk(
     from ..session import fan_out
 
     sub = dim // m
-    train = np.vstack(
-        [
-            np.asarray(r.v, dtype=np.float64)
-            for r in corpus.filter(
-                (F.col(corpus_id) < 5000) & (F.col(corpus_id) % 17 == 0)
-            )
+    # Training sample: the strided-id filter assumes dense non-negative
+    # integer ids near 0 (ids 0,17,34,…<5000 → ≤294 rows). On an id
+    # space that misses that range it yields nothing — fall back to a
+    # deterministic LIMIT-based sample (orderBy id → stable across
+    # partitionings) rather than crashing in np.vstack, and fail loud
+    # if even the corpus itself can't seat ksub centroids (r6 advisor).
+    sample_rows = (
+        corpus.filter((F.col(corpus_id) < 5000) & (F.col(corpus_id) % 17 == 0))
+        .select(F.col(corpus_vec).cast("array<double>").alias("v"))
+        .collect()
+    )
+    if len(sample_rows) < ksub:
+        sample_rows = (
+            corpus.orderBy(F.col(corpus_id))
+            .limit(300)
             .select(F.col(corpus_vec).cast("array<double>").alias("v"))
             .collect()
-        ]
-    )
+        )
+    if len(sample_rows) < ksub:
+        raise ValueError(
+            f"pq_topk: corpus has only {len(sample_rows)} rows — cannot "
+            f"train {ksub} centroids per subspace (need >= ksub rows)."
+        )
+    train = np.vstack([np.asarray(r.v, dtype=np.float64) for r in sample_rows])
     codebooks = []
     for j in range(m):
         X = train[:, j * sub : (j + 1) * sub]

@@ -292,7 +292,9 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/graph.py). Oracle = the same fixed-point unrolled as a
     5-deep CTE chain."""
     edges = copurchase_edges(_t(spark, sf_dir, "lineitem"))
-    ranks = pagerank(edges, iterations=5, damping=0.85)
+    # copurchase_edges is symmetric BY CONSTRUCTION (src↔dst both
+    # emitted), so skip the dangling-node enforcement scan here
+    ranks = pagerank(edges, iterations=5, damping=0.85, check_dangling=False)
     out = ranks.select(
         F.col("node").alias("part_key"), F.round("pagerank", 6).alias("pagerank")
     )
@@ -815,19 +817,27 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged[:] = s[:k]
 
     stream = _events_stream(spark, sf_dir).select("user_id")
-    q = (
-        stream.writeStream.foreachBatch(_merge_batch)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            f"/tmp/stream_kmv_ckpt_{abs(hash(sf_dir))}",
-        )
-        .start()
-    )
-    q.awaitTermination(180)
+    # Deterministic checkpoint path (r6 advisor): Python str hash is
+    # PYTHONHASHSEED-randomized per process, so abs(hash(sf_dir)) left
+    # unmatched orphan dirs after crashed runs. An md5 digest makes the
+    # path stable across processes — a crashed run's dir is REUSED (and
+    # then removed) by the next run on the same sf_dir; try/finally
+    # guarantees cleanup even when the drain raises.
+    import hashlib
     import shutil
 
-    shutil.rmtree(f"/tmp/stream_kmv_ckpt_{abs(hash(sf_dir))}", ignore_errors=True)
+    ckpt = f"/tmp/stream_kmv_ckpt_{hashlib.md5(sf_dir.encode()).hexdigest()[:16]}"
+    shutil.rmtree(ckpt, ignore_errors=True)  # stale state would skip batches
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_merge_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     import math
 
     if len(merged) >= k:

@@ -1,0 +1,145 @@
+"""Round-6 advisor fixes: PageRank broadcast gate + dangling-node
+enforcement, adaptive-LSH operating-angle derivation, PQ training-sample
+robustness, and weighted-reservoir weight validation."""
+
+import pytest
+import pyspark.sql.functions as F
+
+from azure_airbnb_cdc_ingestion_pipeline_spark.operators import graph
+from azure_airbnb_cdc_ingestion_pipeline_spark.operators.graph import pagerank
+from azure_airbnb_cdc_ingestion_pipeline_spark.operators.similarity import (
+    _adaptive_lsh_params,
+    pq_topk,
+)
+from azure_airbnb_cdc_ingestion_pipeline_spark.functions.sketches import (
+    weighted_reservoir_sample,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def _ring_edges(spark, n=12):
+    # symmetric ring: every node has out-edges, no dangling mass
+    rows = []
+    for i in range(n):
+        j = (i + 1) % n
+        rows += [(i, j, 1.0), (j, i, 1.0)]
+    return spark.createDataFrame(rows, "src long, dst long, w double")
+
+
+def test_pagerank_broadcasts_ranks_below_gate(spark):
+    """Below _BROADCAST_NODE_LIMIT the rank probe must carry the
+    broadcast hint: with autoBroadcastJoinThreshold=-1 any
+    BroadcastExchange in the plan can only come from the hint."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = pagerank(_ring_edges(spark), iterations=2)
+        assert "BroadcastExchange" in _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_pagerank_drops_hint_above_gate_same_ranks(spark, monkeypatch):
+    """Above the gate the hint must be DROPPED (a hint is not adaptive —
+    Spark would attempt the broadcast at any |V| and OOM), and the
+    shuffled formulation must produce identical ranks."""
+    edges = _ring_edges(spark)
+    small = {r.node: r.pagerank for r in pagerank(edges, iterations=3).collect()}
+    # the first run persisted its edge frame; the CacheManager would
+    # substitute that cached plan (built with broadcasts) into the
+    # second query and pollute the plan-text assertion
+    spark.catalog.clearCache()
+    monkeypatch.setattr(graph, "_BROADCAST_NODE_LIMIT", 0)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = pagerank(edges, iterations=3)
+        assert "BroadcastExchange" not in _plan(df)
+        big = {r.node: r.pagerank for r in df.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert small.keys() == big.keys()
+    for k in small:
+        assert abs(small[k] - big[k]) < 1e-12
+
+
+def test_pagerank_dangling_node_raises(spark):
+    # node 99 appears only as dst: its rank mass would silently vanish
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 1.0), (0, 99, 1.0)], "src long, dst long, w double"
+    )
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(edges, iterations=1)
+    # opt-out still runs (caller takes responsibility)
+    assert pagerank(edges, iterations=1, check_dangling=False).count() > 0
+
+
+def test_pagerank_long_iteration_lineage_checkpointed(spark):
+    """>5 iterations must re-root lineage periodically — otherwise the
+    plan depth grows linearly and analysis time blows up at high
+    iteration counts. localCheckpoint shows up as a scan over an RDD."""
+    df = pagerank(_ring_edges(spark), iterations=8)
+    assert "Scan ExistingRDD" in _plan(df)
+    assert abs(sum(r.pagerank for r in df.collect()) - 1.0) < 1e-9
+
+
+def test_adaptive_lsh_derives_angle_from_recall_at():
+    # identity regime untouched
+    assert _adaptive_lsh_params(100, 8, 4) == (8, 4, None)
+    # adaptive regime: tables sized from the recall_at angle
+    p_default, t_default, nb = _adaptive_lsh_params(200_000, 8, 4)
+    assert nb is not None and t_default <= 10
+    # a slightly wider guarantee point needs >= as many tables
+    _, t_wider, _ = _adaptive_lsh_params(200_000, 8, 4, recall_at=0.995)
+    assert t_wider >= t_default
+
+
+def test_adaptive_lsh_unaffordable_recall_fails_loud():
+    with pytest.raises(ValueError, match="max_tables"):
+        _adaptive_lsh_params(200_000, 8, 4, recall_at=0.95)
+
+
+def test_weighted_reservoir_rejects_nonpositive_weights(spark):
+    bad = spark.createDataFrame(
+        [(1, 2.0), (2, 0.0), (3, 1.0)], "doc_id long, w double"
+    )
+    with pytest.raises(Exception, match="non-positive weight"):
+        weighted_reservoir_sample(bad, "doc_id", "w", n=2).collect()
+    neg = spark.createDataFrame([(1, -1.0)], "doc_id long, w double")
+    with pytest.raises(Exception, match="non-positive weight"):
+        weighted_reservoir_sample(neg, "doc_id", "w", n=1).collect()
+
+
+def _dense_vectors(spark, n, dim=16, id_start=0):
+    return spark.range(n).select(
+        (F.col("id") + id_start).alias("vec_id"),
+        F.array(
+            *[
+                (F.sin(F.col("id") * (j + 1) * 0.7) + 1.5).alias(f"c{j}")
+                for j in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+
+
+def test_pq_topk_survives_offset_id_space(spark):
+    """Corpus ids far from 0 miss the strided training filter — the
+    LIMIT-based fallback must train instead of np.vstack crashing."""
+    corpus = _dense_vectors(spark, 200, id_start=1_000_000)
+    queries = spark.createDataFrame(
+        [(0, [1.0] * 16)], "query_id long, qv array<double>"
+    )
+    out = pq_topk(queries, corpus, dim=16, m=4, ksub=8, shortlist=4, k=2)
+    assert out.count() == 2
+
+
+def test_pq_topk_tiny_corpus_fails_loud(spark):
+    corpus = _dense_vectors(spark, 3, id_start=1_000_000)
+    queries = spark.createDataFrame(
+        [(0, [1.0] * 16)], "query_id long, qv array<double>"
+    )
+    with pytest.raises(ValueError, match="cannot"):
+        pq_topk(queries, corpus, dim=16, m=4, ksub=8)
