@@ -446,6 +446,138 @@ def numpy_topk(
     return ranked.select("query_id", "neighbor_id", "cos", F.col("rn").alias("rank"))
 
 
+def blocked_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qv",
+    corpus_vec: str = "embedding",
+    k: int = 5,
+    query_block_rows: int = 4096,
+    corpus_block_rows: int = 65536,
+) -> DataFrame:
+    """Exact cosine top-k with a DISTRIBUTED query side — the scale path
+    past the broadcast-by-contract kernels (`brute_force_topk`,
+    `numpy_topk` ship the whole query set in the task closure, which
+    caps |queries| at driver memory; a real retrieval pipeline can have
+    a query set as big as the corpus).
+
+    Block-nested GEMM via cogrouped `applyInPandas`: queries are hashed
+    into ⌈|Q|/query_block_rows⌉ blocks and corpus rows into
+    ⌈|C|/corpus_block_rows⌉ chunks; each side is replicated across the
+    other's block ids (an `explode` over block-id literals — the
+    inherent cost of exact search, |C|·Qblocks scored rows), then ONE
+    cogroup on (query-block, corpus-chunk) gives every block-pair to a
+    task that computes the (q_blk × c_blk) cosine matrix with a single
+    numpy matmul and reduces it to k+3 local candidates per query
+    before anything shuffles again. The global ranking window then sees
+    |queries| × Cchunks × (k+3) rows — never the full score matrix.
+
+    NOTHING is collected to the driver (plan/spy-asserted in
+    tests/test_r6_fixes.py): driver state is two count() scalars used
+    to size the block grid. Per-task memory is bounded by
+    (query_block_rows + corpus_block_rows) × dim doubles regardless of
+    total |Q| / |C| — tune the two knobs to executor memory, not data
+    size. Self-matches (query_id == neighbor_id) are excluded, matching
+    the broadcast kernels' convention."""
+    import numpy as np
+    import pandas as pd
+
+    from .windows import topk_per_group
+    from ..session import fan_out
+
+    nq = queries.count()
+    nc = corpus.count()
+    if nq == 0 or nc == 0:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int"
+        )
+    q_blocks = -(-nq // query_block_rows)
+    c_chunks = -(-nc // corpus_block_rows)
+    take = k + 3  # margin: rounding at rank k can promote a candidate
+    #               just outside the unrounded local top-k (ties broken
+    #               by neighbor_id after the round)
+
+    qb = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
+    ).withColumn("_qb", F.pmod(F.xxhash64("qid"), F.lit(q_blocks)).cast("int"))
+    qb_rep = qb.withColumn(
+        "_cb", F.explode(F.array(*[F.lit(c) for c in range(c_chunks)]))
+    )
+    cb_rep = (
+        fan_out(corpus)
+        .select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"))
+        .withColumn("_cb", F.pmod(F.xxhash64("cid"), F.lit(c_chunks)).cast("int"))
+        .withColumn("_qb", F.explode(F.array(*[F.lit(b) for b in range(q_blocks)])))
+    )
+
+    def score(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "cos": pd.Series(dtype="float64")}
+            )
+        qm = np.array(qpdf["qv"].tolist(), dtype=np.float64)
+        qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        cm = np.array(cpdf["cv"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(cm, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        s = (cm / norms) @ qn.T  # (c_blk × q_blk)
+        top = min(take, len(cpdf))
+        cand = np.argpartition(-s, top - 1, axis=0)[:top]
+        qids = qpdf["qid"].to_numpy(dtype=np.int64)
+        cids = cpdf["cid"].to_numpy(dtype=np.int64)
+        rows = cand.T.ravel()
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, top),
+                "neighbor_id": cids[rows],
+                "cos": s[rows, np.repeat(np.arange(len(qids)), top)],
+            }
+        )
+
+    scored = (
+        qb_rep.groupby("_qb", "_cb")
+        .cogroup(cb_rep.groupby("_qb", "_cb"))
+        .applyInPandas(score, "query_id long, neighbor_id long, cos double")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round("cos", 4))
+    )
+    ranked = topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos"), -F.col("neighbor_id")],
+        k=k,
+        descending=True,
+        keep_rank=True,
+    )
+    return ranked.select("query_id", "neighbor_id", "cos", F.col("rn").alias("rank"))
+
+
+#: Query sets up to this many rows ship in the task closure (the
+#: broadcast-by-contract GEMM kernel); past it the blocked cogroup path
+#: takes over. 100 k × 64 doubles ≈ 50 MB closure — the practical cap.
+_DRIVER_QUERY_LIMIT = 100_000
+
+
+def auto_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    driver_query_limit: int = _DRIVER_QUERY_LIMIT,
+    **kw,
+) -> DataFrame:
+    """Exact top-k with automatic kernel choice: `numpy_topk` (query set
+    in the task closure, zero corpus shuffle) below
+    `driver_query_limit` queries, `blocked_topk` (fully distributed,
+    bounded per-task memory) above it."""
+    if queries.count() <= driver_query_limit:
+        return numpy_topk(queries, corpus, k=k, **kw)
+    return blocked_topk(queries, corpus, k=k, **kw)
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — KMeans coarse quantizer
 # ---------------------------------------------------------------------------

@@ -136,6 +136,66 @@ def test_pq_topk_survives_offset_id_space(spark):
     assert out.count() == 2
 
 
+def test_blocked_topk_no_driver_collect_and_matches_gemm_kernel(spark):
+    """The blocked path's whole contract is that the query set never
+    crosses the driver: spy on DataFrame.collect during construction +
+    execution (count() scalars are allowed — they size the block grid),
+    and check exact agreement with the closure-shipped numpy kernel."""
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.similarity import (
+        blocked_topk,
+        numpy_topk,
+    )
+
+    corpus = _dense_vectors(spark, 300)
+    queries = corpus.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    expected = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in numpy_topk(queries, corpus, k=3).collect()
+    }
+
+    cls = type(corpus)
+    orig = cls.collect
+    calls: list[int] = []
+
+    def spy(self):
+        calls.append(1)
+        return orig(self)
+
+    cls.collect = spy
+    try:
+        out = blocked_topk(
+            queries, corpus, k=3, query_block_rows=20, corpus_block_rows=90
+        )
+        rows = out.toLocalIterator()  # avoid .collect() tripping the spy
+        got = {(r.query_id, r.rank): r.neighbor_id for r in rows}
+    finally:
+        cls.collect = orig
+    assert not calls, "blocked_topk collected rows to the driver"
+    assert got == expected
+
+
+def test_auto_topk_dispatches_on_query_count(spark):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.similarity import (
+        auto_topk,
+    )
+
+    corpus = _dense_vectors(spark, 120)
+    queries = corpus.limit(30).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    # above the limit → blocked (cogroup) plan; below → mapInPandas plan
+    blocked = auto_topk(queries, corpus, k=2, driver_query_limit=5)
+    closure = auto_topk(queries, corpus, k=2, driver_query_limit=1000)
+    assert "FlatMapCoGroupsInPandas" in _plan(blocked)
+    assert "FlatMapCoGroupsInPandas" not in _plan(closure)
+    assert (
+        blocked.orderBy("query_id", "rank").collect()
+        == closure.orderBy("query_id", "rank").collect()
+    )
+
+
 def test_pq_topk_tiny_corpus_fails_loud(spark):
     corpus = _dense_vectors(spark, 3, id_start=1_000_000)
     queries = spark.createDataFrame(
