@@ -49,6 +49,20 @@ def transform_bookings(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
 FACT_PARTITIONING = ["booking_year", "booking_month"]
 
 
+#: Default publish-gate suite for the booking fact (post-derive schema):
+#: the contracts a breach of which means the MERGE must not run — the
+#: micro-batch generalization of the reference's stopOnFirstError
+#: (dataflow/BookingDataTransformation.json:185). Predicates are
+#: VIOLATION conditions (true = row breaks the contract).
+def booking_expectations() -> list:
+    return [
+        ("booking_id_not_null", F.col("booking_id").isNull()),
+        ("amount_non_negative", F.col("amount") < 0),
+        ("stay_duration_valid", F.col("stay_duration") < 0),
+        ("event_time_present", F.col("timestamp").isNull()),
+    ]
+
+
 def process_booking_batch(
     batch: DataFrame,
     fact: ParquetTable,
@@ -61,6 +75,9 @@ def process_booking_batch(
     app_id: str | None = None,
     batch_id: int | None = None,
     merge_on_read: bool = False,
+    dq_rules: list | None = None,
+    dq_on_breach: str = "halt",
+    dq_quarantine: ParquetTable | None = None,
 ) -> None:
     """One micro-batch: quarantine bad rows, MERGE good rows into the fact
     (latest-per-booking_id wins), then refresh gold if a dim is wired.
@@ -102,14 +119,45 @@ def process_booking_batch(
     # that's 4x the scan cost per trigger. A micro-batch fits in memory
     # by construction (it's trigger-bounded).
     batch = batch.persist()
+    dq_cached: DataFrame | None = None
     try:
         derived, rejected = transform_bookings(batch)
+        if dq_rules is not None:
+            # Expectation gate BEFORE any sink commit (VERDICT r5 #7):
+            # halt mode raises here — neither quarantine append, fact
+            # merge, nor gold refresh runs, and the checkpoint never
+            # commits the batch, so a fixed-and-restarted stream replays
+            # it cleanly. Quarantine mode diverts breaching rows to a
+            # DEDICATED table (derived schema ≠ the raw rejected-rows
+            # schema) and publishes the clean remainder.
+            from ..operators.dq import expectation_gate
+
+            dq_cached = derived.persist()
+            derived, breached = expectation_gate(
+                dq_cached, dq_rules, on_breach=dq_on_breach
+            )
+            if breached is not None:
+                if dq_quarantine is None:
+                    raise ValueError(
+                        "dq_on_breach='quarantine' requires a dq_quarantine "
+                        "table — breaching rows must not be dropped silently"
+                    )
+                if not _already_applied(dq_quarantine, app_id, batch_id):
+                    txn = (
+                        (app_id, batch_id)
+                        if app_id is not None and batch_id is not None
+                        else None
+                    )
+                    dq_quarantine.append(breached, txn=txn)
+                    dq_quarantine.maybe_compact(trigger_files=64)
         _process_transformed(
             derived, rejected, fact, quarantine, dim, gold,
             partitioned, incremental_gold, event_time_wins,
             app_id=app_id, batch_id=batch_id, merge_on_read=merge_on_read,
         )
     finally:
+        if dq_cached is not None:
+            dq_cached.unpersist()
         batch.unpersist()
 
 
@@ -253,9 +301,18 @@ def load_booking_fact_stream(
     max_files_per_trigger: int | None = None,
     event_time_wins: bool = False,
     merge_on_read: bool = True,
+    dq_rules: list | None = None,
+    dq_on_breach: str = "halt",
+    dq_quarantine: ParquetTable | None = None,
 ):
     """Streaming entry: drain the change-feed landing dir through the merge
     (exactly-once via checkpoint + idempotent merge).
+
+    ``dq_rules`` (e.g. :func:`booking_expectations`) arms the per-batch
+    expectation gate: the suite is evaluated on the derived rows BEFORE
+    the fact merge; a breach either kills the stream pre-commit
+    (``dq_on_breach='halt'`` — the reference's stopOnFirstError) or
+    diverts breaching rows to ``dq_quarantine`` and publishes the rest.
 
     ``merge_on_read=True`` (default): steady-state triggers append
     sequence-numbered deltas (O(batch) per trigger) and fold into the
@@ -282,6 +339,8 @@ def load_booking_fact_stream(
             batch_df, fact, quarantine, dim=dim, gold=gold,
             partitioned=partitioned, event_time_wins=event_time_wins,
             app_id=app_id, batch_id=batch_id, merge_on_read=merge_on_read,
+            dq_rules=dq_rules, dq_on_breach=dq_on_breach,
+            dq_quarantine=dq_quarantine,
         )
 
     q = run_foreach_batch_merge(

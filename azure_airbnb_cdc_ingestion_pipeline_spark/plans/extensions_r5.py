@@ -892,44 +892,24 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     in one aggregation pass (conditional sums — no per-rule scans; the
     uniqueness rule reuses the same scan via count-distinct). Output:
     (rule, violations, total, pass_rate)."""
+    from ..operators.dq import evaluate_expectations
+
     o = _t(spark, sf_dir, "orders")
-    agg = o.agg(
-        F.count(F.lit(1)).alias("total"),
-        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
-            "orderkey_not_null"
-        ),
-        F.sum(
-            F.when(
-                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0), 1
-            ).otherwise(0)
-        ).alias("totalprice_positive"),
-        F.sum(
-            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
-        ).alias("status_in_domain"),
-        F.sum(
-            F.when(
-                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp_ntz"))
-                | (F.col("o_orderdate") > F.lit("2030-01-01").cast("timestamp_ntz")),
-                1,
-            ).otherwise(0)
-        ).alias("orderdate_in_range"),
-        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
-            "orderkey_unique"
-        ),
-    )
     rules = [
-        "orderkey_not_null",
-        "totalprice_positive",
-        "status_in_domain",
-        "orderdate_in_range",
-        "orderkey_unique",
+        ("orderkey_not_null", F.col("o_orderkey").isNull()),
+        (
+            "totalprice_positive",
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0),
+        ),
+        ("status_in_domain", ~F.col("o_orderstatus").isin("O", "F", "P")),
+        (
+            "orderdate_in_range",
+            (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp_ntz"))
+            | (F.col("o_orderdate") > F.lit("2030-01-01").cast("timestamp_ntz")),
+        ),
     ]
-    long = agg.unpivot("total", rules, "rule", "violations")
-    return long.select(
-        "rule",
-        "violations",
-        "total",
-        F.round(1.0 - F.col("violations") / F.col("total"), 4).alias("pass_rate"),
+    return evaluate_expectations(
+        o, rules, unique_key="o_orderkey", unique_rule_name="orderkey_unique"
     )
 
 

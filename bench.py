@@ -214,6 +214,27 @@ def main() -> None:
             out["prev_wall_calibrated"] = round(
                 sum(v * (_REF_CALIB / prev_calib) for v in prev.values()), 3
             )
+    # Per-query regression gate (VERDICT r5 #9): flag any query whose
+    # CALIBRATED wall exceeds REG_RATIO x its prior-round calibrated
+    # value AND regresses by more than REG_FLOOR_SEC absolute (the floor
+    # keeps 0.1s->0.2s host jitter out of the gate). The flags ride in
+    # the metric line every run; SPARK_GRAFT_BENCH_STRICT=1 (the round
+    # wrap / pre-commit setting, see BASELINE.md §Benchmarking) turns
+    # them into a non-zero exit so a regression fails at commit time,
+    # not at judging.
+    regressions: list[dict] = []
+    if prev and prev_calib:
+        pcal = _REF_CALIB / prev_calib
+        for n, t in timings.items():
+            if n not in prev:
+                continue
+            now_c, was_c = t * cal, prev[n] * pcal
+            if now_c > was_c * _REG_RATIO and now_c - was_c > _REG_FLOOR_SEC:
+                regressions.append(
+                    {"query": n, "now": round(now_c, 3), "prev": round(was_c, 3)}
+                )
+    if regressions:
+        out["regressions"] = regressions
     if io_stats:
         # per-query shuffle/scan volume (MB) from the status API — the
         # "is there a shuffle that shouldn't be here" signal at a glance
@@ -227,6 +248,16 @@ def main() -> None:
         except OSError:
             pass
     print(json.dumps(out))
+    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+        print(
+            f"REGRESSION GATE: {len(regressions)} quer{'y' if len(regressions)==1 else 'ies'} "
+            f"over {_REG_RATIO}x calibrated prior: "
+            + ", ".join(
+                f"{r['query']} {r['prev']}->{r['now']}s" for r in regressions
+            ),
+            file=sys.stderr,
+        )
+        sys.exit(3)
 
 
 def _calibrate() -> float:
@@ -284,6 +315,12 @@ def _cumulative_stage_bytes(spark) -> dict[str, float] | None:
 #: host-calibration reference: the r4 bench host's yardstick-loop time
 #: (BENCH_r04 host_calib_sec). calibrated_sec = sec * _REF_CALIB / calib.
 _REF_CALIB = 0.162
+
+#: regression gate thresholds: a query regresses when its calibrated
+#: wall is > ratio x the prior round's AND the excess tops the absolute
+#: floor (sub-floor swings are host noise at best-of-2 sampling).
+_REG_RATIO = 1.5
+_REG_FLOOR_SEC = 0.3
 
 
 def _previous_round(sf) -> tuple[dict[str, float] | None, float | None]:

@@ -542,3 +542,92 @@ def test_midbatch_crash_after_fact_merge_replays_exactly_once(spark, tmp_path):
     )
     assert quarantine.read().count() == q_count
     assert fact.current_version() == fact_v
+
+
+# ---------------------------------------------------------------------------
+# r6: expectation suite as the streaming publish gate (VERDICT r5 #7)
+# ---------------------------------------------------------------------------
+
+
+def _write_events(landing, events):
+    import json
+
+    os.makedirs(landing, exist_ok=True)
+    with open(os.path.join(landing, "feed.json"), "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def test_dq_gate_clean_batch_publishes(spark, tmp_path):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.pipelines.load_booking_fact import (
+        booking_expectations,
+    )
+
+    landing = str(tmp_path / "feed")
+    write_booking_events_json(landing, n_files=2, n=100, n_keys=90)
+    fact = ParquetTable(spark, str(tmp_path / "wh/fact"))
+    quar = ParquetTable(spark, str(tmp_path / "wh/rej"))
+    load_booking_fact_stream(
+        spark, landing, fact, quar, str(tmp_path / "ckpt"),
+        dq_rules=booking_expectations(),
+    )
+    # the standard fixture (nulls allowed, negatives absent) passes the
+    # suite — the gate must not block a clean drain
+    assert fact.read().count() > 0
+
+
+def test_dq_gate_breach_halts_before_merge(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.pipelines.load_booking_fact import (
+        booking_expectations,
+    )
+
+    events = gen_booking_events(n=50, n_keys=50, seed=7)
+    events[10]["amount"] = -125.0  # contract breach
+    landing = str(tmp_path / "feed")
+    _write_events(landing, events)
+    fact = ParquetTable(spark, str(tmp_path / "wh/fact"))
+    quar = ParquetTable(spark, str(tmp_path / "wh/rej"))
+    with pytest.raises(StreamingQueryException, match="amount_non_negative"):
+        load_booking_fact_stream(
+            spark, landing, fact, quar, str(tmp_path / "ckpt"),
+            dq_rules=booking_expectations(),
+        )
+    # stopOnFirstError semantics: NOTHING committed — no fact, no
+    # quarantine, and the checkpoint did not record the batch, so a
+    # fixed-and-restarted stream replays it
+    assert not fact.exists()
+    assert not quar.exists()
+
+
+def test_dq_gate_quarantine_publishes_clean_rows(spark, tmp_path):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.pipelines.load_booking_fact import (
+        booking_expectations,
+    )
+
+    events = gen_booking_events(n=60, n_keys=60, seed=11)
+    # craft 3 breaches among otherwise-clean rows
+    bad_ids = set()
+    for i in (5, 20, 33):
+        events[i]["amount"] = -1.0
+        bad_ids.add(events[i]["booking_id"])
+    # make sure the crafted rows aren't ALSO date-quality rejects (they
+    # must reach the dq gate, not the upstream split)
+    for i in (5, 20, 33):
+        events[i]["check_in_date"] = "2024-03-01"
+        events[i]["check_out_date"] = "2024-03-05"
+    landing = str(tmp_path / "feed")
+    _write_events(landing, events)
+    fact = ParquetTable(spark, str(tmp_path / "wh/fact"))
+    quar = ParquetTable(spark, str(tmp_path / "wh/rej"))
+    dqq = ParquetTable(spark, str(tmp_path / "wh/dq"))
+    load_booking_fact_stream(
+        spark, landing, fact, quar, str(tmp_path / "ckpt"),
+        dq_rules=booking_expectations(), dq_on_breach="quarantine",
+        dq_quarantine=dqq,
+    )
+    assert {r.booking_id for r in dqq.read().collect()} == bad_ids
+    fact_ids = {r.booking_id for r in fact.read().collect()}
+    assert bad_ids.isdisjoint(fact_ids)
+    assert len(fact_ids) > 0
