@@ -176,18 +176,49 @@ def generate(base: str, out: str, k: int) -> None:
     if k <= dim:
         rot = f"(r * len(embedding)) // {k}"
         neg_from = k + 1  # never triggers
-    else:
-        assert k <= 2 * dim, f"k={k} exceeds the 2*dim={2*dim} isometry budget"
-        rot = f"r % {dim}"
-        neg_from = dim
-    copy("embeddings", _replicated(con, base, "embeddings", k, f"""
-        vec_id + r * {S['embeddings']} AS vec_id,
+        emb_case = f"""
         CASE WHEN r = 0 THEN embedding
              WHEN r < {neg_from} THEN list_concat(
                  embedding[1 + ({rot}):], embedding[:({rot})])::FLOAT[]
              ELSE list_transform(list_concat(
                  embedding[1 + ({rot}):], embedding[:({rot})]),
-                 x -> -x)::FLOAT[] END AS embedding,
+                 x -> -x)::FLOAT[] END"""
+    elif k <= 2 * dim:
+        rot = f"r % {dim}"
+        neg_from = dim
+        emb_case = f"""
+        CASE WHEN r = 0 THEN embedding
+             WHEN r < {neg_from} THEN list_concat(
+                 embedding[1 + ({rot}):], embedding[:({rot})])::FLOAT[]
+             ELSE list_transform(list_concat(
+                 embedding[1 + ({rot}):], embedding[:({rot})]),
+                 x -> -x)::FLOAT[] END"""
+    else:
+        # k > 2·dim (r6, the sf100 push): decompose r = q·(2·dim) + g.
+        # g selects one of the 2·dim rotation/negation isometries (the
+        # k ≤ 2·dim scheme, byte-identical for r < 2·dim); q > 0
+        # composes an md5-derived ±1 diagonal — also an isometry, so
+        # within-replica geometry (and every planted near-dup pair) is
+        # still EXACTLY the base geometry. Pairwise distinctness: same
+        # g, different q → the relative isometry is a random-half sign
+        # pattern, cos ≈ N(0, 1/√dim) — nowhere near any near-dup
+        # threshold; different g → near-orthogonal by rotation as
+        # before. Budget becomes dim·2^dim ≫ any practical k, and the
+        # sign bits come from md5 (portable, version-stable), not
+        # DuckDB's internal hash().
+        emb_case = f"""
+        CASE WHEN r = 0 THEN embedding
+             ELSE list_transform(range({dim}), i ->
+               (CASE WHEN (r % {2 * dim}) >= {dim} THEN -1.0 ELSE 1.0 END)
+               * (CASE WHEN r < {2 * dim} THEN 1.0
+                       WHEN ('0x' || substr(md5(((r // {2 * dim}) * 1000003
+                              + i)::VARCHAR), 1, 2))::INT % 2 = 0 THEN 1.0
+                       ELSE -1.0 END)
+               * embedding[((i + (r % {dim})) % {dim}) + 1])::FLOAT[]
+        END"""
+    copy("embeddings", _replicated(con, base, "embeddings", k, f"""
+        vec_id + r * {S['embeddings']} AS vec_id,
+        {emb_case} AS embedding,
         label"""))
 
 
