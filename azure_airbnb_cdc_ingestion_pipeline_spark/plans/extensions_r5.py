@@ -598,6 +598,48 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Triangle counting over the co-purchase graph
 # ---------------------------------------------------------------------------
 
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented (s < d) distinct co-purchase edges over parts."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("d"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("s") < F.col("d"))
+        .select("s", "d")
+        .distinct()
+    )
+
+
+def _triangles_per_edge(pairs: DataFrame) -> DataFrame:
+    """(s, d, tri) where tri = |F(s) ∩ F(d)| and F(x) = {y > x : edge} —
+    each triangle x<y<z counted exactly once at its smallest edge (x,y).
+
+    r6 reshape (sf10 disk kill): the classic wedge join e1⋈e2⋈e3
+    MATERIALIZES every open wedge as a row — Σ_y in(y)·out(y) rows.
+    This graph is dense-uniform (avg part degree ~120 at every sf, so
+    wedges ≈ |V|·deg²/4: 49M at sf0.1, 493M at sf1, 4.9 BILLION at
+    sf10 ≈ 120 GB of sort spill — the r6 scale run filled the disk).
+    Degree-ordering doesn't help a uniform-degree graph. Instead the
+    wedge set is never materialized: forward adjacency is aggregated
+    ONCE into sorted int arrays (|V| rows, avg-60-element arrays) and
+    each edge row computes its closed-wedge count with a JVM-side
+    array_intersect — the shuffled payload is O(|E|·avg_deg) packed
+    ints (~6 GB at sf10 vs 120 GB of wedge rows), and the only wide
+    stages are two sort-merge joins keyed on node id, each
+    AQE-splittable on skew. Same exact result, same oracle."""
+    adj = pairs.groupBy("s").agg(F.sort_array(F.collect_list("d")).alias("nb"))
+    return (
+        pairs.join(adj.withColumnRenamed("nb", "nb_s"), "s")
+        .join(
+            adj.select(F.col("s").alias("d"), F.col("nb").alias("nb_d")), "d"
+        )
+        .select(
+            "s", "d", F.size(F.array_intersect("nb_s", "nb_d")).alias("tri")
+        )
+    )
+
+
 @query(
     "graph_triangle_count",
     oracle="""
@@ -619,32 +661,15 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counting (the clustering-coefficient kernel) over the
-    part co-purchase graph, via the standard ordered-edge join: edges
-    kept only as (small → large), wedges from edge⋈edge, closed by a
-    third edge probe — each triangle counted exactly once, no
-    orientation blowup. Co-purchase edges are order-key-bounded (≤ 7
-    lines/order), so the wedge join is degree-bounded — the shape that
-    survives power-law graphs when paired with degree-ordering."""
-    li = _t(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("d"))
-    pairs = (
-        a.join(b, "ok")
-        .filter(F.col("s") < F.col("d"))
-        .select("s", "d")
-        .distinct()
-    )
-    e1 = pairs.select(F.col("s").alias("x"), F.col("d").alias("y"))
-    e2 = pairs.select(F.col("s").alias("y2"), F.col("d").alias("z"))
-    e3 = pairs.select(F.col("s").alias("x3"), F.col("d").alias("z3"))
-    wedges = e1.join(e2, F.col("y") == F.col("y2"))
-    tri = wedges.join(
-        e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3"))
-    )
-    return tri.agg(
-        F.count(F.lit(1)).alias("n_triangles"),
-        F.countDistinct("x").alias("nodes_in_triangles"),
+    """Exact triangle counting (the clustering-coefficient kernel) over
+    the part co-purchase graph via adjacency-array intersection — see
+    `_triangles_per_edge` for why the wedge join was retired."""
+    per_edge = _triangles_per_edge(_copurchase_pairs(spark, sf_dir))
+    return per_edge.agg(
+        F.sum("tri").cast("long").alias("n_triangles"),
+        F.countDistinct(F.when(F.col("tri") > 0, F.col("s"))).alias(
+            "nodes_in_triangles"
+        ),
     )
 
 

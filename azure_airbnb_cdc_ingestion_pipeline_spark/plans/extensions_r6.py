@@ -1,4 +1,5 @@
-"""Round-6 charter extensions: distributed query-side ANN.
+"""Round-6 charter extensions: distributed query-side ANN + sampled
+triangle counting.
 
 The existing exact-ANN kernels (`ann_cosine_topk`, `ann_numpy_topk`,
 `pq_topk`) ship the query set to the tasks via the driver — correct by
@@ -31,6 +32,79 @@ _BLOCKED_ANN_ORACLE = """
     )
     SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
 """
+
+
+# DOULION edge-sampled triangle estimate (Tsourakakis et al. 2009):
+# keep each edge with probability p, count triangles on the sample,
+# scale by 1/p³. Here the "coin" is an md5 hash of the edge key — fully
+# deterministic and REPLICATED BIT-EXACTLY by the DuckDB oracle (the
+# repo's bit-exact-sketch pattern, extensions_r5 KMV), so the key is
+# hash-gated with NO tolerance band. Exact triangle work is inherently
+# the wedge count (≈|V|·deg²/4 — 4.9B at sf10 on this dense-uniform
+# graph); at p=0.3 the sampled wedge work is p²≈9% of that, which is
+# what makes sf10+ tractable per box. Relative std ≈ √((p⁻³−1)/T) —
+# ~1% at sf0.01's 414k triangles, shrinking with scale.
+_TRI_KEEP = 300  # permille: p = 0.3
+
+_DOULION_ORACLE = f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+    ),
+    sampled AS (
+      SELECT s, d FROM pairs
+      WHERE ('0x' || substr(md5(s::VARCHAR || '-' || d::VARCHAR), 1, 13))::BIGINT
+            % 1000 < {_TRI_KEEP}
+    ),
+    tri AS (
+      SELECT e1.s AS x
+      FROM sampled e1
+      JOIN sampled e2 ON e2.s = e1.d
+      JOIN sampled e3 ON e3.s = e1.s AND e3.d = e2.d
+    )
+    SELECT CAST(floor(count(*) * 1000.0 * 1000.0 * 1000.0
+                / ({_TRI_KEEP} * {_TRI_KEEP} * {_TRI_KEEP}) + 0.5) AS BIGINT)
+             AS est_triangles,
+           CAST(count(*) AS BIGINT) AS sampled_triangles,
+           {_TRI_KEEP} AS keep_permille
+    FROM tri
+"""
+
+
+@query("graph_triangle_doulion", oracle=_DOULION_ORACLE)
+def q_graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION sampled triangle count — the 100 TB path for dense
+    co-occurrence graphs where exact counting's wedge work is
+    prohibitive. Deterministic md5 edge sampling (bit-exact vs the
+    DuckDB oracle); the triangle kernel on the sample reuses the
+    adjacency-intersection shape (`extensions_r5._triangles_per_edge`),
+    so sampled work is p² of exact with the same spill-safe plan."""
+    from ..functions.sketches import md5_hash52
+    from .extensions_r5 import _copurchase_pairs, _triangles_per_edge
+
+    pairs = _copurchase_pairs(spark, sf_dir)
+    sampled = pairs.filter(
+        F.pmod(
+            md5_hash52(
+                F.concat(
+                    F.col("s").cast("string"), F.lit("-"), F.col("d").cast("string")
+                )
+            ),
+            F.lit(1000),
+        )
+        < _TRI_KEEP
+    )
+    per_edge = _triangles_per_edge(sampled)
+    scale = 1000.0**3 / float(_TRI_KEEP) ** 3
+    return per_edge.agg(
+        F.floor(F.sum("tri") * F.lit(scale) + F.lit(0.5))
+        .cast("long")
+        .alias("est_triangles"),
+        F.sum("tri").cast("long").alias("sampled_triangles"),
+        F.lit(_TRI_KEEP).alias("keep_permille"),
+    )
 
 
 @query("ann_blocked_topk", oracle=_BLOCKED_ANN_ORACLE)
