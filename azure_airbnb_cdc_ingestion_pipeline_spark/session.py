@@ -56,7 +56,14 @@ def get_spark(
         # nanos and convert at the reader (sources.readers.read_events).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode sizing: the driver JVM IS the executor — its heap is
+        # shared by all 32 task slots, the block-manager cache, and every
+        # sort/join buffer. 8g (the old default) is 250 MB/task and OOMed
+        # the sf10 graph leg (r6); size to the box instead — the target
+        # host has 128 GiB, so 64g leaves room for Arrow workers + OS.
+        # On a real cluster this knob is per-executor and set by the
+        # deployment, not here.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
