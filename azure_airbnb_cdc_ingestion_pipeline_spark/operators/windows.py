@@ -64,3 +64,91 @@ def argmax_per_group(
     val = F.struct(*[F.col(c) for c in payload])
     agg = df.groupBy(*group_by).agg(F.max_by(val, key).alias("__best"))
     return agg.select(*group_by, *[F.col(f"__best.{c}").alias(c) for c in payload])
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``row_number`` WITHOUT the single-partition sort.
+
+    ``Window.orderBy(...)`` with no partition key funnels every row into
+    one task — the canonical global-ranking anti-pattern that caps out
+    around one executor's memory. This is the two-phase distributed
+    formulation instead:
+
+    1. ``repartitionByRange`` on the ordering key (range exchange —
+       boundary sampling is Spark's own, partitions stay balanced),
+    2. local ``row_number`` per range partition (per-task sort only),
+    3. partition row-counts → driver prefix-sum (bounded collect: one
+       row per partition) → broadcast offset join,
+    4. global rank = local rank + partition offset.
+
+    The ranked frame is persisted before the counts collect so the
+    offsets and the output see the SAME range boundaries (the range
+    sampler is not guaranteed deterministic across recomputes).
+
+    DETERMINISM CONTRACT (same as ``argmax_per_group``): ``order_by``
+    must be a total order — break ties with a trailing unique column —
+    otherwise ranks among tied rows are arbitrary.
+
+    Returns ``df`` plus ``rank_col`` (1-based, dense over all rows).
+    """
+    from ..session import track_persist
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    d = df.repartitionByRange(num_partitions, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    ranked = track_persist(d.withColumn("__lr", F.row_number().over(w)))
+    sizes = sorted(
+        ranked.groupBy("__pid").agg(F.max("__lr").alias("n")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets, acc = [], 0
+    for r in sizes:
+        offsets.append((r["__pid"], acc))
+        acc += r["n"]
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "__pid int, __off long"
+    )
+    return (
+        ranked.join(F.broadcast(off_df), "__pid")
+        .withColumn(rank_col, (F.col("__lr") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lr", "__off")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    n_buckets: int,
+    bucket_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``ntile(n)`` via :func:`global_rank` — ANSI bucket
+    allocation (first ``n_rows mod n`` buckets take the extra row), so
+    results hash-match the built-in ``ntile`` while avoiding its
+    single-partition sort. Same total-order contract as global_rank."""
+    ranked = global_rank(df, order_by, rank_col="__gr",
+                         num_partitions=num_partitions)
+    n = ranked.count()  # served from global_rank's persisted frame
+    q, r = divmod(n, n_buckets)
+    rank = F.col("__gr")
+    if q == 0:
+        bucket = rank
+    else:
+        bucket = (
+            F.when(
+                rank <= r * (q + 1),
+                F.floor((rank - 1) / (q + 1)) + 1,
+            ).otherwise(r + F.floor((rank - r * (q + 1) - 1) / q) + 1)
+        )
+    return ranked.withColumn(bucket_col, bucket.cast("int")).drop("__gr")

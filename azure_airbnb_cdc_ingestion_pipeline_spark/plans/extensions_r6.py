@@ -107,6 +107,224 @@ def q_graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# product-analytics family: sequential funnel + weekly cohort retention
+# (operators/funnel.py). `event_funnel` (extensions.py) keeps the one-pass
+# min-min formulation; this is the STRICT sequential semantics — stage k
+# binds to the earliest stage-k event strictly after the bound stage-(k-1)
+# event, so a user whose first 'click' precedes 'signup' still converts
+# via a later click. Chained conditional window minimums: one exchange +
+# one sort on user_id, k stacked window nodes, no per-user arrays.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
+
+_SEQ_FUNNEL_ORACLE = """
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    s0 AS (
+      SELECT *, min(CASE WHEN event_type = 'signup' THEN ts END)
+                  OVER (PARTITION BY user_id) AS t0 FROM ev
+    ),
+    s1 AS (
+      SELECT *, min(CASE WHEN event_type = 'view' AND ts > t0 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t1 FROM s0
+    ),
+    s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2 FROM s1
+    ),
+    s3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3 FROM s2
+    ),
+    pu AS (
+      SELECT user_id, max(t0) AS t0, max(t1) AS t1,
+             max(t2) AS t2, max(t3) AS t3
+      FROM s3 GROUP BY user_id
+    ),
+    c AS (
+      SELECT CAST(count(t0) AS BIGINT) AS c0, CAST(count(t1) AS BIGINT) AS c1,
+             CAST(count(t2) AS BIGINT) AS c2, CAST(count(t3) AS BIGINT) AS c3
+      FROM pu
+    )
+    SELECT 1 AS stage_idx, 'signup' AS stage, c0 AS users,
+           round(c0 * 100.0 / c0, 6) AS conv_pct FROM c
+    UNION ALL
+    SELECT 2, 'view', c1, round(c1 * 100.0 / c0, 6) FROM c
+    UNION ALL
+    SELECT 3, 'click', c2, round(c2 * 100.0 / c0, 6) FROM c
+    UNION ALL
+    SELECT 4, 'purchase', c3, round(c3 * 100.0 / c0, 6) FROM c
+"""
+
+
+@query("funnel_sequential", oracle=_SEQ_FUNNEL_ORACLE)
+def q_funnel_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel
+    from ..sources.readers import read_events
+
+    return funnel(read_events(spark, sf_dir), _FUNNEL_STAGES)
+
+
+_COHORT_ORACLE = """
+    WITH uw AS (
+      SELECT DISTINCT user_id AS u,
+             date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+      FROM events
+    ),
+    c AS (
+      SELECT u, wk, min(wk) OVER (PARTITION BY u) AS cohort_week FROM uw
+    )
+    SELECT cohort_week,
+           CAST(datediff('day', cohort_week, wk) / 7 AS INTEGER) AS week_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM c GROUP BY cohort_week, week_offset
+"""
+
+
+@query("cohort_retention", oracle=_COHORT_ORACLE)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import cohort_retention
+    from ..sources.readers import read_events
+
+    return cohort_retention(read_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — exercises operators.windows.global_ntile, the
+# distributed exact ntile (two-phase range-partition rank; NO
+# single-partition Window.orderBy sort). The oracle uses DuckDB's
+# built-in ntile — identical ANSI bucket allocation — so the hash match
+# proves the distributed formulation IS ntile. Ordering keys carry a
+# user_id tiebreak (total-order contract) and `monetary` is rounded
+# BEFORE ranking so double partial-sum drift can't reorder neighbors.
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+    WITH pu AS (
+      SELECT user_id,
+             datediff('day', max(CAST(ts AS TIMESTAMP)),
+                      (SELECT max(CAST(ts AS TIMESTAMP)) FROM events))
+               AS recency,
+             count(*) AS freq,
+             round(sum(value), 6) AS monetary
+      FROM events GROUP BY user_id
+    ),
+    q AS (
+      SELECT ntile(4) OVER (ORDER BY recency, user_id)  AS r_q,
+             ntile(4) OVER (ORDER BY freq, user_id)     AS f_q,
+             ntile(4) OVER (ORDER BY monetary, user_id) AS m_q
+      FROM pu
+    )
+    SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS users
+    FROM q GROUP BY r_q, f_q, m_q
+"""
+
+
+@query("rfm_segments", oracle=_RFM_ORACLE)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import global_ntile
+    from ..sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    anchor = ev.agg(F.max("ts").alias("__anchor"))
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("__last"),
+            F.count(F.lit(1)).alias("freq"),
+            F.round(F.sum("value"), 6).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn("recency", F.datediff(F.col("__anchor"), F.col("__last")))
+    )
+    seg = global_ntile(pu, ["recency", "user_id"], 4, "r_q")
+    seg = global_ntile(seg, ["freq", "user_id"], 4, "f_q")
+    seg = global_ntile(seg, ["monetary", "user_id"], 4, "m_q")
+    return seg.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("users")
+    )
+
+
+# Exact global median via distributed rank — Spark's exact `percentile`
+# aggregate buffers every value of the group in executor memory (fine
+# per-group, fatal for a single global group at fact-table scale);
+# global_rank keeps the sort range-partitioned and picks the middle
+# order statistics by rank. Even-n median = mean of the two middles,
+# matching DuckDB's quantile_cont(0.5).
+_MEDIAN_ORACLE = """
+    SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+"""
+
+
+@query("exact_median_rank", oracle=_MEDIAN_ORACLE)
+def q_exact_median_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import global_rank
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = global_rank(
+        li, ["l_extendedprice", "l_orderkey", "l_linenumber"], rank_col="r"
+    )
+    n = ranked.count()  # served from global_rank's persisted frame
+    mid = [(n + 1) // 2, n // 2 + 1]  # equal for odd n
+    return (
+        ranked.filter(F.col("r").isin(mid))
+        .agg(
+            F.round(F.avg("l_extendedprice"), 4).alias("median_price"),
+            F.lit(n).cast("long").alias("n_rows"),
+        )
+    )
+
+
+# next-event Markov transition matrix: lead() over the per-user ordered
+# stream (ts + event_id total order), then a count + per-source
+# normalization. One exchange on user_id, one tiny agg exchange.
+_TRANSITIONS_ORACLE = """
+    WITH o AS (
+      SELECT event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+      FROM events
+    )
+    SELECT event_type AS from_type, to_type,
+           CAST(count(*) AS BIGINT) AS transitions,
+           round(count(*) * 1.0 /
+                 sum(count(*)) OVER (PARTITION BY event_type), 6) AS prob
+    FROM o WHERE to_type IS NOT NULL
+    GROUP BY event_type, to_type
+"""
+
+
+@query("event_transitions", oracle=_TRANSITIONS_ORACLE)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.withColumn("to_type", F.lead("event_type").over(w)).filter(
+        F.col("to_type").isNotNull()
+    )
+    agg = o.groupBy(
+        F.col("event_type").alias("from_type"), "to_type"
+    ).agg(F.count(F.lit(1)).alias("transitions"))
+    wsrc = Window.partitionBy("from_type")
+    return agg.withColumn(
+        "prob",
+        F.round(
+            F.col("transitions") * 1.0 / F.sum("transitions").over(wsrc), 6
+        ),
+    )
+
+
 @query("ann_blocked_topk", oracle=_BLOCKED_ANN_ORACLE)
 def q_ann_blocked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 over a 40-query set through the distributed blocked

@@ -98,6 +98,16 @@ HEADLINE = [
     "grouping_cube",
     "dq_expectations",
     "ann_pq_recall",
+    # r6 additions: distributed-query-side ANN, sampled triangle
+    # estimation, product-analytics family (sequential funnel, cohort
+    # retention, RFM via distributed exact ntile, Markov transitions)
+    "ann_blocked_topk",
+    "graph_triangle_doulion",
+    "funnel_sequential",
+    "cohort_retention",
+    "rfm_segments",
+    "event_transitions",
+    "exact_median_rank",
 ]
 
 
