@@ -203,3 +203,16 @@ def test_pq_topk_tiny_corpus_fails_loud(spark):
     )
     with pytest.raises(ValueError, match="cannot"):
         pq_topk(queries, corpus, dim=16, m=4, ksub=8)
+
+
+def test_generator_strides_clear_aug_offsets():
+    """The query-side doc augmentations synthesize ids at +100_000 /
+    +200_000; every replica id block must clear that range plus the base
+    corpus, or aug ids collide with real replica docs (the sf100
+    dedup_simhash quadratic-pair artifact, SCALE_r06_sf100 first run).
+    Embeddings synthesize up to +200_000*j (j<=24 ANN query families)."""
+    import tools.gen_sf as gen
+
+    base_docs = 5_450  # sf0.1 documents upper bound
+    assert gen.STRIDES["documents"] > 200_000 + base_docs
+    assert gen.STRIDES["embeddings"] > 200_000 * 24 + 55_000

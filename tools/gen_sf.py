@@ -9,14 +9,20 @@ engine, not an artifact of the generator:
 - Fact/dim tables replicate K times with per-replica KEY STRIDES; foreign
   keys shift by the same stride, so every join stays within its replica and
   per-key join degrees / group sizes match the base exactly.
-- ``documents``: each replica substitutes every 5th word with a
-  replica-specific token. Replicas are NOT near-dups of the base (3-shingle
-  Jaccard vs base ~0.34, below dedup thresholds), while base near-dup pairs
-  stay near-dups WITHIN each replica (substitution positions are
-  doc-independent) — near-dup density scales linearly, as in an organic
-  corpus, instead of every doc acquiring K-1 planted copies (which would
-  blow LSH buckets up quadratically and measure the generator, not the
-  engine).
+- ``documents``: each replica rewrites the vocabulary with a bijection
+  (every word gains a ``_r<replica>`` suffix). A bijective token renaming
+  is the text analog of the embeddings' rotation isometry: every
+  token-level dedup measure (minhash/shingle Jaccard, simhash votes,
+  n-gram overlap, substring spans) is INVARIANT under it, so all planted
+  intra-replica near-dup structure is EXACTLY the base structure, while
+  cross-replica token overlap is exactly zero — no replica pair can be a
+  near-dup under any measure, for any doc shape. (Earlier positional
+  substitution schemes left short/repetitive docs — occurrence-weighted
+  simhash dominated by repeated common words — within Hamming 3 across
+  replicas: one 18-word doc produced 207k cross-replica pairs at K=1000,
+  output quadratic in K; the bench measured the generator, not the
+  engine.) Near-dup density therefore scales linearly, as in an organic
+  corpus.
 - ``embeddings``: each replica cyclically rotates the vector by
   r*dim//K positions. Rotations of high-dim pseudo-random vectors are
   near-orthogonal to the base (replicas aren't near-dups), norms are
@@ -43,6 +49,16 @@ import duckdb
 # to every foreign key referencing it. Strides clear the base key range by
 # >6x so replica id spaces never collide; the embeddings stride also clears
 # the +200_000*j id range the planted-ANN query corpus synthesizes.
+#
+# documents (r6 fix): the query-side near/chain/exact augmentations add
+# +100_000 / +200_000 to doc_id, so the stride must clear base_docs +
+# 200_000 — the old 100_000 stride made EVERY aug id collide with the next
+# replica's real doc (offset == stride), and simhash's duplicate-id vote
+# merge turned each collision into a common-token-skeleton fingerprint:
+# ~K/11 per base family, mutually near-identical, C(K/11, 2) quadratic
+# pair mass (measured: 72.7x output pairs for 10x docs at sf10->sf100,
+# SCALE_r06_sf100.json first run). 10_000_000 gives 50x clearance, same
+# headroom class as the embeddings stride.
 STRIDES = {
     "customer": 100_000,
     "supplier": 10_000,
@@ -50,7 +66,7 @@ STRIDES = {
     "orders": 1_000_000,
     "events_id": 1_000_000,
     "events_user": 1_000_000,
-    "documents": 100_000,
+    "documents": 10_000_000,
     "embeddings": 10_000_000,
 }
 
@@ -73,12 +89,15 @@ def _replicated(con: duckdb.DuckDBPyConnection, base: str, table: str,
     """
 
 
-def generate(base: str, out: str, k: int) -> None:
+def generate(base: str, out: str, k: int,
+             tables: set[str] | None = None) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     S = STRIDES
 
     def copy(table: str, sql: str) -> None:
+        if tables is not None and table not in tables:
+            return
         opts = COPY_OPTS_WIDE if table in ("documents", "embeddings") else COPY_OPTS
         con.sql(f"COPY ({sql}) TO '{out}/{table}.parquet' {opts}")
         n = con.sql(
@@ -119,31 +138,30 @@ def generate(base: str, out: str, k: int) -> None:
         user_id + r * {S['events_user']} AS user_id,
         event_type, value, props"""))
 
-    # documents: substitute every `stride`-th word with a (replica,
-    # position) token; positions are doc-independent so intra-replica
-    # near-dup pairs survive.
+    # documents: per-replica vocabulary BIJECTION — every word gains a
+    # '_r<replica>' suffix (base words are plain lowercase alphabetics,
+    # so the suffix cannot collide with an existing word or another
+    # replica's suffix).
     #
-    # stride (r5 fix): 5 keeps cross-replica 3-shingle Jaccard ≈ 0.34 —
-    # fine at K ≤ 10, but at K=100 every doc gains C(K,2)-scaled
-    # moderately-similar siblings: measured at sf10, simhash emitted
-    # 59.7× the pairs for 10× the docs (cross-replica fingerprints
-    # within Hamming 3) and the minhash band join verified a
-    # workload-quadratic candidate mass — the bench measured the
-    # generator, not the engine. stride 3 puts a replica token in EVERY
-    # 3-shingle (any 3 consecutive positions contain one ≡ 0 mod 3), so
-    # cross-replica shingle Jaccard is ~0 and near-dup density stays
-    # linear, as the header contract requires. K ≤ 10 keeps stride 5 so
-    # the r4/r5 sf1 and sf3 artifacts remain byte-identical.
-    stride = 5 if k <= 10 else 3
+    # r6 fix (supersedes the r5 stride-3 positional substitution): a
+    # bijective token renaming preserves every token-level dedup
+    # measure EXACTLY within a replica (minhash/shingle Jaccard,
+    # simhash, n-gram overlap are all functions of token-identity
+    # structure, which a bijection preserves) and makes cross-replica
+    # token overlap exactly ZERO. Positional substitution left the
+    # UNSUBSTITUTED words shared across replicas; for short docs with
+    # heavy word repetition the occurrence-weighted simhash vote is
+    # dominated by those repeated common words (vote correlation
+    # ρ = Σc_common² / Σc_total² → 1), so whole replica families sat
+    # within Hamming 3 of each other: at K=1000 ONE 18-word doc
+    # produced 207,606 cross-replica pairs (~C(K,2)·p) and the family
+    # output grew 52× for 10× docs (SCALE diag, round 6). The bijection
+    # closes that class of artifact for any doc shape, at any K.
     copy("documents", _replicated(con, base, "documents", k, f"""
         doc_id + r * {S['documents']} AS doc_id,
         CASE WHEN r = 0 THEN text ELSE array_to_string(
-            list_transform(
-                list_zip(split(text, ' '),
-                         range(1, len(split(text, ' ')) + 1)),
-                z -> CASE WHEN z[2] % {stride} = 0
-                     THEN 'w' || r::VARCHAR || 'q' || (z[2] // {stride})::VARCHAR
-                     ELSE z[1] END),
+            list_transform(split(text, ' '),
+                           w -> w || '_r' || r::VARCHAR),
             ' ') END AS text,
         lang, source,
         CASE WHEN r = 0 THEN n_chars ELSE NULL END AS n_chars"""))
@@ -227,9 +245,12 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--out", default="/root/repo/.scale/sf1")
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated subset to (re)generate")
     args = ap.parse_args()
     print(f"replicating {args.base} x{args.k} -> {args.out}")
-    generate(args.base, args.out, args.k)
+    generate(args.base, args.out, args.k,
+             tables=set(args.tables.split(",")) if args.tables else None)
 
 
 if __name__ == "__main__":
