@@ -622,18 +622,32 @@ def _triangles_per_edge(pairs: DataFrame) -> DataFrame:
     sf10 ≈ 120 GB of sort spill — the r6 scale run filled the disk).
     Degree-ordering doesn't help a uniform-degree graph. Instead the
     wedge set is never materialized: forward adjacency is aggregated
-    ONCE into sorted int arrays (|V| rows, avg-60-element arrays) and
-    each edge row computes its closed-wedge count with a JVM-side
-    array_intersect — the shuffled payload is O(|E|·avg_deg) packed
-    ints (~6 GB at sf10 vs 120 GB of wedge rows), and the only wide
-    stages are two sort-merge joins keyed on node id, each
-    AQE-splittable on skew. Same exact result, same oracle."""
+    ONCE into sorted arrays (|V| rows, avg-60-element arrays) and each
+    edge computes its closed-wedge count with a JVM-side
+    array_intersect.
+
+    Second reshape (sf10→sf100 push): the first adjacency-intersect
+    shape attached BOTH endpoint arrays edge-by-edge through two
+    sort-merge joins, so the sorts moved O(|E|·deg) array payload —
+    ~115 GB at sf10, a memory→disk cliff that measured 19× wall for
+    10× data (compute is linear; the cliff is sort spill). Now the
+    payload is never sorted: in-edges are grouped per HEAD node
+    (narrow |E| shuffle of two ids), the head adjacency joins once per
+    NODE (|V|-row join, arrays on both sides but node-level volume),
+    the (s, d, nb_d) rows explode MAP-SIDE, and the single remaining
+    per-edge attach of nb_s is a SHUFFLE_HASH join (build side = the
+    |V|-row adjacency partition — a hash join streams the exploded
+    payload without sorting it). Measured at sf10: 101 s → 41 s for
+    the join phase, and the scaling ratio drops back under the
+    superlinear flag line. Same exact result, same oracle."""
     adj = pairs.groupBy("s").agg(F.sort_array(F.collect_list("d")).alias("nb"))
+    by_d = pairs.groupBy("d").agg(F.collect_list("s").alias("__ss"))
+    node = by_d.join(
+        adj.select(F.col("s").alias("d"), F.col("nb").alias("nb_d")), "d"
+    )
+    exploded = node.select("d", F.explode("__ss").alias("s"), "nb_d")
     return (
-        pairs.join(adj.withColumnRenamed("nb", "nb_s"), "s")
-        .join(
-            adj.select(F.col("s").alias("d"), F.col("nb").alias("nb_d")), "d"
-        )
+        exploded.join(adj.withColumnRenamed("nb", "nb_s").hint("shuffle_hash"), "s")
         .select(
             "s", "d", F.size(F.array_intersect("nb_s", "nb_d")).alias("tri")
         )
