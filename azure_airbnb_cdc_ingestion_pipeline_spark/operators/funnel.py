@@ -33,15 +33,19 @@ def funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_gap_seconds: int | None = None,
 ) -> DataFrame:
     """Strictly-ordered conversion funnel.
 
     A user converts through stage k when an event of type ``stages[k]``
     exists with timestamp STRICTLY after their stage-(k-1) conversion
     time (first-touch semantics: each stage binds to its earliest
-    eligible event). Returns one row per stage:
-    ``(stage_idx, stage, users, conv_pct)`` where ``conv_pct`` is
-    percent of stage-1 users surviving to stage k (rounded to 6 dp —
+    eligible event). With ``max_gap_seconds`` the stage-k event must
+    additionally land within that many seconds of the bound stage-(k-1)
+    event (the windowed funnel every product-analytics store offers —
+    conversions outside the window don't count). Returns one row per
+    stage: ``(stage_idx, stage, users, conv_pct)`` where ``conv_pct``
+    is percent of stage-1 users surviving to stage k (rounded to 6 dp —
     an exact integer ratio, so the rounding is deterministic).
     """
     if not stages:
@@ -54,6 +58,11 @@ def funnel(
         cond = F.col(type_col) == stage
         if prev is not None:
             cond = cond & (F.col(ts_col) > prev)
+            if max_gap_seconds is not None:
+                cond = cond & (
+                    F.col(ts_col)
+                    <= prev + F.expr(f"INTERVAL {max_gap_seconds} SECOND")
+                )
         name = f"__t{i}"
         df = df.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
         prev = F.col(name)
@@ -78,6 +87,49 @@ def funnel(
     return counts.select(
         F.explode(F.array(*rows)).alias("r")
     ).select("r.stage_idx", "r.stage", "r.users", "r.conv_pct")
+
+
+def top_paths(
+    events: DataFrame,
+    n_steps: int = 5,
+    top_k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Top-k most common event paths: each user's first ``n_steps``
+    event types (ordered by ``(ts, tiebreak)`` — a total order, so the
+    path string is deterministic) joined with '>', counted across
+    users. Returns ``(path, users)``, the ``top_k`` by
+    ``(users DESC, path)`` — a total order, so the cut is exact.
+
+    Scale: one exchange on the user key for the ranking window, a
+    per-user fold into a single short string, a small path-keyed
+    aggregate, and a TakeOrdered top-k (heap — no global sort)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    firstn = (
+        events.select(user_col, type_col, ts_col, tiebreak_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_steps)
+    )
+    paths = firstn.groupBy(user_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__rn"), F.col(type_col)))
+                ),
+                lambda s: s[type_col],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy(F.desc("users"), "path")
+        .limit(top_k)
+    )
 
 
 def cohort_retention(

@@ -192,6 +192,90 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(read_events(spark, sf_dir))
 
 
+# windowed funnel: same sequential semantics, but each stage must land
+# within 72 h of the previous bound event (the conversion-window variant
+# every product-analytics store offers).
+_WINDOWED_FUNNEL_ORACLE = """
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    s0 AS (
+      SELECT *, min(CASE WHEN event_type = 'signup' THEN ts END)
+                  OVER (PARTITION BY user_id) AS t0 FROM ev
+    ),
+    s1 AS (
+      SELECT *, min(CASE WHEN event_type = 'view' AND ts > t0
+                          AND ts <= t0 + INTERVAL 259200 SECOND THEN ts END)
+                  OVER (PARTITION BY user_id) AS t1 FROM s0
+    ),
+    s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+                          AND ts <= t1 + INTERVAL 259200 SECOND THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2 FROM s1
+    ),
+    s3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                          AND ts <= t2 + INTERVAL 259200 SECOND THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3 FROM s2
+    ),
+    pu AS (
+      SELECT user_id, max(t0) AS t0, max(t1) AS t1,
+             max(t2) AS t2, max(t3) AS t3
+      FROM s3 GROUP BY user_id
+    ),
+    c AS (
+      SELECT CAST(count(t0) AS BIGINT) AS c0, CAST(count(t1) AS BIGINT) AS c1,
+             CAST(count(t2) AS BIGINT) AS c2, CAST(count(t3) AS BIGINT) AS c3
+      FROM pu
+    )
+    SELECT 1 AS stage_idx, 'signup' AS stage, c0 AS users,
+           round(c0 * 100.0 / c0, 6) AS conv_pct FROM c
+    UNION ALL
+    SELECT 2, 'view', c1, round(c1 * 100.0 / c0, 6) FROM c
+    UNION ALL
+    SELECT 3, 'click', c2, round(c2 * 100.0 / c0, 6) FROM c
+    UNION ALL
+    SELECT 4, 'purchase', c3, round(c3 * 100.0 / c0, 6) FROM c
+"""
+
+
+@query("funnel_windowed", oracle=_WINDOWED_FUNNEL_ORACLE)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel
+    from ..sources.readers import read_events
+
+    return funnel(
+        read_events(spark, sf_dir), _FUNNEL_STAGES, max_gap_seconds=259200
+    )
+
+
+# top event paths: each user's first 5 event types in (ts, event_id)
+# order, '>'-joined, counted; exact top-20 under a total order.
+_TOP_PATHS_ORACLE = """
+    WITH o AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM o WHERE rn <= 5 GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS users
+    FROM p GROUP BY path
+    ORDER BY users DESC, path LIMIT 20
+"""
+
+
+@query("event_top_paths", oracle=_TOP_PATHS_ORACLE)
+def q_event_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import top_paths
+    from ..sources.readers import read_events
+
+    return top_paths(read_events(spark, sf_dir), n_steps=5, top_k=20)
+
+
 # ---------------------------------------------------------------------------
 # RFM segmentation — exercises operators.windows.global_ntile, the
 # distributed exact ntile (two-phase range-partition rank; NO

@@ -108,6 +108,8 @@ HEADLINE = [
     "rfm_segments",
     "event_transitions",
     "exact_median_rank",
+    "funnel_windowed",
+    "event_top_paths",
 ]
 
 

@@ -95,3 +95,46 @@ def test_funnel_single_exchange_plan(spark):
     # plus the final single-partition agg. No third data exchange.
     n_hash_exchanges = plan.count("Exchange hashpartitioning")
     assert n_hash_exchanges == 1, plan
+
+
+def test_funnel_windowed_gap_excludes_late_conversion(spark):
+    """With a max gap, a stage event after the window must not count."""
+    ev = _ev(
+        spark,
+        [
+            (1, "signup", 1, 0),
+            (1, "view", 1, 12),     # 12h later: inside a 1-day gap
+            (2, "signup", 2, 0),
+            (2, "view", 4, 0),      # 48h later: outside a 1-day gap
+        ],
+    )
+    out = {
+        r["stage"]: r["users"]
+        for r in funnel(
+            ev, ["signup", "view"], max_gap_seconds=86400
+        ).collect()
+    }
+    assert out == {"signup": 2, "view": 1}
+
+
+def test_top_paths_orders_and_cuts_deterministically(spark):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.funnel import (
+        top_paths,
+    )
+
+    rows = []
+    eid = 0
+    # 3 users with path a>b, 1 user with path b>a, 1 user with 1 event
+    for u, seq in [(1, "ab"), (2, "ab"), (3, "ab"), (4, "ba"), (5, "a")]:
+        for i, t in enumerate(seq):
+            rows.append((u, t, 1 + i, eid % 24))
+            eid += 1
+    ev = spark.createDataFrame(
+        [
+            (u, t, __import__("datetime").datetime(2024, 1, d, h), i)
+            for i, (u, t, d, h) in enumerate(rows)
+        ],
+        "user_id long, event_type string, ts timestamp_ntz, event_id long",
+    )
+    got = [(r["path"], r["users"]) for r in top_paths(ev, n_steps=5).collect()]
+    assert got == [("a>b", 3), ("a", 1), ("b>a", 1)]
