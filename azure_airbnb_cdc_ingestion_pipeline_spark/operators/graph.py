@@ -61,6 +61,11 @@ def pagerank(
     iteration is a shuffled hash join against the persisted,
     pre-partitioned edge frame (both branches plan-asserted in
     tests/test_plan_assertions.py)."""
+    # edges/deg are consumed by several jobs (degree scan, norm join,
+    # rank init) but are NOT persisted deliberately: both end in a
+    # shuffle, so cross-job shuffle-file reuse already serves repeat
+    # consumers — an explicit cache was measured 1.5x SLOWER (pure
+    # materialization overhead) at sf0.1.
     deg = edges.groupBy(src).agg(F.sum(weight).alias("_wsum"))
     if check_dangling:
         dangling = (

@@ -96,6 +96,20 @@ def global_rank(
 
     Returns ``df`` plus ``rank_col`` (1-based, dense over all rows).
     """
+    return global_rank_with_count(df, order_by, rank_col, num_partitions)[0]
+
+
+def global_rank_with_count(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """:func:`global_rank` plus the exact total row count — the count is
+    the prefix-sum total of the per-partition sizes the offset pass
+    already collects, so callers that need ``n`` (ntile allocation,
+    median order statistics) get it with ZERO extra jobs instead of a
+    separate ``count()`` action over the ranked frame."""
     from ..session import track_persist
 
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
@@ -119,11 +133,12 @@ def global_rank(
     off_df = df.sparkSession.createDataFrame(
         offsets, "__pid int, __off long"
     )
-    return (
+    out = (
         ranked.join(F.broadcast(off_df), "__pid")
         .withColumn(rank_col, (F.col("__lr") + F.col("__off")).cast("long"))
         .drop("__pid", "__lr", "__off")
     )
+    return out, acc
 
 
 def global_ntile(
@@ -136,10 +151,11 @@ def global_ntile(
     """Exact global ``ntile(n)`` via :func:`global_rank` — ANSI bucket
     allocation (first ``n_rows mod n`` buckets take the extra row), so
     results hash-match the built-in ``ntile`` while avoiding its
-    single-partition sort. Same total-order contract as global_rank."""
-    ranked = global_rank(df, order_by, rank_col="__gr",
-                         num_partitions=num_partitions)
-    n = ranked.count()  # served from global_rank's persisted frame
+    single-partition sort. Same total-order contract as global_rank.
+    ``n`` rides along from the rank pass's size collect — no extra
+    count job."""
+    ranked, n = global_rank_with_count(df, order_by, rank_col="__gr",
+                                       num_partitions=num_partitions)
     q, r = divmod(n, n_buckets)
     rank = F.col("__gr")
     if q == 0:

@@ -347,15 +347,14 @@ _MEDIAN_ORACLE = """
 
 @query("exact_median_rank", oracle=_MEDIAN_ORACLE)
 def q_exact_median_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.windows import global_rank
+    from ..operators.windows import global_rank_with_count
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
-    ranked = global_rank(
+    ranked, n = global_rank_with_count(
         li, ["l_extendedprice", "l_orderkey", "l_linenumber"], rank_col="r"
-    )
-    n = ranked.count()  # served from global_rank's persisted frame
+    )  # n rides along from the rank pass — no extra count job
     mid = [(n + 1) // 2, n // 2 + 1]  # equal for odd n
     return (
         ranked.filter(F.col("r").isin(mid))
