@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .windows import topk_per_group
@@ -151,3 +151,98 @@ def apply_cdc(
     all_keys = F.broadcast(changes.select(*keys).dropDuplicates(keys))
     untouched = target.join(all_keys, on=keys, how="left_anti")
     return upserts.unionByName(untouched)
+
+
+def scd2_apply(
+    history: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    attr_cols: Sequence[str],
+    eff_from: str = "effective_from",
+    eff_to: str = "effective_to",
+    current_col: str = "is_current",
+    broadcast_change_keys: bool = True,
+) -> DataFrame:
+    """SCD Type 2: apply a change batch to a versioned dimension,
+    KEEPING history — the engine extension of the reference's Type-1
+    dim upsert (/root/reference/pipeline/LoadCustomerDim.json:82-101,
+    which overwrites in place and forgets).
+
+    ``history`` rows are versions: ``keys + attr_cols + eff_from +
+    eff_to (null = open) + current_col``. ``changes`` carries ``keys +
+    attr_cols + eff_from`` (the change timestamp). Per key, versions are
+    ordered by ``eff_from``; a change whose attributes equal the
+    immediately-preceding version is a NO-OP and creates no version
+    (null-safe struct compare); otherwise the prior version is closed at
+    the change timestamp and a new open version begins.
+
+    Scale posture: only keys PRESENT IN THE BATCH are rebuilt — the
+    change-key set (small, the CDC case) is broadcast and the 100 TB
+    history passes through an anti-join untouched; the per-key window
+    sorts only (changed keys x their versions), never the full table.
+    The rebuild is idempotent: re-applying the same batch collapses to
+    the same versions.
+    """
+    keys = list(keys)
+    attr_cols = list(attr_cols)
+    out_cols = keys + attr_cols + [eff_from, eff_to, current_col]
+    chg_keys = changes.select(*keys).dropDuplicates(keys)
+    if broadcast_change_keys:
+        chg_keys = F.broadcast(chg_keys)
+    untouched = history.join(chg_keys, on=keys, how="left_anti").select(*out_cols)
+    affected = history.join(chg_keys, on=keys, how="left_semi")
+    seq = affected.select(*keys, *attr_cols, eff_from).unionByName(
+        changes.select(*keys, *attr_cols, eff_from)
+    )
+    w = Window.partitionBy(*keys).orderBy(eff_from)
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    rebuilt = (
+        seq.withColumn("__attrs", attrs)
+        .withColumn("__prev", F.lag("__attrs").over(w))
+        .filter(F.col("__prev").isNull() | ~F.col("__attrs").eqNullSafe(F.col("__prev")))
+        .withColumn(eff_to, F.lead(eff_from).over(w))
+        .withColumn(current_col, F.col(eff_to).isNull())
+        .select(*out_cols)
+    )
+    return rebuilt.unionByName(untouched)
+
+
+def reconcile(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+    status_col: str = "status",
+) -> DataFrame:
+    """Keyed reconciliation of two table states — the CDC audit: after a
+    pipeline replays a change feed, does the rebuilt table equal the
+    source-of-truth? Returns one row per key with ``status``:
+    ``only_left`` / ``only_right`` / ``changed`` / ``unchanged``.
+
+    One shuffle (the full-outer join on ``keys``); the row compare is a
+    single null-safe struct equality, kept JVM-side. For very wide rows
+    at 100 TB, pre-hash each side to ``xxhash64(struct)`` and compare
+    hashes instead — same plan shape, constant compare width (callers
+    pass ``compare_cols=[hash_col]``).
+    """
+    keys = list(keys)
+    if compare_cols is None:
+        compare_cols = [c for c in left.columns if c not in keys]
+    lc = left.select(
+        *keys,
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__l"),
+        F.lit(True).alias("__in_l"),
+    )
+    rc = right.select(
+        *keys,
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__r"),
+        F.lit(True).alias("__in_r"),
+    )
+    j = lc.join(rc, on=keys, how="full_outer")
+    status = (
+        F.when(F.col("__in_r").isNull(), F.lit("only_left"))
+        .when(F.col("__in_l").isNull(), F.lit("only_right"))
+        .when(F.col("__l").eqNullSafe(F.col("__r")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*keys, status.alias(status_col))

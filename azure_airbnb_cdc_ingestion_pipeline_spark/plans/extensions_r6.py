@@ -435,3 +435,185 @@ def q_ann_blocked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos").alias("cos_sim"),
         F.col("rank").alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2 dimension history — the engine extension of the reference's
+# Type-1 dim upsert (pipeline/LoadCustomerDim.json:82-101): keep every
+# version with [effective_from, effective_to) validity instead of
+# overwriting in place. Three change waves over customer: a segment move
+# (%10), a balance bump on top (%20), and a deliberate NO-OP resend of
+# current state (%7) that must create no version. DATE-typed effectivity
+# dodges session-timezone hazards entirely.
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+    WITH hist0 AS (
+      SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS bal,
+             DATE '2024-01-01' AS effective_from
+      FROM customer
+    ),
+    chg AS (
+      SELECT c_custkey, c_name, 'MOVED' AS c_mktsegment,
+             round(c_acctbal, 2) AS bal, DATE '2024-02-01' AS effective_from
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, 'MOVED', round(c_acctbal + 50, 2),
+             DATE '2024-03-01'
+      FROM customer WHERE c_custkey % 20 = 0
+      UNION ALL
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 10 = 0 THEN 'MOVED' ELSE c_mktsegment END,
+             round(c_acctbal + CASE WHEN c_custkey % 20 = 0 THEN 50 ELSE 0 END, 2),
+             DATE '2024-04-01'
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    seq AS (SELECT * FROM hist0 UNION ALL SELECT * FROM chg),
+    v AS (
+      SELECT *,
+             (c_name IS NOT DISTINCT FROM lag(c_name) OVER w)
+             AND (c_mktsegment IS NOT DISTINCT FROM lag(c_mktsegment) OVER w)
+             AND (bal IS NOT DISTINCT FROM lag(bal) OVER w) AS samey
+      FROM seq
+      WINDOW w AS (PARTITION BY c_custkey ORDER BY effective_from)
+    ),
+    k AS (SELECT * FROM v WHERE NOT coalesce(samey, FALSE)),
+    f AS (
+      SELECT c_custkey, c_name, c_mktsegment, bal, effective_from,
+             lead(effective_from) OVER (
+               PARTITION BY c_custkey ORDER BY effective_from) AS effective_to
+      FROM k
+    )
+    SELECT c_custkey, c_name, c_mktsegment, bal,
+           effective_from,
+           coalesce(effective_to, DATE '9999-12-31') AS effective_to,
+           effective_to IS NULL AS is_current
+    FROM f
+"""
+
+
+@query("scd2_history", oracle=_SCD2_ORACLE)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history after three change waves, incl. a no-op wave that
+    must collapse. Exercises operators.merge.scd2_apply: broadcast
+    change-key anti-join (history passthrough), per-changed-key window
+    rebuild, null-safe consecutive-version collapse."""
+    from ..operators.merge import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    hist0 = (
+        cust.select(
+            "c_custkey", "c_name", "c_mktsegment",
+            F.round("c_acctbal", 2).alias("bal"),
+        )
+        .withColumn("effective_from", F.to_date(F.lit("2024-01-01")))
+        .withColumn("effective_to", F.lit(None).cast("date"))
+        .withColumn("is_current", F.lit(True))
+    )
+    chg1 = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", "c_name",
+        F.lit("MOVED").alias("c_mktsegment"),
+        F.round("c_acctbal", 2).alias("bal"),
+        F.to_date(F.lit("2024-02-01")).alias("effective_from"),
+    )
+    chg2 = cust.filter(F.col("c_custkey") % 20 == 0).select(
+        "c_custkey", "c_name",
+        F.lit("MOVED").alias("c_mktsegment"),
+        F.round(F.col("c_acctbal") + 50, 2).alias("bal"),
+        F.to_date(F.lit("2024-03-01")).alias("effective_from"),
+    )
+    chg3 = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", "c_name",
+        F.when(F.col("c_custkey") % 10 == 0, "MOVED")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.round(
+            F.col("c_acctbal")
+            + F.when(F.col("c_custkey") % 20 == 0, 50).otherwise(0),
+            2,
+        ).alias("bal"),
+        F.to_date(F.lit("2024-04-01")).alias("effective_from"),
+    )
+    changes = chg1.unionByName(chg2).unionByName(chg3)
+    out = scd2_apply(
+        hist0, changes, keys=["c_custkey"],
+        attr_cols=["c_name", "c_mktsegment", "bal"],
+    )
+    # open versions surface as the standard SCD2 high-date sentinel so
+    # the hash gate compares concrete dates, never engine null spellings
+    return out.withColumn(
+        "effective_to",
+        F.coalesce("effective_to", F.to_date(F.lit("9999-12-31"))),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keyed reconciliation — the CDC audit op: replayed table vs source of
+# truth, one full-outer join, per-key status, then a grouped summary
+# with a key checksum so the hash gate sees WHICH keys landed in each
+# bucket, not just how many.
+# ---------------------------------------------------------------------------
+
+_RECONCILE_ORACLE = """
+    WITH r AS (
+      SELECT c_custkey, c_name,
+             round(c_acctbal + CASE WHEN c_custkey % 11 = 0 THEN 10 ELSE 0 END,
+                   2) AS bal
+      FROM customer WHERE c_custkey % 13 <> 0
+      UNION ALL
+      SELECT c_custkey + 2000000, c_name, round(c_acctbal, 2)
+      FROM customer WHERE c_custkey % 19 = 0
+    ),
+    l AS (SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal FROM customer),
+    j AS (
+      SELECT coalesce(l.c_custkey, r.c_custkey) AS c_custkey,
+             CASE
+               WHEN r.c_custkey IS NULL THEN 'only_left'
+               WHEN l.c_custkey IS NULL THEN 'only_right'
+               WHEN (l.c_name IS NOT DISTINCT FROM r.c_name)
+                AND (l.bal IS NOT DISTINCT FROM r.bal) THEN 'unchanged'
+               ELSE 'changed'
+             END AS status
+      FROM l FULL OUTER JOIN r ON l.c_custkey = r.c_custkey
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c_custkey) AS BIGINT) AS key_checksum
+    FROM j GROUP BY status
+"""
+
+
+@query("table_reconcile", oracle=_RECONCILE_ORACLE)
+def q_table_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile customer against a perturbed replica (%13 keys dropped,
+    %11 balances drifted, %19 keys net-new). Exercises
+    operators.merge.reconcile: single full-outer shuffle, JVM-side
+    null-safe struct compare."""
+    from ..operators.merge import reconcile
+
+    cust = _t(spark, sf_dir, "customer")
+    left = cust.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("bal")
+    )
+    right = (
+        cust.filter(F.col("c_custkey") % 13 != 0)
+        .select(
+            "c_custkey", "c_name",
+            F.round(
+                F.col("c_acctbal")
+                + F.when(F.col("c_custkey") % 11 == 0, 10).otherwise(0),
+                2,
+            ).alias("bal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 19 == 0).select(
+                (F.col("c_custkey") + 2000000).alias("c_custkey"),
+                "c_name",
+                F.round("c_acctbal", 2).alias("bal"),
+            )
+        )
+    )
+    rec = reconcile(left, right, keys=["c_custkey"])
+    return rec.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c_custkey").cast("long").alias("key_checksum"),
+    )

@@ -110,6 +110,8 @@ HEADLINE = [
     "exact_median_rank",
     "funnel_windowed",
     "event_top_paths",
+    "scd2_history",
+    "table_reconcile",
 ]
 
 

@@ -342,3 +342,30 @@ def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     )[-1]
     assert physical.count("BroadcastExchange") >= 2
     assert "BroadcastHashJoin" in physical
+
+
+def test_scd2_broadcasts_change_keys_both_branches(spark, sf_dir):
+    # the 100 TB history must pass through a BROADCAST anti/semi join on
+    # the (small) change-key set — a shuffled history pass would make
+    # every dim batch a full-table job
+    physical = _plan(QUERIES["scd2_history"](spark, sf_dir)).split(
+        "== Physical Plan =="
+    )[-1]
+    assert "BroadcastHashJoin" in physical and "LeftAnti" in physical
+    assert "LeftSemi" in physical
+    # the version-rebuild window keys on the dim key (partitioned sort),
+    # never a global sort
+    assert "Exchange rangepartitioning" not in physical
+
+
+def test_reconcile_single_join_no_extra_exchange(spark, sf_dir):
+    # per-key audit = ONE keyed join (full-outer → sort-merge at scale)
+    # plus the summary agg; the row compare must stay inside the join
+    # projection, not spawn additional exchanges
+    physical = _plan(QUERIES["table_reconcile"](spark, sf_dir)).split(
+        "== Physical Plan =="
+    )[-1]
+    assert "FullOuter" in physical
+    assert physical.count("SortMergeJoin") + physical.count(
+        "ShuffledHashJoin"
+    ) + physical.count("BroadcastHashJoin") == 1
