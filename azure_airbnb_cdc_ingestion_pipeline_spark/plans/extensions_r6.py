@@ -617,3 +617,87 @@ def q_table_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("c_custkey").cast("long").alias("key_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time travel + change-data-feed over the versioned table layer: commit
+# state A, overwrite with state B, then ask the TABLE what changed —
+# insert / update_postimage / delete per key, computed from the two
+# retained versions (vacuum keeps the trailing 2). The oracle derives
+# the same diff from the source frames directly, so the hash match
+# proves version isolation (A unchanged by B's commit) AND the diff.
+# ---------------------------------------------------------------------------
+
+_TIME_TRAVEL_ORACLE = """
+    WITH l AS (
+      SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal FROM customer
+    ),
+    r AS (
+      SELECT c_custkey, c_name,
+             round(c_acctbal + CASE WHEN c_custkey % 11 = 0 THEN 10 ELSE 0 END,
+                   2) AS bal
+      FROM customer WHERE c_custkey % 13 <> 0
+      UNION ALL
+      SELECT c_custkey + 2000000, c_name, round(c_acctbal, 2)
+      FROM customer WHERE c_custkey % 19 = 0
+    ),
+    j AS (
+      SELECT coalesce(l.c_custkey, r.c_custkey) AS c_custkey,
+             r.c_name AS c_name, r.bal AS bal,
+             CASE
+               WHEN l.c_custkey IS NULL THEN 'I'
+               WHEN r.c_custkey IS NULL THEN 'D'
+               WHEN (l.c_name IS NOT DISTINCT FROM r.c_name)
+                AND (l.bal IS NOT DISTINCT FROM r.bal) THEN NULL
+               ELSE 'U'
+             END AS op
+      FROM l FULL OUTER JOIN r ON l.c_custkey = r.c_custkey
+    )
+    SELECT c_custkey, op, c_name, bal
+    FROM j WHERE op IS NOT NULL
+"""
+
+
+@query("table_time_travel", oracle=_TIME_TRAVEL_ORACLE)
+def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit customer state A, overwrite with a perturbed state B
+    (%13 dropped, %11 drifted, %19 net-new), then read the change data
+    feed between the two RETAINED versions via sources.tables
+    diff_versions — exercising read_version (time-travel isolation: A
+    is unchanged by B's commit) and the keyed I/U/D diff. Promotes the
+    previously pytest-only CDF surface into the oracle-gated catalog."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.tables import ParquetTable, diff_versions
+
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("bal"))
+    b = (
+        cust.filter(F.col("c_custkey") % 13 != 0)
+        .select(
+            "c_custkey", "c_name",
+            F.round(
+                F.col("c_acctbal")
+                + F.when(F.col("c_custkey") % 11 == 0, 10).otherwise(0),
+                2,
+            ).alias("bal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 19 == 0).select(
+                (F.col("c_custkey") + 2000000).alias("c_custkey"),
+                "c_name",
+                F.round("c_acctbal", 2).alias("bal"),
+            )
+        )
+    )
+    # stable per-sf dir (deterministic digest — memory: never hash() for
+    # paths); version numbers monotonically rise across invocations and
+    # vacuum retains the trailing 2, so THIS call's pair always resolves
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"timetravel_fixture_{tag}")
+    t = ParquetTable(spark, root)
+    v1 = t.overwrite(a)
+    v2 = t.overwrite(b)
+    return diff_versions(t, ["c_custkey"], v1, v2)

@@ -112,6 +112,7 @@ HEADLINE = [
     "event_top_paths",
     "scd2_history",
     "table_reconcile",
+    "table_time_travel",
 ]
 
 
