@@ -492,14 +492,9 @@ _SCD2_ORACLE = """
 """
 
 
-@query("scd2_history", oracle=_SCD2_ORACLE)
-def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Type-2 history after three change waves, incl. a no-op wave that
-    must collapse. Exercises operators.merge.scd2_apply: broadcast
-    change-key anti-join (history passthrough), per-changed-key window
-    rebuild, null-safe consecutive-version collapse."""
-    from ..operators.merge import scd2_apply
-
+def _scd2_fixture(spark: SparkSession, sf_dir: str):
+    """(initial open history, [three change waves]) over customer —
+    shared by the batch scd2 key and its streaming coverage twin."""
     cust = _t(spark, sf_dir, "customer")
     hist0 = (
         cust.select(
@@ -534,17 +529,106 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bal"),
         F.to_date(F.lit("2024-04-01")).alias("effective_from"),
     )
-    changes = chg1.unionByName(chg2).unionByName(chg3)
-    out = scd2_apply(
-        hist0, changes, keys=["c_custkey"],
-        attr_cols=["c_name", "c_mktsegment", "bal"],
-    )
+    return hist0, [chg1, chg2, chg3]
+
+
+def _scd2_sentinel(out: DataFrame) -> DataFrame:
     # open versions surface as the standard SCD2 high-date sentinel so
     # the hash gate compares concrete dates, never engine null spellings
     return out.withColumn(
         "effective_to",
         F.coalesce("effective_to", F.to_date(F.lit("9999-12-31"))),
     )
+
+
+@query("scd2_history", oracle=_SCD2_ORACLE)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history after three change waves, incl. a no-op wave that
+    must collapse. Exercises operators.merge.scd2_apply: broadcast
+    change-key anti-join (history passthrough), per-changed-key window
+    rebuild, null-safe consecutive-version collapse."""
+    from ..operators.merge import scd2_apply
+
+    hist0, waves = _scd2_fixture(spark, sf_dir)
+    changes = waves[0].unionByName(waves[1]).unionByName(waves[2])
+    return _scd2_sentinel(
+        scd2_apply(
+            hist0, changes, keys=["c_custkey"],
+            attr_cols=["c_name", "c_mktsegment", "bal"],
+        )
+    )
+
+
+@query("stream_scd2_coverage", oracle=_SCD2_ORACLE)
+def q_stream_scd2_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2: the three change waves arrive as separate
+    micro-batches (file stream, one file per trigger); foreachBatch
+    applies scd2_apply against the versioned dim table and commits.
+    The FINAL history must hash-match the one-shot batch oracle —
+    certifying cross-micro-batch convergence (scd2_apply orders by
+    effective timestamp and collapses no-ops on the full rebuilt
+    sequence, so per-wave application lands on the identical history,
+    regardless of how the waves split across triggers)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql.types import (
+        DateType, DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from ..operators.merge import scd2_apply
+    from ..sources.tables import ParquetTable
+
+    hist0, waves = _scd2_fixture(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base_dir = os.path.join(tempfile.gettempdir(), f"scd2_stream_{tag}")
+    in_dir = os.path.join(base_dir, "in")
+    ckpt = os.path.join(base_dir, "ckpt")
+    table_root = os.path.join(base_dir, "dim")
+    # deterministic content: write each wave once; a later invocation
+    # finds them already processed in the checkpoint and the final
+    # table state simply re-reads (idempotent, no orphan dirs)
+    if not os.path.isdir(in_dir):
+        for i, w in enumerate(waves):
+            w.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(in_dir, f"wave{i:02d}")
+            )
+    schema = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_name", StringType()),
+            StructField("c_mktsegment", StringType()),
+            StructField("bal", DoubleType()),
+            StructField("effective_from", DateType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "wave*"))
+    )
+    table = ParquetTable(spark, table_root)
+
+    def apply_batch(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        base = table.read() if table.exists() else hist0
+        table.overwrite(
+            scd2_apply(
+                base, batch_df, keys=["c_custkey"],
+                attr_cols=["c_name", "c_mktsegment", "bal"],
+            )
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return _scd2_sentinel(table.read())
 
 
 # ---------------------------------------------------------------------------

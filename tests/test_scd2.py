@@ -108,3 +108,22 @@ def test_reconcile_null_safe_compare(spark):
     right = spark.createDataFrame([(1, None), (2, "x")], "k long, v string")
     got = {r["k"]: r["status"] for r in reconcile(left, right, ["k"]).collect()}
     assert got == {1: "unchanged", 2: "changed"}
+
+
+def test_out_of_order_wave_application_converges(spark):
+    """Waves applied per-batch in ANY arrival order land on the same
+    history as one-shot application: the rebuild orders by effective
+    timestamp and collapses no-ops over the full sequence — the
+    property the streaming coverage key (stream_scd2_coverage) relies
+    on when triggers split the feed arbitrarily."""
+    hist = _hist(spark, [(1, "a", _D(2024, 1, 1), None, True)])
+    w1 = _chg(spark, [(1, "b", _D(2024, 2, 1))])
+    w2 = _chg(spark, [(1, "c", _D(2024, 3, 1))])
+    w3 = _chg(spark, [(1, "c", _D(2024, 4, 1))])  # no-op resend
+    oneshot = _apply(hist, w1.unionByName(w2).unionByName(w3))
+    ooo = hist
+    for w in (w3, w1, w2):  # deliberately scrambled arrival
+        ooo = _apply(ooo, w)
+    assert sorted(map(tuple, oneshot.collect())) == sorted(
+        map(tuple, ooo.collect())
+    )
