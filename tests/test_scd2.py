@@ -127,3 +127,25 @@ def test_out_of_order_wave_application_converges(spark):
     assert sorted(map(tuple, oneshot.collect())) == sorted(
         map(tuple, ooo.collect())
     )
+
+
+def test_empty_change_batch_is_identity(spark):
+    hist = _hist(
+        spark,
+        [
+            (1, "a", _D(2024, 1, 1), _D(2024, 2, 1), False),
+            (1, "b", _D(2024, 2, 1), None, True),
+        ],
+    )
+    empty = _chg(spark, []).limit(0)
+    out = _apply(hist, empty)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, hist.collect())
+    )
+
+
+def test_reconcile_empty_right_all_only_left(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    right = spark.createDataFrame([], "k long, v string")
+    got = {r["k"]: r["status"] for r in reconcile(left, right, ["k"]).collect()}
+    assert got == {1: "only_left", 2: "only_left"}
