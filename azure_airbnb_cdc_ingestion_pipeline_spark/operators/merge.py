@@ -194,8 +194,14 @@ def scd2_apply(
     seq = affected.select(*keys, *attr_cols, eff_from).unionByName(
         changes.select(*keys, *attr_cols, eff_from)
     )
-    w = Window.partitionBy(*keys).orderBy(eff_from)
     attrs = F.struct(*[F.col(c) for c in attr_cols])
+    # Deterministic total order: two changes for the same key at the
+    # SAME eff_from (or a change colliding with an existing version's
+    # timestamp) would make lag/lead nondeterministic under a bare
+    # eff_from sort — the attrs struct is a trailing tiebreak so which
+    # version survives and where a zero-duration version lands is
+    # stable run to run.
+    w = Window.partitionBy(*keys).orderBy(eff_from, attrs)
     rebuilt = (
         seq.withColumn("__attrs", attrs)
         .withColumn("__prev", F.lag("__attrs").over(w))

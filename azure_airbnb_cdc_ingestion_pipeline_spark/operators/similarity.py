@@ -520,13 +520,26 @@ def blocked_topk(
                  "cos": pd.Series(dtype="float64")}
             )
         qm = np.array(qpdf["qv"].tolist(), dtype=np.float64)
-        qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        qnorms = np.linalg.norm(qm, axis=1, keepdims=True)
+        qnorms[qnorms == 0.0] = 1.0  # zero-norm query → cos 0, not NaN
+        qn = qm / qnorms
         cm = np.array(cpdf["cv"].tolist(), dtype=np.float64)
         norms = np.linalg.norm(cm, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0
         s = (cm / norms) @ qn.T  # (c_blk × q_blk)
         top = min(take, len(cpdf))
-        cand = np.argpartition(-s, top - 1, axis=0)[:top]
+        # Select local candidates by the SAME total order the global
+        # window uses — (round(cos,4) DESC, neighbor_id ASC) — so a
+        # rounded-cos tie can never cut the globally-winning smaller id
+        # at the local stage. Encoded as one float key: rounded cos
+        # minus an epsilon·cid-rank perturbation (max 65535·1e-11 =
+        # 6.5e-7, far below the 5e-5 half-step of the 4dp rounding, far
+        # above float64 ulp near 1).
+        cid_order = np.argsort(cpdf["cid"].to_numpy(dtype=np.int64), kind="stable")
+        cid_rank = np.empty(len(cid_order), dtype=np.float64)
+        cid_rank[cid_order] = np.arange(len(cid_order), dtype=np.float64)
+        key = np.round(s, 4) - 1e-11 * cid_rank[:, None]
+        cand = np.argpartition(-key, top - 1, axis=0)[:top]
         qids = qpdf["qid"].to_numpy(dtype=np.int64)
         cids = cpdf["cid"].to_numpy(dtype=np.int64)
         rows = cand.T.ravel()

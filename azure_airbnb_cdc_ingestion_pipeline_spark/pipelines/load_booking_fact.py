@@ -118,6 +118,13 @@ def process_booking_batch(
     # before-image) otherwise re-parses the landing JSON — at 4 consumers
     # that's 4x the scan cost per trigger. A micro-batch fits in memory
     # by construction (it's trigger-bounded).
+    if dq_rules is not None and dq_on_breach == "quarantine" and dq_quarantine is None:
+        # Wiring error, not a data error: fail before ANY batch runs
+        # rather than killing the stream mid-run at the first breach.
+        raise ValueError(
+            "dq_on_breach='quarantine' requires a dq_quarantine table — "
+            "breaching rows must not be dropped silently"
+        )
     batch = batch.persist()
     dq_cached: DataFrame | None = None
     try:
@@ -325,6 +332,11 @@ def load_booking_fact_stream(
     ``timestamp`` instead of arrival order, so a replayed or out-of-order
     landing drain converges to the same fact state (the `WHEN MATCHED AND
     s.ts >= t.ts` conditional-MERGE guard)."""
+    if dq_rules is not None and dq_on_breach == "quarantine" and dq_quarantine is None:
+        raise ValueError(
+            "dq_on_breach='quarantine' requires a dq_quarantine table — "
+            "breaching rows must not be dropped silently"
+        )
     stream = read_change_feed(
         spark, landing_dir, BOOKING_DOC_SCHEMA,
         max_files_per_trigger=max_files_per_trigger,

@@ -17,6 +17,17 @@ import weakref
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Half of physical RAM in whole GiB, clamped to [4g, 64g]; falls
+    back to 8g when the host can't be probed (non-POSIX sysconf)."""
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        gb = max(4, min(64, int(total / (2 * 1024**3))))
+        return f"{gb}g"
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+
+
 def get_spark(
     app_name: str = "airbnb-cdc-spark",
     master: str | None = None,
@@ -59,11 +70,12 @@ def get_spark(
         # local-mode sizing: the driver JVM IS the executor — its heap is
         # shared by all 32 task slots, the block-manager cache, and every
         # sort/join buffer. 8g (the old default) is 250 MB/task and OOMed
-        # the sf10 graph leg (r6); size to the box instead — the target
-        # host has 128 GiB, so 64g leaves room for Arrow workers + OS.
-        # On a real cluster this knob is per-executor and set by the
-        # deployment, not here.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
+        # the sf10 graph leg (r6); size to the HOST instead of a constant:
+        # half of physical RAM, capped at 64g (the 128 GiB bench box gets
+        # the old 64g; a 16 GiB laptop gets 8g and spills instead of the
+        # kernel OOM-killing the JVM). On a real cluster this knob is
+        # per-executor and set by the deployment, not here.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
