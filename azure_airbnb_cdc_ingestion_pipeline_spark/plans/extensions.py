@@ -662,12 +662,40 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding similarity (embeddings table)
 # ---------------------------------------------------------------------------
 
+# Two planted near-dup families (identical in Spark `_emb_aug` below):
+# - +0.05 on the first coordinate of every 29th vector (cos ≈ 0.999+,
+#   the near-dup regime) at id offset 100000;
+# - r7 MIDBAND: every 23rd-mod-5 vector rotated by exactly
+#   acos(0.96) toward an in-plane orthogonal direction (w = circular
+#   shift of v, Gram-Schmidt against v), so cos(v, v') = 0.96 EXACTLY
+#   ((0.96, 0.28) is a scaled Pythagorean pair: 0.96² + 0.28² = 1).
+#   These pairs sit INSIDE the [threshold, 0.999) band the r6 adaptive
+#   LSH only covered best-effort — they gate the r7 guarantee that
+#   recall is sized at the caller's threshold. Id offset 1e9 is
+#   collision-free at every SF yet keeps vec_id * 2654435761 (the
+#   semdedup hash-sample rank) inside BIGINT.
 _EMB_AUG_SQL = """
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       UNION ALL
       SELECT vec_id + 100000, list_prepend(v0[1] + 0.05, v0[2:]) FROM
         (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings)
       WHERE vec_id % 29 = 0
+      UNION ALL
+      SELECT vec_id + 1000000000,
+             list_transform(generate_series(1, len(v0)),
+               i -> 0.96 * v0[i]
+                    + (0.28 * sqrt(nv2 / nw2))
+                      * (v0[(i % len(v0)) + 1] - (dvw / nv2) * v0[i]))
+      FROM (
+        SELECT vec_id, v0, nv2, dvw, nv2 - (dvw * dvw) / nv2 AS nw2
+        FROM (
+          SELECT vec_id, v0,
+                 list_inner_product(v0, v0) AS nv2,
+                 list_inner_product(v0, list_concat(v0[2:], [v0[1]])) AS dvw
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings)
+          WHERE vec_id % 23 = 5
+        )
+      )
 """
 
 
@@ -681,7 +709,31 @@ def _emb_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v", lambda x, i: F.when(i == 0, x + F.lit(0.05)).otherwise(x)
         ).alias("v"),
     )
-    return base.unionByName(pert)
+    # midband family (see _EMB_AUG_SQL): exact-cos-0.96 rotation, same
+    # scalar formulas and fold order as the DuckDB construction so the
+    # two sides agree to well below the 4dp output rounding.
+    mid = (
+        base.filter(F.col("vec_id") % 23 == 5)
+        .withColumn("nv2", F.expr("aggregate(v, 0d, (a, x) -> a + x * x)"))
+        .withColumn(
+            "dvw",
+            F.expr(
+                "aggregate(sequence(1, size(v)), 0d, (a, i) -> "
+                "a + element_at(v, i) * element_at(v, (i % size(v)) + 1))"
+            ),
+        )
+        .withColumn("nw2", F.expr("nv2 - (dvw * dvw) / nv2"))
+        .select(
+            (F.col("vec_id") + F.lit(1000000000)).alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, size(v)), i -> "
+                "0.96d * element_at(v, i) + (0.28d * sqrt(nv2 / nw2)) * "
+                "(element_at(v, (i % size(v)) + 1) "
+                " - (dvw / nv2) * element_at(v, i)))"
+            ).alias("v"),
+        )
+    )
+    return base.unionByName(pert).unionByName(mid)
 
 
 @query(

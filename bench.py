@@ -238,6 +238,7 @@ def main() -> None:
     # them into a non-zero exit so a regression fails at commit time,
     # not at judging.
     regressions: list[dict] = []
+    rebased: list[dict] = []
     if prev and prev_calib:
         pcal = _REF_CALIB / prev_calib
         for n, t in timings.items():
@@ -245,11 +246,23 @@ def main() -> None:
                 continue
             now_c, was_c = t * cal, prev[n] * pcal
             if now_c > was_c * _REG_RATIO and now_c - was_c > _REG_FLOOR_SEC:
-                regressions.append(
-                    {"query": n, "now": round(now_c, 3), "prev": round(was_c, 3)}
-                )
+                if n in _REBASED:
+                    rebased.append(
+                        {
+                            "query": n,
+                            "now": round(now_c, 3),
+                            "prev": round(was_c, 3),
+                            "reason": _REBASED[n],
+                        }
+                    )
+                else:
+                    regressions.append(
+                        {"query": n, "now": round(now_c, 3), "prev": round(was_c, 3)}
+                    )
     if regressions:
         out["regressions"] = regressions
+    if rebased:
+        out["rebased"] = rebased
     if io_stats:
         # per-query shuffle/scan volume (MB) from the status API — the
         # "is there a shuffle that shouldn't be here" signal at a glance
@@ -336,6 +349,24 @@ _REF_CALIB = 0.162
 #: floor (sub-floor swings are host noise at best-of-2 sampling).
 _REG_RATIO = 1.5
 _REG_FLOOR_SEC = 0.3
+
+#: Deliberate re-baselines: queries whose SEMANTICS changed this round,
+#: so the prior-round wall is not a like-for-like baseline. The gate
+#: skips them but records each under out["rebased"] with its reason —
+#: visible in the artifact, never a silent exemption. Entries are
+#: removed the round after they land (the new wall becomes the
+#: baseline).
+_REBASED: dict[str, str] = {
+    "embedding_cosine_pairs": (
+        "r7: LSH recall now GUARANTEED at the 0.95 threshold (17 tables "
+        "vs 7) and the oracle corpus gained 22 planted cos-0.96 midband "
+        "pairs — more work by contract, not a regression"
+    ),
+    "embedding_decontaminate": (
+        "r7: cross_cosine_lsh sized at the advertised threshold "
+        "(17 tables vs 4) under the same guarantee change"
+    ),
+}
 
 
 def _previous_round(sf) -> tuple[dict[str, float] | None, float | None]:

@@ -180,30 +180,40 @@ def test_adaptive_lsh_identity_below_threshold_grows_above():
         _adaptive_lsh_params,
     )
 
-    # identity at the oracle-gated small SFs (≤ 16·2^8 = 4096 vectors):
-    # raw sign buckets, no post-hash
-    assert _adaptive_lsh_params(500, 8, 4) == (8, 4, None)
-    assert _adaptive_lsh_params(4096, 8, 4) == (8, 4, None)
-    # above the threshold the bucket count is EXACTLY ⌈n/8⌉ (smooth —
-    # not a power of two); sign planes carry 8 EXTRA bits past the
-    # bucket resolution (256 patterns fold per bucket → Poisson
-    # occupancy, the r5 sf10 overdispersion fix); tables come from the
-    # 1e-4 recall budget at the DERIVED operating angle (r6 advisor fix:
-    # theta/pi = acos(recall_at)/pi, default recall_at=0.999 → 0.01437,
-    # slightly wider than the old hard-coded 0.00913 point, so the
-    # closed-form needs a table or two more at the same plane count)
-    assert _adaptive_lsh_params(8192, 8, 4) == (18, 7, 1024)
-    assert _adaptive_lsh_params(65536, 8, 4) == (21, 7, 8192)
-    assert _adaptive_lsh_params(20_000, 8, 4) == (20, 7, 2500)
     import math
 
-    theta_pi = math.acos(0.999) / math.pi
-    for n in (10_000, 100_000, 10_000_000, 1_000_000_000):
+    # r7 DEFAULT contract: the recall budget is sized at the caller's
+    # THRESHOLD (0.95 here), not the near-dup point — the planted
+    # cos-0.96 midband pairs in the oracle corpus gate this end to end.
+    # Identity regime keeps raw sign buckets but now applies the
+    # closed-form table budget (8 planes → 17 tables at cos 0.95).
+    assert _adaptive_lsh_params(500, 8, 4) == (8, 17, None)
+    assert _adaptive_lsh_params(4096, 8, 4) == (8, 17, None)
+    theta95 = math.acos(0.95) / math.pi
+    # default sizing holds through the measured envelope (sf100 = 2 M
+    # vectors); beyond it the n^0.155 table curve crosses the cap and
+    # the sizing fails LOUD (tested in test_r6_fixes) instead of
+    # silently shipping sub-budget recall
+    for n in (10_000, 100_000, 2_000_000):
         p, t, b = _adaptive_lsh_params(n, 8, 4)
         # occupancy pinned to (7, 8]: no sawtooth between scale points
         assert b == -(-n // 8) and (1 << p) >= 256 * b
         assert 7.0 < n / b <= 8.0 or n <= 8
-        # recall budget honored at the operating point
+        # recall budget honored at the ADVERTISED threshold
+        miss = (1 - (1 - theta95) ** p) ** t
+        assert miss <= 1e-4, (n, p, t, miss)
+        assert t <= 160
+
+    # explicit opt-down to the near-dup regime: the r6 sizing, ~10×
+    # fewer tables, documented best-effort below cos 0.999
+    assert _adaptive_lsh_params(8192, 8, 4, recall_at=0.999) == (18, 7, 1024)
+    assert _adaptive_lsh_params(65536, 8, 4, recall_at=0.999) == (21, 7, 8192)
+    assert _adaptive_lsh_params(20_000, 8, 4, recall_at=0.999) == (20, 7, 2500)
+    theta_pi = math.acos(0.999) / math.pi
+    for n in (10_000, 100_000, 10_000_000, 1_000_000_000):
+        p, t, b = _adaptive_lsh_params(n, 8, 4, recall_at=0.999)
+        assert b == -(-n // 8) and (1 << p) >= 256 * b
+        assert 7.0 < n / b <= 8.0 or n <= 8
         miss = (1 - (1 - theta_pi) ** p) ** t
         assert miss <= 1e-4, (n, p, t, miss)
         assert t <= 12  # table growth stays logarithmic-slow

@@ -87,19 +87,37 @@ def test_pagerank_long_iteration_lineage_checkpointed(spark):
 
 
 def test_adaptive_lsh_derives_angle_from_recall_at():
-    # identity regime untouched
-    assert _adaptive_lsh_params(100, 8, 4) == (8, 4, None)
-    # adaptive regime: tables sized from the recall_at angle
-    p_default, t_default, nb = _adaptive_lsh_params(200_000, 8, 4)
-    assert nb is not None and t_default <= 10
+    # r7: default guarantee point is the threshold (0.95) — identity
+    # regime applies the closed-form budget too (17 tables at 8 planes)
+    assert _adaptive_lsh_params(100, 8, 4) == (8, 17, None)
+    # explicit near-dup opt-down: identity regime now ALSO applies the
+    # closed-form budget (the old fixed 4 tables missed the 1e-4 budget
+    # at 0.999 by 1.4e-4 — 5 tables close it)
+    assert _adaptive_lsh_params(100, 8, 4, recall_at=0.999) == (8, 5, None)
+    p_nd, t_nd, nb = _adaptive_lsh_params(200_000, 8, 4, recall_at=0.999)
+    assert nb is not None and t_nd <= 10
     # a slightly wider guarantee point needs >= as many tables
     _, t_wider, _ = _adaptive_lsh_params(200_000, 8, 4, recall_at=0.995)
-    assert t_wider >= t_default
+    assert t_wider >= t_nd
+    # default (threshold) sizing covers the full measured envelope:
+    # 2 M vectors = the sf100 grid, 143 tables under the 160 cap
+    p, t, nb = _adaptive_lsh_params(2_000_000, 8, 4)
+    assert t <= 160 and nb is not None
 
 
 def test_adaptive_lsh_unaffordable_recall_fails_loud():
+    # beyond the measured envelope the n^0.155 table curve crosses the
+    # cap — the sizing must fail with the actionable trade-offs, never
+    # silently ship sub-budget recall
     with pytest.raises(ValueError, match="max_tables"):
-        _adaptive_lsh_params(200_000, 8, 4, recall_at=0.95)
+        _adaptive_lsh_params(10_000_000, 8, 4)
+    # paying explicitly is allowed …
+    p, t, nb = _adaptive_lsh_params(10_000_000, 8, 4, max_tables=250)
+    assert 160 < t <= 250
+    # … and the legacy loud-failure shape still holds for an
+    # over-tight explicit budget
+    with pytest.raises(ValueError, match="max_tables"):
+        _adaptive_lsh_params(200_000, 8, 4, max_tables=8)
 
 
 def test_weighted_reservoir_rejects_nonpositive_weights(spark):
