@@ -451,21 +451,53 @@ def simhash_pairs(
     The cutover is internal: both schemes generate a candidate superset
     and the exact Hamming filter decides membership, so results are
     IDENTICAL — the oracle never sees the scheme."""
-    import itertools
-
     from ..session import track_persist
 
     sh = track_persist(
         simhash(df, id_col, text_col, num_bits=num_bits, hasher=hasher)
     )
-    if scheme is not None:  # test hook: force a blocking scheme
+    if scheme is None and (sh.count() <= 30_000 or max_distance > 3):
+        scheme = (max_distance + 1, 1)
+    elif scheme is None:
+        scheme = (6, 3)
+    return hamming_pairs(
+        sh, "id", "simhash", max_distance=max_distance, num_bits=num_bits,
+        scheme=scheme,
+    )
+
+
+def hamming_pairs(
+    fps: DataFrame,
+    id_col: str,
+    fp_col: str,
+    max_distance: int,
+    num_bits: int = 64,
+    scheme: tuple[int, int] | None = None,
+) -> DataFrame:
+    """All pairs of fingerprints within Hamming distance ≤ max_distance,
+    guaranteed complete by pigeonhole combination blocking — the
+    fingerprint-generic core of `simhash_pairs` (r7), shared by the text
+    simhash path and the perceptual image-hash path
+    (`functions.phash`). Returns (a_id, b_id, hamming).
+
+    Scheme (c chunks, g-chunk combination keys): a pair with ≤ d flipped
+    bits disturbs ≤ d chunks, so ≥ c−d chunks match exactly; whenever
+    c − d ≥ g at least one of the C(c,g) combination keys collides.
+    Blocking is therefore LOSSLESS for d ≤ c−g, and the exact
+    `bit_count(xor)` filter decides membership — the scheme only shapes
+    cost. Default: (d+1, 1) single chunks below 30 k rows (cheapest),
+    else (d+3, 3) — key width ≥ 3·num_bits/(d+3) bits keeps random
+    collisions birthday-safe into the tens of millions of rows (d=3:
+    32-bit keys; d=6: 21-bit keys ⇒ ~n²·84/2²¹ spurious candidates —
+    ~2·10⁸ at 2 M rows, each a 24-byte row killed by the pre-shuffle
+    Hamming filter)."""
+    import itertools
+
+    if scheme is not None:
         c, g = scheme
     else:
-        n = sh.count()
-        if n <= 30_000 or max_distance > 3:
-            c, g = max_distance + 1, 1
-        else:
-            c, g = 6, 3
+        n = fps.count()
+        c, g = (max_distance + 1, 1) if n <= 30_000 else (max_distance + 3, 3)
     if c - max_distance < g:
         raise ValueError(
             f"blocking scheme ({c},{g}) cannot guarantee Hamming <= {max_distance}"
@@ -480,10 +512,11 @@ def simhash_pairs(
         # full-width chunk (d=0 → one 64-bit chunk): 2^64-1 overflows a
         # long literal — an all-ones mask is just -1 in two's complement
         mask = -1 if widths[i] >= 64 else (1 << widths[i]) - 1
-        return F.shiftrightunsigned(F.col("simhash"), offsets[i]).bitwiseAND(
+        return F.shiftrightunsigned(F.col("__fp"), offsets[i]).bitwiseAND(
             F.lit(mask).cast("long")
         )
 
+    sh = fps.select(F.col(id_col).alias("id"), F.col(fp_col).alias("__fp"))
     combos = list(itertools.combinations(range(c), g))
     structs = []
     for ci, combo in enumerate(combos):
@@ -496,14 +529,14 @@ def simhash_pairs(
             F.struct(F.lit(ci).alias("ci"), packed.alias("cv"))
         )
     chunks = F.array(*structs)
-    blocked = sh.select("id", "simhash", F.explode(chunks).alias("c")).select(
-        "id", "simhash", "c.ci", "c.cv"
+    blocked = sh.select("id", "__fp", F.explode(chunks).alias("c")).select(
+        "id", "__fp", "c.ci", "c.cv"
     )
     a = blocked.select(
-        F.col("id").alias("a_id"), F.col("simhash").alias("fa"), "ci", "cv"
+        F.col("id").alias("a_id"), F.col("__fp").alias("fa"), "ci", "cv"
     )
     b = blocked.select(
-        F.col("id").alias("b_id"), F.col("simhash").alias("fb"), "ci", "cv"
+        F.col("id").alias("b_id"), F.col("__fp").alias("fb"), "ci", "cv"
     )
     # Hamming filter BEFORE the pair-dedup shuffle: a pair agreeing on m
     # chunks surfaces m times from the block join, but only pairs inside

@@ -477,3 +477,4 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 from . import extensions  # noqa: E402,F401
 from . import extensions_r5  # noqa: E402,F401
 from . import extensions_r6  # noqa: E402,F401
+from . import extensions_r7  # noqa: E402,F401

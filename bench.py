@@ -113,6 +113,8 @@ HEADLINE = [
     "scd2_history",
     "table_reconcile",
     "table_time_travel",
+    # r7: perceptual image dedup
+    "multimodal_phash_dedup",
 ]
 
 
