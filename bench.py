@@ -113,8 +113,10 @@ HEADLINE = [
     "scd2_history",
     "table_reconcile",
     "table_time_travel",
-    # r7: perceptual image dedup
+    # r7: perceptual image dedup + tokenizer-true BPE
     "multimodal_phash_dedup",
+    "text_bpe_encode",
+    "sequence_pack_bpe",
 ]
 
 
