@@ -12,6 +12,8 @@ split -> derive -> keyed MERGE into the fact table. Prints one JSON line:
 Usage: python tools/stream_bench.py [n_events] [n_files]
        python tools/stream_bench.py --soak [n_batches] [batch_events]
        python tools/stream_bench.py --skew [n_events] [n_files]
+       python tools/stream_bench.py --bigfact [seed_events] [drip_batches]
+       python tools/stream_bench.py --crash [n_events] [n_kills]
 
 --soak (VERDICT r5 #3): merge-on-read read-amplification soak — drip
   n_batches 1-file micro-batches through the MoR path and time the
@@ -22,6 +24,19 @@ Usage: python tools/stream_bench.py [n_events] [n_files]
 --skew (VERDICT r5 #8): steady-state drip with 80% of events in ONE
   (booking_year, booking_month) fact partition vs the uniform spread —
   the hot-partition merge is the realistic CDC failure mode.
+
+--bigfact (VERDICT r6 #2): steady-state 1 k-event micro-batches against
+  a ≥50 M-row fact seeded across 120 month partitions — the reference's
+  real workload shape (small stream, huge fact). Reports per-batch
+  drain cost on the big fact vs an identically-shaped SMALL fact
+  (independence ratio) and vs the full resolved-read wall (the pruning
+  evidence: an unpruned merge would pay the full-read cost per batch).
+
+--crash (VERDICT r6 #7): exactly-once under repeated SIGKILL — drain a
+  multi-batch landing in a CHILD process, kill -9 it mid-drain several
+  times, resume, and diff the final fact/quarantine against an
+  uninterrupted reference drain of the same files. Zero dupes, zero
+  loss, byte-equal content.
 """
 
 from __future__ import annotations
@@ -60,7 +75,12 @@ def make_events(
     - "uniform": keys spread evenly over 12 months;
     - "hot": 80% of keys in month 1, the rest over months 2-12 — the
       skewed-partition leg."""
-    df = (
+    df = _events_df(spark, n_events, month_spread)
+    df.repartition(n_files).write.mode("overwrite").json(landing_dir)
+
+
+def _events_df(spark, n_events: int, month_spread: str = "single"):
+    return (
         spark.range(n_events)
         .select(
             F.concat(F.lit("bk-"), (F.col("id") % int(n_events * 0.9)).cast("string")).alias("booking_id"),
@@ -95,7 +115,6 @@ def make_events(
             _booking_date_expr(n_events, month_spread).alias("booking_date"),
         )
     )
-    df.repartition(n_files).write.mode("overwrite").json(landing_dir)
 
 
 def _booking_date_expr(n_events: int, month_spread: str):
@@ -110,6 +129,9 @@ def _booking_date_expr(n_events: int, month_spread: str):
         )
     if month_spread == "uniform":
         month = (bk % 12).cast("int")
+    elif month_spread == "wide":
+        # 120 month partitions (10 years) — the big-fact seeding shape
+        month = (bk % 120).cast("int")
     elif month_spread == "hot":
         # 80% of keys land in month 0; the rest spread over months 1-11
         month = (
@@ -263,7 +285,277 @@ def run_skew(n_events: int = 100_000, n_files: int = 8) -> None:
     )
 
 
+def _seed_fact(spark, fact, n_events: int) -> int:
+    """Seed the fact DIRECTLY from derived events (no JSON round-trip):
+    latest-per-key over a `wide`-spread event set → one partitioned
+    overwrite across 120 (booking_year, booking_month) dirs. Returns
+    the seeded row count."""
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.merge import (
+        latest_per_key,
+    )
+    from azure_airbnb_cdc_ingestion_pipeline_spark.pipelines.load_booking_fact import (
+        FACT_KEYS, FACT_ORDER, FACT_PARTITIONING, transform_bookings,
+    )
+
+    derived, _rejected = transform_bookings(
+        _events_df(spark, n_events, month_spread="wide")
+    )
+    latest = latest_per_key(derived, FACT_KEYS, FACT_ORDER)
+    fact.overwrite(latest, partition_by=FACT_PARTITIONING)
+    return fact.read().count()
+
+
+def _recent_month_drip(spark, landing_dir: str, n_events: int, n_files: int,
+                       n_seed_events: int) -> None:
+    """Update events confined to ONE hot month partition (month index
+    119 — 'the current month' of the 120-month fact): booking keys
+    ≡ 119 (mod 120), all inside the seeded key range, so every event is
+    an UPDATE of an existing fact row and the month precondition holds."""
+    n_keys = max(1, min(n_events, (int(n_seed_events * 0.9) - 120) // 120))
+    bk = (F.col("id") % n_keys) * 120 + 119
+    df = (
+        spark.range(n_events)
+        .select(
+            F.concat(F.lit("bk-"), bk.cast("string")).alias("booking_id"),
+            (F.col("id") % 500).cast("string").alias("customer_id"),
+            F.concat(F.lit("prop-"), (F.col("id") % 1000).cast("string")).alias("property_id"),
+            F.lit("2024-03-01").alias("check_in_date"),
+            F.lit("2024-03-05").alias("check_out_date"),
+            (F.col("id") % 900 + 75.0).alias("amount"),
+            F.lit("USD").alias("currency"),
+            F.concat(F.lit("guest-"), (F.col("id") % 2000).cast("string")).alias("guest_name"),
+            F.struct(
+                F.concat(F.lit("city-"), (F.col("id") % 40).cast("string")).alias("city"),
+                F.concat(F.lit("country-"), (F.col("id") % 12).cast("string")).alias("country"),
+            ).alias("property_location"),
+            F.date_format(
+                F.timestamp_add(
+                    "SECOND", (F.col("id")).cast("int"),
+                    F.lit("2034-06-01 00:00:00").cast("timestamp"),
+                ),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("timestamp"),
+            # same formula the seed used for these keys: month = bk % 120
+            F.date_format(
+                F.timestamp_add(
+                    "SECOND", (bk % 86400).cast("int"),
+                    F.timestamp_add(
+                        "MONTH", F.lit(119),
+                        F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                    ),
+                ),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("booking_date"),
+        )
+    )
+    df.repartition(n_files).write.mode("overwrite").json(landing_dir)
+
+
+def run_bigfact(seed_events: int = 60_000_000, drip_batches: int = 20,
+                batch_events: int = 1000) -> None:
+    """Small stream vs huge fact (VERDICT r6 #2): per-batch merge cost
+    must be governed by the BATCH (plus its one hot partition), not the
+    fact size. Two identically-shaped seeds — `seed_events` (big) and
+    seed_events/100 (small) — take the same 20×1k drip; the cost ratio
+    big/small is the independence measure, and the full resolved-read
+    wall is the anti-baseline (an unpruned merge would pay ~that per
+    batch)."""
+    spark = get_spark("stream-bigfact")
+    spark.sparkContext.setLogLevel("ERROR")
+    legs = {}
+    for leg, n_seed in (("small", seed_events // 100), ("big", seed_events)):
+        work = tempfile.mkdtemp(prefix=f"stream_bigfact_{leg}_")
+        landing = os.path.join(work, "landing")
+        ckpt = os.path.join(work, "ckpt")
+        try:
+            fact = ParquetTable(spark, os.path.join(work, "fact"))
+            quarantine = ParquetTable(spark, os.path.join(work, "quarantine"))
+            t0 = time.perf_counter()
+            rows = _seed_fact(spark, fact, n_seed)
+            seed_sec = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            full_read_rows = fact.read().count()
+            full_read_sec = time.perf_counter() - t0
+            os.makedirs(landing, exist_ok=True)
+            drain_secs = []
+            import glob
+
+            drip_dir = os.path.join(work, "drip")
+            for b in range(drip_batches):
+                _recent_month_drip(
+                    spark, drip_dir, batch_events, 1, n_seed
+                )
+                for f in glob.glob(os.path.join(drip_dir, "*.json")):
+                    shutil.move(
+                        f, os.path.join(landing, f"drip_{b:04d}.json")
+                    )
+                t0 = time.perf_counter()
+                load_booking_fact_stream(
+                    spark, landing, fact, quarantine, ckpt,
+                    available_now=True, max_files_per_trigger=1,
+                )
+                drain_secs.append(round(time.perf_counter() - t0, 3))
+            steady = sorted(drain_secs)[len(drain_secs) // 2]  # median
+            legs[leg] = {
+                "fact_rows": rows,
+                "seed_sec": round(seed_sec, 1),
+                "full_read_sec": round(full_read_sec, 2),
+                "full_read_rows": full_read_rows,
+                "drain_sec_per_batch": drain_secs,
+                "median_drain_sec": steady,
+                "steady_state_events_per_sec": round(batch_events / steady, 1),
+            }
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_bigfact_merge",
+                "batch_events": batch_events,
+                "drip_batches": drip_batches,
+                "small": legs["small"],
+                "big": legs["big"],
+                "big_over_small_drain_ratio": round(
+                    legs["big"]["median_drain_sec"]
+                    / legs["small"]["median_drain_sec"], 2
+                ),
+                "big_drain_vs_full_read": round(
+                    legs["big"]["median_drain_sec"]
+                    / max(legs["big"]["full_read_sec"], 1e-9), 3
+                ),
+                "target_events_per_sec": 1000,
+            }
+        )
+    )
+
+
+def _crash_child(work: str) -> None:
+    """Child-process entry: drain whatever is pending, one file per
+    trigger. The parent SIGKILLs this mid-drain."""
+    spark = get_spark("stream-crash-child")
+    spark.sparkContext.setLogLevel("ERROR")
+    fact = ParquetTable(spark, os.path.join(work, "fact"))
+    quarantine = ParquetTable(spark, os.path.join(work, "quarantine"))
+    load_booking_fact_stream(
+        spark, os.path.join(work, "landing"), fact, quarantine,
+        os.path.join(work, "ckpt"), available_now=True,
+        max_files_per_trigger=1,
+    )
+
+
+def run_crash(n_events: int = 100_000, n_kills: int = 3,
+              kill_after_sec: float = 25.0) -> None:
+    """Exactly-once under repeated SIGKILL (VERDICT r6 #7): the same
+    landing files drain twice — once in child processes killed -9
+    mid-drain `n_kills` times then resumed to completion, once
+    uninterrupted as the reference — and the final fact + quarantine
+    contents must be IDENTICAL (checkpoint replay + txn-marker
+    idempotent sinks)."""
+    import subprocess
+
+    spark = get_spark("stream-crash")
+    spark.sparkContext.setLogLevel("ERROR")
+    n_files = 100
+    work = tempfile.mkdtemp(prefix="stream_crash_")
+    ref_work = tempfile.mkdtemp(prefix="stream_crash_ref_")
+    try:
+        landing = os.path.join(work, "landing")
+        make_events(spark, landing, n_events, n_files)
+        # identical landing for the reference drain
+        shutil.copytree(landing, os.path.join(ref_work, "landing"))
+
+        kills = 0
+        attempts = []
+        t_start = time.perf_counter()
+        while True:
+            child = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__),
+                 "--crash-child", work],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            if kills < n_kills:
+                try:
+                    child.wait(timeout=kill_after_sec)
+                    # finished before the kill window — drain complete
+                    attempts.append({"outcome": "completed_early"})
+                    break
+                except subprocess.TimeoutExpired:
+                    child.kill()  # SIGKILL, no cleanup, mid-batch
+                    child.wait()
+                    kills += 1
+                    attempts.append({"outcome": f"sigkill_{kills}"})
+                    continue
+            child.wait()
+            attempts.append(
+                {"outcome": "completed", "rc": child.returncode}
+            )
+            if child.returncode != 0:
+                raise RuntimeError("final drain failed")
+            break
+        wall = time.perf_counter() - t_start
+
+        # uninterrupted reference drain over the SAME files
+        ref_fact = ParquetTable(spark, os.path.join(ref_work, "fact"))
+        ref_quar = ParquetTable(spark, os.path.join(ref_work, "quarantine"))
+        load_booking_fact_stream(
+            spark, os.path.join(ref_work, "landing"), ref_fact, ref_quar,
+            os.path.join(ref_work, "ckpt"), available_now=True,
+            max_files_per_trigger=1,
+        )
+        fact = ParquetTable(spark, os.path.join(work, "fact"))
+        quarantine = ParquetTable(spark, os.path.join(work, "quarantine"))
+        got_f, ref_f = fact.read(), ref_fact.read()
+        got_q, ref_q = quarantine.read(), ref_quar.read()
+        fact_equal = (
+            got_f.count() == ref_f.count()
+            and got_f.exceptAll(ref_f).isEmpty()
+            and ref_f.exceptAll(got_f).isEmpty()
+        )
+        quar_equal = (
+            got_q.count() == ref_q.count()
+            and got_q.exceptAll(ref_q).isEmpty()
+            and ref_q.exceptAll(got_q).isEmpty()
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "cdc_crash_recovery",
+                    "events": n_events,
+                    "files": n_files,
+                    "sigkills": kills,
+                    "kill_after_sec": kill_after_sec,
+                    "attempts": attempts,
+                    "wall_sec": round(wall, 1),
+                    "fact_rows": got_f.count(),
+                    "quarantine_rows": got_q.count(),
+                    "fact_equals_reference": fact_equal,
+                    "quarantine_equals_reference": quar_equal,
+                }
+            )
+        )
+        if not (fact_equal and quar_equal):
+            sys.exit(1)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(ref_work, ignore_errors=True)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--crash-child":
+        _crash_child(sys.argv[2])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--bigfact":
+        run_bigfact(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 60_000_000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 20,
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--crash":
+        run_crash(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 100_000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+        )
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--soak":
         run_soak(
             int(sys.argv[2]) if len(sys.argv) > 2 else 200,
