@@ -18,9 +18,64 @@ driver-side state beyond the single node-count scalar.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+
+
+@contextmanager
+def sized_shuffle(
+    spark: SparkSession,
+    input_rows: int,
+    rows_per_task: int = 3_000_000,
+    cap: int = 4096,
+):
+    """Pin ``spark.sql.shuffle.partitions`` to the input size for the
+    duration of a block, yielding the chosen count.
+
+    Why: graph kernels aggregate NEAR-UNIQUE keys (pair dedup, per-node
+    stats), so the map-side partial aggregate achieves no reduction and
+    its per-task hash map holds ~rows/partitions entries. A fixed
+    session-level count that is right at sf0.1 overflows execution
+    memory past sf10 (measured: 12.9 GB of aggregate spill and a 3-5×
+    wall cliff at sf30 with 32 partitions over 108 M-row inputs). On a
+    real cluster this is the per-job shuffle-partition count the
+    deployment sets; here the operator derives it from the data.
+
+    AQE's parallelism-first coalescing is disabled inside the window —
+    it folds post-shuffle partitions back to ~defaultParallelism by
+    SIZE, recreating exactly the oversized maps the window exists to
+    avoid. Both settings are restored on exit, so LAZY frames built in
+    the window must be materialized inside it (eager localCheckpoint)
+    or they will execute under the session defaults.
+    """
+    sc = spark.sparkContext
+    p_n = min(cap, max(sc.defaultParallelism, -(-max(input_rows, 1) // rows_per_task)))
+    conf = spark.conf
+    saved = conf.get("spark.sql.shuffle.partitions")
+    saved_coalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    conf.set("spark.sql.shuffle.partitions", str(p_n))
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        yield p_n
+    finally:
+        conf.set("spark.sql.shuffle.partitions", saved)
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", saved_coalesce)
+
+
+@contextmanager
+def _unpersist_after(frames: list):
+    """Release every DataFrame appended to ``frames`` on block exit."""
+    try:
+        yield frames
+    finally:
+        for frame in frames:
+            try:
+                frame.unpersist(blocking=False)
+            except Exception:
+                pass
 
 
 #: Rank rows are (long node, double r) — ~32 bytes each in a broadcast
@@ -31,7 +86,7 @@ _BROADCAST_NODE_LIMIT = 250_000
 #: Re-root the rank lineage every few iterations: each round appends a
 #: join+agg to the plan, and past ~8 rounds analysis/codegen time and
 #: the shuffle-reuse map grow without bound.
-_CHECKPOINT_EVERY = 4
+_CHECKPOINT_EVERY = 2
 
 
 def pagerank(
@@ -61,12 +116,16 @@ def pagerank(
     iteration is a shuffled hash join against the persisted,
     pre-partitioned edge frame (both branches plan-asserted in
     tests/test_plan_assertions.py)."""
-    # edges/deg are consumed by several jobs (degree scan, norm join,
-    # rank init) but are NOT persisted deliberately: both end in a
-    # shuffle, so cross-job shuffle-file reuse already serves repeat
-    # consumers — an explicit cache was measured 1.5x SLOWER (pure
-    # materialization overhead) at sf0.1.
-    deg = edges.groupBy(src).agg(F.sum(weight).alias("_wsum"))
+    # deg is O(|V|) and consumed by FOUR separate jobs (dangling scan,
+    # n-count, norm join build, rank init) — persist it. r6 measured a
+    # deg cache 1.5x slower at sf0.1, but that was under the old
+    # pre-aggregated edge build where deg's lineage was one cheap agg;
+    # with multigraph edges (see q_graph_pagerank) the lineage behind
+    # deg is the full O(|E|) pair expansion, and the sf30 phase
+    # diagnostic measured 18.8 s of pure recompute per extra consumer.
+    deg = edges.groupBy(src).agg(F.sum(weight).alias("_wsum")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if check_dangling:
         dangling = (
             edges.select(F.col(dst).alias("_n"))
@@ -80,14 +139,22 @@ def pagerank(
                 f"but have no out-edge) — rank mass would be lost. "
                 f"Symmetrize the graph or pass check_dangling=False."
             )
+    # The deg attach is a SHUFFLE_HASH join with deg (O(|V|)) as the
+    # build side: a sort-merge join here would sort the full O(|E|)
+    # edge list (spill cliff — the sf30 diagnostic put the old edge
+    # build at 233 s of the 419 s total), and the hint also pins the
+    # join to a SHUFFLED plan at every |V|, so norm's output
+    # partitioning is hashpartitioning(src) BY CONSTRUCTION — the
+    # persisted frame re-enters every iteration exchange-free. (The old
+    # explicit `.repartition(_s)` duplicated that exchange; the join
+    # already leaves the data clustered on src.)
     norm = (
-        edges.join(deg, src)
+        edges.join(deg.hint("shuffle_hash"), src)
         .select(
             F.col(src).alias("_s"),
             F.col(dst).alias("_d"),
             (F.col(weight) / F.col("_wsum")).alias("_p"),
         )
-        .repartition("_s")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = deg.count()  # single scalar — bounded driver state
@@ -97,8 +164,11 @@ def pagerank(
         # ranks is O(|V|): below the gate, broadcast it so each
         # iteration's probe is a map-side hash join over the persisted
         # edge partitions (only shuffle per round = the partial-agged
-        # groupBy on dst); above it, let the shuffled join stand.
-        probe = F.broadcast(ranks) if small else ranks
+        # groupBy on dst); above it, a SHUFFLE_HASH join with ranks as
+        # the build side — per-partition build is |V|/P rows, and the
+        # cached norm partitions stream through unsorted (sort-merge
+        # would re-sort O(|E|) every round).
+        probe = F.broadcast(ranks) if small else ranks.hint("shuffle_hash")
         ranks = (
             norm.join(probe, norm["_s"] == probe["node"])
             .groupBy("_d")
@@ -108,25 +178,228 @@ def pagerank(
                 (F.lit((1.0 - damping) / n) + damping * F.col("_in")).alias("r"),
             )
         )
-        if (
-            iterations > _CHECKPOINT_EVERY + 1
-            and (it + 1) % _CHECKPOINT_EVERY == 0
-            and it + 1 < iterations
-        ):
+        # r7: cadence dropped 4 → 2 and the small-iteration-count guard
+        # removed — at the old setting a 5-iteration run NEVER
+        # checkpointed, so every round's shuffle generation stayed
+        # referenced (and on disk) to the end. The checkpoint
+        # materializes only the O(|V|) rank frame; the payoff is that
+        # everything older becomes unreachable and reclaimable.
+        if (it + 1) % _CHECKPOINT_EVERY == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
+            # r7 (sf100 post-mortem): shuffle FILES for superseded
+            # iterations are only deleted when ContextCleaner notices
+            # their ShuffleDependency is unreachable — which needs a JVM
+            # GC that a long iterative job never triggers on its own.
+            # At 3.15B co-purchase edges the retained generations filled
+            # the disk (42 exchanges × tens of GB) before iteration 3.
+            # The checkpoint above just cut the only live reference to
+            # the older rounds, so force the GC here and let the cleaner
+            # reclaim their scratch; peak disk then holds ~one
+            # iteration's shuffle generation instead of all of them.
+            ranks.sparkSession.sparkContext._jvm.System.gc()
     return ranks.select("node", F.col("r").alias("pagerank"))
 
 
-def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+def copurchase_pagerank(
+    lineitem: DataFrame,
+    order_col: str = "l_orderkey",
+    part_col: str = "l_partkey",
+    iterations: int = 5,
+    damping: float = 0.85,
+    rows_per_task: int = 3_000_000,
+    small_input_rows: int = 30_000_000,
+) -> DataFrame:
+    """PageRank over the co-purchase part graph WITHOUT materializing
+    the pair expansion — the factored (bipartite) formulation.
+
+    The co-purchase graph is a two-hop projection of the order↔part
+    bipartite table, so |E| = Σ_orders len(o)² grows much faster than
+    the underlying data (sf30: 720 M pair rows from 180 M lineitem
+    rows; at 100 TB the projection simply does not fit). But PageRank
+    never needs the pairs: with x(p) = r(p)/deg(p) and T(o) =
+    Σ_{q∈o} m_q·x(q) (m = occurrence multiplicity of a part within an
+    order), the per-node inflow is
+
+        Σ_{s→d} w(s,d)·x(s)  =  Σ_{o∋d} m_d·(T(o) − m_d·x(d))
+
+    i.e. one per-order sum plus a per-row exclusion term — every
+    iteration touches only the O(|lineitem|) occurrence table, never
+    the O(Σ len²) pairs. Same fixed point as
+    ``pagerank(copurchase_edges(li))`` (parity-tested), same DuckDB
+    oracle. Measured at sf30: the pair-materializing path spent 155 s
+    building edges/degrees (12.9 GB agg spill) + ~35 s/iteration over
+    720 M cached rows; this path never allocates any of it.
+
+    Shuffle partitions are sized to the input (``rows_per_task``) for
+    the duration of the build+iterations and restored after: the
+    near-unique (order, part) grouping and the O(|V|)-key contribution
+    aggregates need per-task hash maps that fit in execution memory,
+    which a fixed session-level 32 cannot provide past sf10 (the
+    measured spill cliff). On a real cluster this is the
+    shuffle-partition count the deployment would set for the job.
+    """
+    spark = lineitem.sparkSession
+    sc = spark.sparkContext
+    ok, pk = order_col, part_col
+    nrows = lineitem.count()  # single scalar; parquet count is metadata-cheap
+    if nrows == 0:
+        return lineitem.select(
+            F.col(pk).alias("node"), F.lit(0.0).alias("pagerank")
+        ).limit(0)
+    if nrows <= small_input_rows:
+        # Size dispatch (the repo's auto_topk pattern): below this the
+        # pair projection comfortably fits and the edge-list path is
+        # strictly faster — ranks broadcast, ONE shuffle per iteration,
+        # everything lazy in a single job. The factored path's extra
+        # per-round stages only pay for themselves once the projection
+        # outgrows the data (measured crossover between sf10 and sf30:
+        # pair path 37→419 s, factored ~65→~190 s). Identical fixed
+        # point — parity-tested in tests/test_extensions_r5.py.
+        a = lineitem.select(F.col(ok).alias("_k"), F.col(pk).alias("src"))
+        b = lineitem.select(F.col(ok).alias("_k"), F.col(pk).alias("dst"))
+        edges = (
+            a.join(b, "_k")
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst", F.lit(1.0).alias("w"))
+        )
+        return pagerank(
+            edges,
+            iterations=iterations,
+            damping=damping,
+            check_dangling=False,  # symmetric by construction
+        )
+    _persisted: list[DataFrame] = []
+    with sized_shuffle(spark, nrows, rows_per_task) as p_n, _unpersist_after(
+        _persisted
+    ):
+        # ONE raw exchange funds the whole build: repartitioning the
+        # two-column projection by order key satisfies the clustering
+        # requirement of BOTH the (order, part) multiplicity aggregate
+        # and the order-size aggregate (same-order rows are co-located),
+        # so occ, sz, and their join all plan exchange-free on top of
+        # it. (The first cut of this build recomputed the occ→sz→join
+        # chain once per consumer — 162 s of the 343 s sf30 wall.)
+        #
+        # occurrence multiplicity m: a part CAN repeat within an order;
+        # pairs between its own occurrences are src==dst and excluded,
+        # pairs to others multiply — m carries that exactly.
+        rows = lineitem.select(ok, pk).repartition(p_n, ok)
+        occ = rows.groupBy(ok, pk).agg(F.count(F.lit(1)).alias("_m"))
+        sz = occ.groupBy(ok).agg(F.sum("_m").alias("_sz"))
+        # shuffle_hash: sz (O(#orders)) builds, occ streams through
+        # unsorted; both sides are already ok-clustered so no exchange
+        li_o = (
+            occ.join(sz.hint("shuffle_hash"), ok)
+            .select(
+                F.col(ok).alias("_o"),
+                F.col(pk).alias("_p"),
+                F.col("_m").cast("double").alias("_mm"),
+                F.col("_sz").cast("double").alias("_sz"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _persisted.append(li_o)
+        # per-node statics in one pass over the cached layout:
+        # deg = Σ_o m(sz−m) (weighted out-degree), c2 = Σ_o m²/deg (the
+        # static coefficient of the self-exclusion term — see loop)
+        stats = (
+            li_o.groupBy("_p")
+            .agg(
+                F.sum(F.col("_mm") * (F.col("_sz") - F.col("_mm"))).alias("_deg"),
+                F.sum(F.col("_mm") * F.col("_mm")).alias("_sq"),
+            )
+            .filter(F.col("_deg") > 0)  # parts alone in 1-part orders have no edges
+            .select(
+                "_p",
+                "_deg",
+                (F.col("_sq") / F.col("_deg")).alias("_c2"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _persisted.append(stats)
+        n = stats.count()
+        if n == 0:
+            return lineitem.select(
+                F.col(pk).alias("node"), F.lit(0.0).alias("pagerank")
+            ).limit(0)
+        # second cached layout, partitioned by part key, carrying
+        # md = m/deg premultiplied: the rank join each round is then
+        # co-partitioned probe + O(|V|/p_n) build, no degree join
+        li_p = (
+            li_o.join(stats.hint("shuffle_hash"), "_p")
+            .select("_o", "_p", (F.col("_mm") / F.col("_deg")).alias("_md"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _persisted.append(li_p)
+        li_p.count()  # materialize so iterations read cache, not lineage
+        # ranks carries the static c2 along so the whole loop is free of
+        # O(|V|) side joins beyond the final combine
+        ranks = stats.select(
+            F.col("_p").alias("node"), F.lit(1.0 / n).alias("r"), "_c2"
+        )
+        for _it in range(iterations):
+            # T(o) = Σ_{q∈o} m_q·x(q), x = r/deg (md·r per row).
+            # Split-term inflow: contrib(p) = Σ_o m_p·T(o) − r_p·c2(p);
+            # the first term joins T back on the ORDER-partitioned
+            # layout (co-partitioned with T's aggregate output → no
+            # exchange), the second is a per-node scalar. Per round the
+            # only data movement is two partial-aggregated skinny
+            # exchanges (md·r by order; mm·T by part), each at p_n so
+            # per-task maps fit execution memory.
+            t = (
+                li_p.join(ranks.hint("shuffle_hash"), li_p["_p"] == ranks["node"])
+                .groupBy("_o")
+                .agg(F.sum(F.col("_md") * F.col("r")).alias("_t"))
+            )
+            term1 = (
+                li_o.join(t.hint("shuffle_hash"), "_o")
+                .select("_p", (F.col("_mm") * F.col("_t")).alias("_c"))
+                .groupBy("_p")
+                .agg(F.sum("_c").alias("_s1"))
+            )
+            ranks = (
+                term1.join(ranks.hint("shuffle_hash"), term1["_p"] == ranks["node"])
+                .select(
+                    F.col("_p").alias("node"),
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + damping
+                        * (F.col("_s1") - F.col("r") * F.col("_c2"))
+                    ).alias("r"),
+                    "_c2",
+                )
+            )
+            # checkpoint every round: re-roots the lineage AND cuts the
+            # only live reference to the previous round's shuffle files;
+            # the forced GC lets ContextCleaner reclaim them so peak
+            # scratch disk holds ~one round's generation (the sf100
+            # pair-path run filled the disk without this). Small inputs
+            # never reach here — the dispatch above owns them.
+            ranks = ranks.localCheckpoint(eager=True)
+            sc._jvm.System.gc()
+        return ranks.select("node", F.col("r").alias("pagerank"))
+
+
+def copurchase_edges(lineitem: DataFrame, aggregate: bool = True) -> DataFrame:
     """Symmetric co-purchase part graph: parts sharing an order are
     linked, weighted by co-occurrence count. The self-join is keyed on
     l_orderkey (bounded fan-out: TPC-H orders hold <= 7 lines, so pair
-    expansion is a small constant per order — never all-pairs)."""
+    expansion is a small constant per order — never all-pairs).
+
+    ``aggregate=False`` returns the raw unit-weight MULTIGRAPH pairs
+    (one row per co-occurrence, w=1) instead of collapsing duplicates.
+    For rank-style consumers that re-aggregate anyway (PageRank sums
+    contributions per dst; Σ over pair rows of r/deg ≡ Σ over distinct
+    edges of r·w/Σw) the collapse is pure overhead — and past sf10 it
+    is the dominant cost: the (src,dst) keys are ~99.96 % unique
+    (717.6 M distinct of 720 M pairs at sf30), so the partial hash
+    aggregate achieves no reduction, overflows its per-task map, and
+    degenerates into a full sort-spill of the pair set (measured: the
+    aggregated build put 233 s of pagerank's 419 s sf30 wall in this
+    one exchange chain)."""
     a = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    return (
-        a.join(b, "ok")
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    pairs = a.join(b, "ok").filter(F.col("src") != F.col("dst"))
+    if not aggregate:
+        return pairs.select("src", "dst", F.lit(1.0).alias("w"))
+    return pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.sketches import HASH_SPACE, countmin_estimates, kmv_distinct
 from ..functions.zorder import zvalue, zvalue_sql
-from ..operators.graph import copurchase_edges, pagerank
+from ..operators.graph import copurchase_pagerank
 from .queries import _t, query
 
 # ---------------------------------------------------------------------------
@@ -291,10 +291,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     are join-aggregate rounds against a persisted normalized edge list
     (operators/graph.py). Oracle = the same fixed-point unrolled as a
     5-deep CTE chain."""
-    edges = copurchase_edges(_t(spark, sf_dir, "lineitem"))
-    # copurchase_edges is symmetric BY CONSTRUCTION (src↔dst both
-    # emitted), so skip the dangling-node enforcement scan here
-    ranks = pagerank(edges, iterations=5, damping=0.85, check_dangling=False)
+    # Factored bipartite formulation: the co-purchase graph is a
+    # two-hop projection whose |E| = Σ len(order)² outgrows the data
+    # (720 M pairs from 180 M lineitem rows at sf30; 155 s build +
+    # 12.9 GB agg spill on the pair path). copurchase_pagerank computes
+    # the identical fixed point from per-order sums without ever
+    # materializing a pair row — parity-tested against
+    # pagerank(copurchase_edges(li)) and the same DuckDB oracle.
+    ranks = copurchase_pagerank(
+        _t(spark, sf_dir, "lineitem"), iterations=5, damping=0.85
+    )
     out = ranks.select(
         F.col("node").alias("part_key"), F.round("pagerank", 6).alias("pagerank")
     )
@@ -677,14 +683,27 @@ def _triangles_per_edge(pairs: DataFrame) -> DataFrame:
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle counting (the clustering-coefficient kernel) over
     the part co-purchase graph via adjacency-array intersection — see
-    `_triangles_per_edge` for why the wedge join was retired."""
-    per_edge = _triangles_per_edge(_copurchase_pairs(spark, sf_dir))
-    return per_edge.agg(
-        F.sum("tri").cast("long").alias("n_triangles"),
-        F.countDistinct(F.when(F.col("tri") > 0, F.col("s"))).alias(
-            "nodes_in_triangles"
-        ),
-    )
+    `_triangles_per_edge` for why the wedge join was retired.
+
+    Runs eagerly inside a sized-shuffle window: the oriented-pair
+    dedup aggregates NEAR-UNIQUE keys (~2 lineitem rows per distinct
+    edge), so its map-side hash maps must be sized to the pair volume,
+    not the session default (the doulion sibling measured 12.9 GB of
+    aggregate spill at sf30 on 32 partitions). rows×2 ≈ the oriented
+    pair count; the 1-row result is checkpointed before the window
+    closes so the caller's collect replays nothing."""
+    from ..operators.graph import sized_shuffle
+
+    li = _t(spark, sf_dir, "lineitem")
+    with sized_shuffle(spark, li.count() * 2):
+        per_edge = _triangles_per_edge(_copurchase_pairs(spark, sf_dir))
+        out = per_edge.agg(
+            F.sum("tri").cast("long").alias("n_triangles"),
+            F.countDistinct(F.when(F.col("tri") > 0, F.col("s"))).alias(
+                "nodes_in_triangles"
+            ),
+        )
+        return out.localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------

@@ -437,6 +437,70 @@ def test_pagerank_triangle_uniform(spark):
         assert math.isclose(r.pagerank, 1 / 3, rel_tol=1e-9), rows
 
 
+def test_copurchase_pagerank_parity_with_pair_path(spark, sf_dir):
+    # the factored (bipartite) iteration must reach the same fixed point
+    # as pagerank over the materialized pair graph
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.graph import (
+        copurchase_pagerank,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pair_path = {
+        r.node: r.pagerank
+        for r in pagerank(
+            copurchase_edges(li), iterations=5, check_dangling=False
+        ).collect()
+    }
+    factored = {
+        r.node: r.pagerank for r in copurchase_pagerank(li, iterations=5, small_input_rows=0).collect()
+    }
+    assert set(factored) == set(pair_path)
+    for node, r in factored.items():
+        assert math.isclose(r, pair_path[node], rel_tol=1e-9), node
+
+
+def test_copurchase_pagerank_duplicate_part_multiplicity(spark):
+    # a part repeating within an order pairs with OTHERS twice but never
+    # with its own occurrences; the factored exclusion term must match
+    # the explicit pair expansion
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.graph import (
+        copurchase_pagerank,
+    )
+
+    li = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 20), (2, 20), (2, 30), (3, 40)],
+        ["l_orderkey", "l_partkey"],
+    )
+    pair_path = {
+        r.node: r.pagerank
+        for r in pagerank(
+            copurchase_edges(li), iterations=4, check_dangling=False
+        ).collect()
+    }
+    factored = {
+        r.node: r.pagerank for r in copurchase_pagerank(li, iterations=4, small_input_rows=0).collect()
+    }
+    # part 40 is alone in its only order -> no edges -> not a node
+    assert 40 not in factored
+    assert set(factored) == set(pair_path) == {10, 20, 30}
+    for node, r in factored.items():
+        assert math.isclose(r, pair_path[node], rel_tol=1e-9), node
+
+
+def test_copurchase_pagerank_restores_session_conf(spark):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.graph import (
+        copurchase_pagerank,
+    )
+
+    li = spark.createDataFrame([(1, 10), (1, 20)], ["l_orderkey", "l_partkey"])
+    copurchase_pagerank(li, iterations=1, small_input_rows=0).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert (
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+    )
+
+
 def test_pagerank_star_center_dominates(spark):
     # star: center 0 linked to 1..4 (symmetric) -> center outranks leaves
     e = []
