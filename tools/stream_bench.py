@@ -101,6 +101,7 @@ def _events_df(spark, n_events: int, month_spread: str = "single"):
             ).alias("check_out_date"),
             (F.col("id") % 900 + 50.0).alias("amount"),
             F.lit("USD").alias("currency"),
+            F.concat(F.lit("owner-"), (F.col("id") % 300).cast("string")).alias("owner_id"),
             F.concat(F.lit("guest-"), (F.col("id") % 2000).cast("string")).alias("guest_name"),
             F.struct(
                 F.concat(F.lit("city-"), (F.col("id") % 40).cast("string")).alias("city"),
@@ -323,6 +324,7 @@ def _recent_month_drip(spark, landing_dir: str, n_events: int, n_files: int,
             F.lit("2024-03-05").alias("check_out_date"),
             (F.col("id") % 900 + 75.0).alias("amount"),
             F.lit("USD").alias("currency"),
+            F.concat(F.lit("owner-"), (F.col("id") % 300).cast("string")).alias("owner_id"),
             F.concat(F.lit("guest-"), (F.col("id") % 2000).cast("string")).alias("guest_name"),
             F.struct(
                 F.concat(F.lit("city-"), (F.col("id") % 40).cast("string")).alias("city"),
