@@ -187,6 +187,77 @@ def kmv_set_ops(
     )
 
 
+def kmv_quantiles(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    k: int = 256,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    n_salt: int = 32,
+) -> DataFrame:
+    """Per-group quantile estimates from a k-minimum-hash UNIFORM row
+    sample — the KMV idea applied to order statistics.
+
+    The k rows whose ``md5(id)`` hashes are smallest form a uniform
+    without-replacement sample of the group (the hash is a fixed random
+    permutation of row ids), so the sample's ceil(q·n_s)-th smallest
+    value estimates the group's q-quantile with the usual
+    O(1/sqrt(k)) order-statistic error. Mergeable exactly like KMV
+    distinct-count: union two groups' samples, re-take the k smallest
+    hashes — the 100 TB shape (bounded per-partition state, tiny
+    merge). Groups with <= k rows are sampled in full, so their
+    quantiles are EXACT (standard KMV convention).
+
+    Deterministic and bit-exact vs the SQL oracle: selection order is
+    (h, value), value ranking order is (value, h) — both total orders,
+    both computable identically in DuckDB from the shared md5 primitive.
+    Returns (group_col, n_sampled, p<q1>, p<q2>, ...).
+
+    Scale shape: the same salted two-phase bottom-k as ``kmv_distinct``
+    (no per-group full sort at any size); the final per-group rank
+    window touches <= k rows per group.
+    """
+    d = (
+        df.select(group_col, id_col, value_col)
+        # null values have no place in an order statistic, and null ids
+        # have no hash — dropped in the oracle identically
+        .filter(F.col(value_col).isNotNull() & F.col(id_col).isNotNull())
+        .withColumn("h", md5_hash52(F.col(id_col)))
+    )
+    # phase 1: per (group, salt) keep the k smallest hashes — the global
+    # k smallest are necessarily among the per-salt k smallest
+    w1 = Window.partitionBy(group_col, F.col("h") % n_salt).orderBy(
+        "h", value_col
+    )
+    pruned = (
+        d.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    # phase 2: <= n_salt*k rows per group — the actual sample
+    w2 = Window.partitionBy(group_col).orderBy("h", value_col)
+    sample = (
+        pruned.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    # rank sampled values; ceil(q*n_s)-th smallest is the estimate
+    wv = Window.partitionBy(group_col).orderBy(value_col, "h")
+    wg = Window.partitionBy(group_col)
+    ranked = sample.withColumn("vrn", F.row_number().over(wv)).withColumn(
+        "n_s", F.count(F.lit(1)).over(wg)
+    )
+    aggs = [F.max("n_s").alias("n_sampled")]
+    for q in quantiles:
+        pos = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n_s")))
+        name = f"p{str(q).replace('0.', '').ljust(2, '0')}"
+        aggs.append(
+            F.max(F.when(F.col("vrn") == pos, F.col(value_col))).alias(name)
+        )
+    return ranked.groupBy(group_col).agg(*aggs)
+
+
 def weighted_reservoir_sample(
     df: DataFrame,
     id_col: str,

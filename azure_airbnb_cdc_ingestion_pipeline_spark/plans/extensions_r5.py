@@ -370,6 +370,58 @@ def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# KMV quantile sketch (uniform minimum-hash row sample → order statistics)
+# ---------------------------------------------------------------------------
+
+_QSK_K = 256
+
+_QUANTILE_SKETCH_ORACLE = f"""
+    WITH hashed AS (
+      SELECT event_type, value,
+             ('0x' || substr(md5(event_id::VARCHAR), 1, 13))::BIGINT AS h
+      FROM events
+      WHERE value IS NOT NULL AND event_id IS NOT NULL
+    ),
+    samp AS (
+      SELECT event_type, value, h FROM hashed
+      QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h, value)
+              <= {_QSK_K}
+    ),
+    ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value, h)
+               AS vrn,
+             count(*) OVER (PARTITION BY event_type) AS n_s
+      FROM samp
+    )
+    SELECT event_type, CAST(max(n_s) AS BIGINT) AS n_sampled,
+           max(CASE WHEN vrn = greatest(1, CAST(ceil(0.5 * n_s) AS BIGINT))
+                    THEN value END) AS p50,
+           max(CASE WHEN vrn = greatest(1, CAST(ceil(0.9 * n_s) AS BIGINT))
+                    THEN value END) AS p90,
+           max(CASE WHEN vrn = greatest(1, CAST(ceil(0.99 * n_s) AS BIGINT))
+                    THEN value END) AS p99
+    FROM ranked GROUP BY event_type
+"""
+
+
+@query("sketch_kmv_quantiles", oracle=_QUANTILE_SKETCH_ORACLE)
+def q_sketch_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p90/p99 of `value` from a k=256 minimum-hash
+    uniform row sample — mergeable quantiles WITHOUT a per-group sort of
+    the full data (union samples, re-take k smallest hashes; groups
+    below k are exact). Bit-exact oracle from the shared md5 primitive
+    (functions/sketches.py::kmv_quantiles); complements the exact
+    `exact_median_rank` path the way `sketch_kmv_distinct` complements
+    exact distinct counts."""
+    from ..functions.sketches import kmv_quantiles
+
+    return kmv_quantiles(
+        _t(spark, sf_dir, "events"), "event_type", "event_id", "value", k=_QSK_K
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic weighted reservoir sampling (Efraimidis–Spirakis)
 # ---------------------------------------------------------------------------
 

@@ -91,6 +91,7 @@ HEADLINE = [
     "embedding_random_projection",
     "graph_pagerank",
     "sketch_kmv_setops",
+    "sketch_kmv_quantiles",
     "sample_weighted_reservoir",
     "audio_spectral_features",
     "events_time_weighted_avg",

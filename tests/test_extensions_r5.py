@@ -61,6 +61,51 @@ def test_countmin_never_undercounts(spark, sf_dir):
         assert r.overcount == r.cm_est - r.exact_cnt
 
 
+def test_kmv_quantiles_exact_below_k(spark):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.sketches import (
+        kmv_quantiles,
+    )
+
+    # 100 rows < k=256 -> the sample is the whole group -> quantiles are
+    # exact order statistics: p50 = 50th value = 50.0, p90 = 90.0
+    df = spark.range(1, 101).selectExpr(
+        "'g' AS g", "id AS rid", "CAST(id AS DOUBLE) AS v"
+    )
+    r = kmv_quantiles(df, "g", "rid", "v", k=256).first()
+    assert r.n_sampled == 100
+    assert r.p50 == 50.0 and r.p90 == 90.0 and r.p99 == 99.0
+
+
+def test_kmv_quantiles_sample_error_bound(spark):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.sketches import (
+        kmv_quantiles,
+    )
+
+    # 50k uniform values, k=256: order-statistic error ~ 1/sqrt(k) ≈ 6%;
+    # assert a loose 4-sigma band around the true quantiles
+    df = spark.range(50_000).selectExpr(
+        "'g' AS g", "id AS rid", "CAST((id * 7919) % 50000 AS DOUBLE) AS v"
+    )
+    r = kmv_quantiles(df, "g", "rid", "v", k=256).first()
+    assert r.n_sampled == 256
+    for got, want in ((r.p50, 25_000), (r.p90, 45_000)):
+        assert abs(got - want) < 50_000 * 0.25, (got, want)
+
+
+def test_kmv_quantiles_null_rows_dropped(spark):
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.sketches import (
+        kmv_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1, 1.0), ("g", 2, None), ("g", None, 9.0), ("g", 3, 3.0)],
+        ["g", "rid", "v"],
+    )
+    r = kmv_quantiles(df, "g", "rid", "v", k=8).first()
+    assert r.n_sampled == 2  # null value and null id both excluded
+    assert r.p99 == 3.0
+
+
 def test_kmv_setops_estimates_near_truth(spark, sf_dir):
     from azure_airbnb_cdc_ingestion_pipeline_spark.functions.sketches import (
         kmv_set_ops,
