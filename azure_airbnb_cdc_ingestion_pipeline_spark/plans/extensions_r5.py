@@ -747,14 +747,17 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import sized_shuffle
 
     li = _t(spark, sf_dir, "lineitem")
-    with sized_shuffle(spark, li.count() * 2):
-        per_edge = _triangles_per_edge(_copurchase_pairs(spark, sf_dir))
-        out = per_edge.agg(
-            F.sum("tri").cast("long").alias("n_triangles"),
-            F.countDistinct(F.when(F.col("tri") > 0, F.col("s"))).alias(
-                "nodes_in_triangles"
-            ),
-        )
+    per_edge = _triangles_per_edge(_copurchase_pairs(spark, sf_dir))
+    out = per_edge.agg(
+        F.sum("tri").cast("long").alias("n_triangles"),
+        F.countDistinct(F.when(F.col("tri") > 0, F.col("s"))).alias(
+            "nodes_in_triangles"
+        ),
+    )
+    n = li.count()
+    if n <= 30_000_000:
+        return out  # session defaults are right below the spill regime
+    with sized_shuffle(spark, n * 2):
         return out.localCheckpoint(eager=True)
 
 

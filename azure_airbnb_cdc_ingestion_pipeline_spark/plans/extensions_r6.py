@@ -85,35 +85,37 @@ def q_graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import sized_shuffle
     from .extensions_r5 import _copurchase_pairs, _triangles_per_edge
 
+    pairs = _copurchase_pairs(spark, sf_dir)
+    sampled = pairs.filter(
+        F.pmod(
+            md5_hash52(
+                F.concat(
+                    F.col("s").cast("string"),
+                    F.lit("-"),
+                    F.col("d").cast("string"),
+                )
+            ),
+            F.lit(1000),
+        )
+        < _TRI_KEEP
+    )
+    per_edge = _triangles_per_edge(sampled)
+    scale = 1000.0**3 / float(_TRI_KEEP) ** 3
+    out = per_edge.agg(
+        F.floor(F.sum("tri") * F.lit(scale) + F.lit(0.5))
+        .cast("long")
+        .alias("est_triangles"),
+        F.sum("tri").cast("long").alias("sampled_triangles"),
+        F.lit(_TRI_KEEP).alias("keep_permille"),
+    )
     li_rows = _t(spark, sf_dir, "lineitem").count()
+    if li_rows <= 30_000_000:
+        return out  # session defaults are right below the spill regime
     # sized-shuffle window (see q_graph_triangles): the sampled-pair
     # dedup spilled 12.9 GB / 102 s of the 112 s sf30 wall on the
     # session's 32 partitions; eager checkpoint of the 1-row result
     # keeps the whole plan inside the window
     with sized_shuffle(spark, li_rows * 2):
-        pairs = _copurchase_pairs(spark, sf_dir)
-        sampled = pairs.filter(
-            F.pmod(
-                md5_hash52(
-                    F.concat(
-                        F.col("s").cast("string"),
-                        F.lit("-"),
-                        F.col("d").cast("string"),
-                    )
-                ),
-                F.lit(1000),
-            )
-            < _TRI_KEEP
-        )
-        per_edge = _triangles_per_edge(sampled)
-        scale = 1000.0**3 / float(_TRI_KEEP) ** 3
-        out = per_edge.agg(
-            F.floor(F.sum("tri") * F.lit(scale) + F.lit(0.5))
-            .cast("long")
-            .alias("est_triangles"),
-            F.sum("tri").cast("long").alias("sampled_triangles"),
-            F.lit(_TRI_KEEP).alias("keep_permille"),
-        )
         return out.localCheckpoint(eager=True)
 
 
