@@ -332,6 +332,34 @@ def test_triangle_count_known_graph(spark):
     assert tri.count() == 2
 
 
+def test_triangle_chunked_summary_matches_unchunked(spark, sf_dir):
+    # the bounded-scratch pass loop must reproduce the single-pass
+    # result exactly, for any chunk count
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("d"))
+    pairs = a.join(b, "ok").filter(F.col("s") < F.col("d")).select("s", "d").distinct()
+    one = x5._triangles_summary_chunked(spark, pairs, 1).first()
+    five = x5._triangles_summary_chunked(
+        spark, pairs, 5, compact_ids=True
+    ).first()
+    per_edge = x5._triangles_per_edge(pairs)
+    lazy = per_edge.agg(
+        F.sum("tri").cast("long").alias("n_triangles"),
+        F.countDistinct(F.when(F.col("tri") > 0, F.col("s"))).alias(
+            "nodes_in_triangles"
+        ),
+    ).first()
+    assert (one.n_triangles, one.nodes_in_triangles) == (
+        lazy.n_triangles,
+        lazy.nodes_in_triangles,
+    )
+    assert (five.n_triangles, five.nodes_in_triangles) == (
+        lazy.n_triangles,
+        lazy.nodes_in_triangles,
+    )
+
+
 def test_interval_coverage_merges_overlaps(spark):
     # two overlapping 30-min intervals (10:00, 10:10) -> ONE island of
     # 40 min; a third at 12:00 -> separate island
