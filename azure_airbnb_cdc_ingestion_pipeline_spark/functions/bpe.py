@@ -14,25 +14,38 @@ the corpus and re-encodes it, Spark-first:
   deterministic `vocab_cap` (top-K by freq DESC, word ASC) makes the
   driver-side bound a CONTRACT, not a hope — at 100 TB you cap at a few
   million word forms and the tail (which cannot win merge counts
-  anyway) stays out of the driver.
-- **Merge selection is a driver loop over that bounded table**: each of
-  `num_merges` rounds counts adjacent symbol pairs (occurrence-weighted,
-  overlapping positions all count — the standard formulation), picks
-  argmax with a total-order tiebreak (count DESC, left ASC, right ASC),
-  and applies the merge with a greedy left-to-right non-overlapping
-  scan. Everything is pure deterministic Python on ≤ vocab_cap rows.
+  anyway) stays out of the driver. The DuckDB oracle applies the SAME
+  cap to its pair statistics (r8 advisor), so the contract is enforced
+  on both sides of the hash gate, not just at gated SFs.
+- **Merge selection is a driver loop over that bounded table** — and
+  (r8, VERDICT r7 #2) the loop is the classic INCREMENTAL formulation,
+  not a per-round recount: pair counts and a pair→words inverted index
+  are built once (O(total symbols)), each round pops the argmax from a
+  lazy-deletion heap keyed (count DESC, left ASC, right ASC) and
+  applies the merge only to the words that contain the pair, updating
+  counts by per-word deltas. Total work is O(symbols touched), so
+  realistic merge budgets (1 024–32 k) are driver-cheap; the naive
+  O(rounds × vocab) recount survives as `train_bpe_reference`, pinned
+  equal by tests.
 - **Encoding is distributed again**: the merge list broadcasts in a
-  task closure; each DISTINCT word is segmented once (apply merges in
-  rank order, each exhaustively — equivalent to the training
-  segmentation), and per-doc token counts come from a broadcast
-  word→length join, never per-row Python on the corpus.
+  task closure; each DISTINCT word is segmented once and per-doc token
+  counts come from a broadcast word→length join, never per-row Python
+  on the corpus. The segmenter (r8) is rank-scheduled: a min-heap of
+  the ranks actually present in the word replaces the rank-by-rank
+  scan over the full merge table, so cost is O(applicable merges ×
+  word_len), independent of the table size — the rank-order exhaustive
+  semantics (which reproduce the training segmentation) are unchanged
+  and pinned equal to the naive scan by tests.
 
 The DuckDB oracle replicates training + encoding end-to-end in pure
 SQL (generated round-unrolled CTEs — `plans.extensions_r7`), so the
-merge table AND the per-doc encoded lengths are hash-gated.
+merge table AND the per-doc encoded lengths are hash-gated at 16
+merges; a frozen-vocab golden test pins the 1 024-merge behavior.
 """
 
 from __future__ import annotations
+
+import heapq
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -64,25 +77,12 @@ def _merge_word(syms: tuple[str, ...], left: str, right: str) -> tuple[str, ...]
     return tuple(out)
 
 
-def train_bpe(
-    docs: DataFrame,
-    text_col: str = "text",
-    num_merges: int = 16,
-    vocab_cap: int = 65536,
+def _merge_loop_reference(
+    seg: dict[tuple[str, ...], int], num_merges: int
 ) -> list[tuple[str, str]]:
-    """Learn `num_merges` BPE merges from the corpus. Returns the merge
-    list in rank order. Driver memory is bounded by `vocab_cap` word
-    forms (deterministic top-K: freq DESC, word ASC); rounds that find
-    no remaining adjacent pair stop early."""
-    wf = (
-        _word_freqs(docs, text_col)
-        .orderBy(F.col("freq").desc(), F.col("w"))
-        .limit(vocab_cap)
-        .collect()
-    )
-    seg: dict[tuple[str, ...], int] = {}
-    for r in wf:
-        seg[tuple(r.w)] = seg.get(tuple(r.w), 0) + r.freq
+    """The naive trainer: full pair recount every round. O(rounds ×
+    vocab symbols) — kept as the executable spec the fast path is
+    tested against."""
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         counts: dict[tuple[str, str], int] = {}
@@ -103,10 +103,180 @@ def train_bpe(
     return merges
 
 
-def bpe_segment(word: str, merges: list[tuple[str, str]]) -> list[str]:
+def _merge_loop_fast(
+    seg: dict[tuple[str, ...], int], num_merges: int
+) -> list[tuple[str, str]]:
+    """Incremental trainer (r8): identical output to the reference loop
+    — same occurrence-weighted counts (overlapping positions all
+    count), same greedy non-overlapping application, same
+    (count DESC, left ASC, right ASC) argmax — but each round touches
+    only the words containing the winning pair.
+
+    Heap discipline: every count change pushes a fresh (-count, l, r)
+    entry; popped entries whose stored count disagrees with the live
+    table are stale and skipped. The live maximum always owns a current
+    entry, and the tuple order makes ties break exactly like the
+    reference's `min()`."""
+    words: list[tuple[str, ...]] = []
+    freqs: list[int] = []
+    for syms, f in seg.items():
+        words.append(syms)
+        freqs.append(f)
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for i, syms in enumerate(words):
+        f = freqs[i]
+        for a, b in zip(syms, syms[1:]):
+            p = (a, b)
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            pair_words.setdefault(p, set()).add(i)
+    heap = [(-c, p[0], p[1]) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < num_merges and heap:
+        negc, l, r = heapq.heappop(heap)
+        best = (l, r)
+        live = pair_counts.get(best, 0)
+        if live <= 0 or -negc != live:
+            continue  # stale entry — a fresher one is (or was) in the heap
+        merges.append(best)
+        touched: set[tuple[str, str]] = set()
+        for i in pair_words.get(best, ()):  # order-independent deltas
+            old = words[i]
+            new = _merge_word(old, l, r)
+            if len(new) == len(old):
+                continue  # stale index entry — pair no longer in word
+            f = freqs[i]
+            for a, b in zip(old, old[1:]):
+                q = (a, b)
+                pair_counts[q] = pair_counts.get(q, 0) - f
+                touched.add(q)
+            for a, b in zip(new, new[1:]):
+                q = (a, b)
+                pair_counts[q] = pair_counts.get(q, 0) + f
+                pair_words.setdefault(q, set()).add(i)
+                touched.add(q)
+            words[i] = new
+        pair_counts[best] = 0  # exhaustively merged everywhere
+        touched.discard(best)
+        for q in touched:
+            cq = pair_counts.get(q, 0)
+            if cq > 0:
+                heapq.heappush(heap, (-cq, q[0], q[1]))
+    return merges
+
+
+def _collect_word_freqs(
+    docs: DataFrame, text_col: str, vocab_cap: int
+) -> dict[tuple[str, ...], int]:
+    wf = (
+        _word_freqs(docs, text_col)
+        .orderBy(F.col("freq").desc(), F.col("w"))
+        .limit(vocab_cap)
+        .collect()
+    )
+    seg: dict[tuple[str, ...], int] = {}
+    for r in wf:
+        seg[tuple(r.w)] = seg.get(tuple(r.w), 0) + r.freq
+    return seg
+
+
+def train_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 16,
+    vocab_cap: int = 65536,
+) -> list[tuple[str, str]]:
+    """Learn `num_merges` BPE merges from the corpus. Returns the merge
+    list in rank order. Driver memory is bounded by `vocab_cap` word
+    forms (deterministic top-K: freq DESC, word ASC); rounds that find
+    no remaining adjacent pair stop early. Runs the incremental trainer
+    (`_merge_loop_fast`); `train_bpe_reference` is the naive spec."""
+    return _merge_loop_fast(
+        _collect_word_freqs(docs, text_col, vocab_cap), num_merges
+    )
+
+
+def train_bpe_reference(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 16,
+    vocab_cap: int = 65536,
+) -> list[tuple[str, str]]:
+    """The executable spec: same distributed statistics, naive
+    per-round recount loop. Tests pin `train_bpe == train_bpe_reference`
+    on every corpus they touch."""
+    return _merge_loop_reference(
+        _collect_word_freqs(docs, text_col, vocab_cap), num_merges
+    )
+
+
+def bpe_ranks(
+    merges: list[tuple[str, str]],
+) -> dict[tuple[str, str], list[int]]:
+    """pair → ascending list of ranks that learned it. A pair CAN be
+    learned twice in a real table (destroyed, then re-created by a
+    later merge and re-learned), so the value is a list."""
+    d: dict[tuple[str, str], list[int]] = {}
+    for i, p in enumerate(merges):
+        d.setdefault(p, []).append(i)
+    return d
+
+
+def bpe_segment(
+    word: str,
+    merges: list[tuple[str, str]],
+    ranks: dict[tuple[str, str], list[int]] | None = None,
+) -> list[str]:
     """Encode one word: apply merges in rank order, each exhaustively —
     reproduces the training segmentation for in-corpus words and
-    composes learned subwords for unseen ones."""
+    composes learned subwords for unseen ones.
+
+    r8: rank-SCHEDULED rather than rank-by-rank — a min-heap holds the
+    ranks whose pairs are actually present, so the cost is
+    O(applicable merges × word_len) instead of O(|merge table| ×
+    word_len). Semantics are identical to the naive scan (pinned by
+    tests): a rank reached while its pair is absent is a no-op in both
+    formulations, and a pair re-created by applying rank r schedules
+    its first remaining rank > r — exactly the ranks the naive loop
+    still has ahead of it. Pass a precomputed `ranks` (see `bpe_ranks`)
+    when segmenting many words under one table."""
+    syms: tuple[str, ...] = tuple(word)
+    if len(syms) < 2:
+        return list(syms)
+    if ranks is None:
+        ranks = bpe_ranks(merges)
+    heap: list[int] = []
+    scheduled: set[int] = set()
+
+    def push(pair: tuple[str, str], after: int) -> None:
+        for rk in ranks.get(pair, ()):
+            if rk > after:
+                if rk not in scheduled:
+                    scheduled.add(rk)
+                    heapq.heappush(heap, rk)
+                return
+
+    for a, b in zip(syms, syms[1:]):
+        push((a, b), -1)
+    while heap:
+        rk = heapq.heappop(heap)
+        l, r = merges[rk]
+        ns = _merge_word(syms, l, r)
+        if len(ns) != len(syms):
+            syms = ns
+            if len(syms) < 2:
+                break
+            for a, b in zip(syms, syms[1:]):
+                push((a, b), rk)
+    return list(syms)
+
+
+def bpe_segment_reference(
+    word: str, merges: list[tuple[str, str]]
+) -> list[str]:
+    """The naive rank-by-rank scan over the full merge table — the
+    executable spec `bpe_segment` is tested against."""
     syms: tuple[str, ...] = tuple(word)
     for left, right in merges:
         if len(syms) < 2:
@@ -147,13 +317,17 @@ def bpe_doc_token_counts(
     distinct_words = tok.select("w").distinct()
 
     def enc(batches):
+        ranks = bpe_ranks(merges)  # once per task, shared across words
         for pdf in batches:
             if not len(pdf):
                 continue
             yield pd.DataFrame(
                 {
                     "w": pdf["w"],
-                    "n": [len(bpe_segment(w, merges)) for w in pdf["w"]],
+                    "n": [
+                        len(bpe_segment(w, merges, ranks))
+                        for w in pdf["w"]
+                    ],
                 }
             )
 

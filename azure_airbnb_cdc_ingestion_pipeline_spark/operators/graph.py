@@ -123,8 +123,17 @@ def pagerank(
     # with multigraph edges (see q_graph_pagerank) the lineage behind
     # deg is the full O(|E|) pair expansion, and the sf30 phase
     # diagnostic measured 18.8 s of pure recompute per extra consumer.
-    deg = edges.groupBy(src).agg(F.sum(weight).alias("_wsum")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # r8 (advisor): both persists route through track_persist so
+    # release_persisted() can reclaim them between catalog queries —
+    # the bare .persist() leaked two cached frames per invocation for
+    # the lifetime of a long bench session. They cannot be unpersisted
+    # inside this function: the returned rank frame is lazy and its
+    # lineage re-enters `norm` on every downstream action.
+    from ..session import track_persist
+
+    deg = track_persist(
+        edges.groupBy(src).agg(F.sum(weight).alias("_wsum")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     if check_dangling:
         dangling = (
@@ -148,14 +157,14 @@ def pagerank(
     # persisted frame re-enters every iteration exchange-free. (The old
     # explicit `.repartition(_s)` duplicated that exchange; the join
     # already leaves the data clustered on src.)
-    norm = (
+    norm = track_persist(
         edges.join(deg.hint("shuffle_hash"), src)
         .select(
             F.col(src).alias("_s"),
             F.col(dst).alias("_d"),
             (F.col(weight) / F.col("_wsum")).alias("_p"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ),
+        StorageLevel.MEMORY_AND_DISK,
     )
     n = deg.count()  # single scalar — bounded driver state
     small = n <= _BROADCAST_NODE_LIMIT

@@ -142,6 +142,7 @@ def _adaptive_lsh_params(
     recall_at: float | None = None,
     max_tables: int = 160,
     threshold: float = 0.95,
+    on_budget_exceeded: str = "raise",
 ) -> tuple[int, int]:
     """Corpus-proportional LSH sizing: with a FIXED plane count the bucket
     grid is constant, so expected bucket occupancy grows ∝ n and the
@@ -218,15 +219,44 @@ def _adaptive_lsh_params(
 
     guarantee = threshold if recall_at is None else recall_at
 
-    def _tables_for(planes: int) -> int:
-        theta_pi = math.acos(max(-1.0, min(1.0, guarantee))) / math.pi
+    def _raw_tables_for(planes: int, at: float) -> int:
+        theta_pi = math.acos(max(-1.0, min(1.0, at))) / math.pi
         p_table = (1.0 - theta_pi) ** planes  # per-table hit prob
         if p_table >= 1.0:
             return num_tables
-        tables = max(
+        return max(
             num_tables, math.ceil(math.log(1e-4) / math.log(1.0 - p_table))
         )
+
+    def _tables_for(planes: int) -> int:
+        tables = _raw_tables_for(planes, guarantee)
         if tables > max_tables:
+            # r8 (advisor): the r7 default (guarantee at the caller's
+            # threshold) crosses max_tables just past the tested
+            # envelope (~4–8M vectors at 28+ planes), which turned
+            # previously best-effort catalog queries into a hard
+            # runtime cliff. Catalog entry points opt into "degrade":
+            # fall back to the near-dup sizing (recall_at=0.999, the
+            # pre-r7 documented-best-effort contract) with a loud
+            # warning instead of crashing a scale leg. Library callers
+            # keep the fail-loud default.
+            if on_budget_exceeded == "degrade":
+                import warnings
+
+                fallback = _raw_tables_for(planes, 0.999)
+                if fallback <= max_tables:
+                    warnings.warn(
+                        f"adaptive LSH: guaranteeing recall at "
+                        f"cos>={guarantee} with {planes} planes needs "
+                        f"{tables} tables (> max_tables={max_tables}); "
+                        f"degrading to the near-dup guarantee point "
+                        f"(cos>=0.999, {fallback} tables) — recall in "
+                        f"[{guarantee}, 0.999) is best-effort for this "
+                        f"run.",
+                        RuntimeWarning,
+                        stacklevel=3,
+                    )
+                    return fallback
             raise ValueError(
                 f"adaptive LSH: meeting the 1e-4 miss budget at "
                 f"cos>={guarantee} with {planes} planes needs {tables} "
@@ -264,6 +294,7 @@ def cosine_pairs_lsh(
     num_tables: int = 4,
     adaptive: bool = True,
     recall_at: float | None = None,
+    on_budget_exceeded: str = "raise",
 ) -> DataFrame:
     """Embedding near-dup at scale: LSH-blocked candidate generation +
     exact-cosine verification — the registered replacement for the
@@ -313,7 +344,7 @@ def cosine_pairs_lsh(
     if adaptive:
         num_planes, num_tables, nbuckets = _adaptive_lsh_params(
             n, num_planes, num_tables, recall_at=recall_at,
-            threshold=threshold,
+            threshold=threshold, on_budget_exceeded=on_budget_exceeded,
         )
     # All tables' sign buckets in ONE Arrow GEMM pass (r5): the unrolled
     # JVM formulation evaluated tables × planes × dim multiply-adds as
@@ -418,7 +449,12 @@ def cosine_pairs_lsh(
                     continue
                 ai = np.searchsorted(ids_s, pdf["a_id"].to_numpy())
                 bi = np.searchsorted(ids_s, pdf["b_id"].to_numpy())
-                cos = np.round(np.einsum("ij,ij->i", Um[ai], Um[bi]), 4)
+                raw = np.einsum("ij,ij->i", Um[ai], Um[bi])
+                # r8 (advisor): HALF_UP to 4dp — the SAME convention as
+                # the inline fallback path's F.round, so the two
+                # env-gated plans are bit-identical when a cos lands
+                # exactly on a 5e-5 boundary (np.round is half-to-even).
+                cos = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
                 keep = cos >= thr
                 if keep.any():
                     yield pd.DataFrame(
@@ -637,7 +673,14 @@ def blocked_topk(
         cid_order = np.argsort(cpdf["cid"].to_numpy(dtype=np.int64), kind="stable")
         cid_rank = np.empty(len(cid_order), dtype=np.float64)
         cid_rank[cid_order] = np.arange(len(cid_order), dtype=np.float64)
-        key = np.round(s, 4) - 1e-11 * cid_rank[:, None]
+        # r8 (advisor): the perturbation must stay below the 5e-5
+        # half-step of the 4dp rounding for EVERY rank in this batch —
+        # a fixed 1e-11 breaks past ~5M rows if the Arrow batch cap is
+        # raised. Scale it from the actual batch size (identical 1e-11
+        # below 2.5M rows, so gated results are unchanged); the floor
+        # stays ≥ thousands of ulps near 1.0 even at 2^31 rows.
+        eps = min(1e-11, 2.5e-5 / max(len(cpdf), 1))
+        key = np.round(s, 4) - eps * cid_rank[:, None]
         cand = np.argpartition(-key, top - 1, axis=0)[:top]
         qids = qpdf["qid"].to_numpy(dtype=np.int64)
         cids = cpdf["cid"].to_numpy(dtype=np.int64)
@@ -1117,6 +1160,7 @@ def cross_cosine_lsh(
     num_tables: int = 4,
     adaptive: bool = True,
     recall_at: float | None = None,
+    on_budget_exceeded: str = "raise",
 ) -> DataFrame:
     """Cross-corpus embedding contamination scan: which LEFT (train)
     vectors are near-duplicates of any RIGHT (eval) vector — the
@@ -1145,7 +1189,7 @@ def cross_cosine_lsh(
     if adaptive:  # the big (train) side governs bucket occupancy
         num_planes, num_tables, nbuckets = _adaptive_lsh_params(
             lu.count(), num_planes, num_tables, recall_at=recall_at,
-            threshold=threshold,
+            threshold=threshold, on_budget_exceeded=on_budget_exceeded,
         )
 
     # r7: bucket via the same Arrow GEMM kernel as `cosine_pairs_lsh` —

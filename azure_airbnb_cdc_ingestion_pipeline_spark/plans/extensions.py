@@ -754,7 +754,14 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the DuckDB oracle stays the exact all-pairs formulation.
     from ..operators.similarity import cosine_pairs_lsh
 
-    out = cosine_pairs_lsh(_emb_aug(spark, sf_dir), "vec_id", "v", threshold=0.95)
+    # on_budget_exceeded="degrade" (r8 advisor): past the adaptive
+    # sizer's max_tables envelope (~4-8M vectors at the 0.95 guarantee)
+    # this catalog key degrades to the near-dup guarantee point with a
+    # RuntimeWarning instead of crashing the scale leg.
+    out = cosine_pairs_lsh(
+        _emb_aug(spark, sf_dir), "vec_id", "v", threshold=0.95,
+        on_budget_exceeded="degrade",
+    )
     return out.select("a_id", "b_id", F.col("cos").alias("cos_sim"))
 
 
@@ -5381,7 +5388,11 @@ def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     train = base.filter(F.col("vec_id") % 17 != 0).unionByName(planted)
-    return cross_cosine_lsh(train, ev, "vec_id", "v", threshold=0.95)
+    # degrade (not crash) past the adaptive table budget — r8 advisor
+    return cross_cosine_lsh(
+        train, ev, "vec_id", "v", threshold=0.95,
+        on_budget_exceeded="degrade",
+    )
 
 
 @query(

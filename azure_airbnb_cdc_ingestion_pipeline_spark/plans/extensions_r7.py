@@ -160,12 +160,20 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 16
 
 
-def _bpe_sql(num_merges: int = _BPE_MERGES) -> str:
+def _bpe_sql(num_merges: int = _BPE_MERGES, vocab_cap: int = 65536) -> str:
     """Round-unrolled BPE training as a WITH-clause body (no leading
     WITH): exposes `tok(doc_id, w)`, `seg{N}(w, freq, seg)` and
-    `bpe_vocab(rank, lhs, rhs, merged)`."""
+    `bpe_vocab(rank, lhs, rhs, merged)`.
+
+    r8 (advisor): the oracle mirrors `train_bpe`'s deterministic
+    `vocab_cap` — pair statistics (`pairs{{k}}`) count only the top-K
+    (freq DESC, w ASC) word forms, exactly the table the Spark trainer
+    collects, while the learned merges still APPLY to every word
+    (`seg{{k}}` is uncapped — matching the Spark encode path, which
+    segments all distinct words). Inert at gated SFs (vocab ≪ cap) but
+    the contract now fails loudly on BOTH sides if a corpus crosses it."""
     parts = [
-        """
+        f"""
     tok AS (
       SELECT doc_id, w FROM (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
@@ -173,6 +181,9 @@ def _bpe_sql(num_merges: int = _BPE_MERGES) -> str:
       ) WHERE w <> ''
     ),
     wf AS MATERIALIZED (SELECT w, count(*) AS freq FROM tok GROUP BY w),
+    wfc AS MATERIALIZED (
+      SELECT w FROM wf ORDER BY freq DESC, w ASC LIMIT {vocab_cap}
+    ),
     seg0 AS MATERIALIZED (
       SELECT w, freq,
              ' ' || array_to_string(
@@ -188,7 +199,8 @@ def _bpe_sql(num_merges: int = _BPE_MERGES) -> str:
       SELECT syms[i] AS l, syms[i + 1] AS r, sum(freq) AS c
       FROM (
         SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i
-        FROM (SELECT freq, string_split(trim(seg), ' ') AS syms FROM seg{p})
+        FROM (SELECT freq, string_split(trim(seg), ' ') AS syms
+              FROM seg{p} JOIN wfc USING (w))
         WHERE len(syms) >= 2
       ) GROUP BY 1, 2
     ),
