@@ -204,17 +204,61 @@ def _encode_ac_band(
         writer.write(code, ln)
 
 
+def _box_downsample(plane: np.ndarray, fh: int, fv: int) -> np.ndarray:
+    """Box-average downsample by (fv, fh), edge-padding odd dims first —
+    the standard chroma decimation encoders apply before 4:2:0/4:2:2."""
+    h, w = plane.shape
+    ph, pw = -(-h // fv) * fv, -(-w // fh) * fh
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return p.reshape(ph // fv, fv, pw // fh, fh).mean(axis=(1, 3))
+
+
+def _quantized_zigzag(
+    plane: np.ndarray, quant: np.ndarray, bh: int, bw: int
+) -> np.ndarray:
+    """Pad a component plane to (bh·8, bw·8), forward-DCT, quantize,
+    zigzag: (bh, bw, 64) int64."""
+    h, w = plane.shape
+    padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    blocks = _blocks_of(padded) - 128.0
+    coef = np.einsum("km,ijmn,ln->ijkl", _C, blocks, _C)
+    qb = np.round(coef / quant).astype(np.int64)
+    return qb.reshape(bh, bw, 64)[..., _INV_ZIGZAG]
+
+
+#: component sampling factors (h, v) per supported subsampling mode
+_SUBSAMPLING = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
+
+
 def encode_jpeg(
     width: int, height: int, channels: int, pixels: bytes,
     progressive: bool = False,
+    subsampling: str = "444",
 ) -> bytes:
     """Sequential-baseline (SOF0) or progressive (SOF2, spectral
     selection only: one interleaved DC scan then one full-band AC scan
-    per component) 4:4:4 JPEG from raw 8-bit pixels (row-major,
-    interleaved for 3-channel RGB). Quality is fixed at the Annex K
-    tables (~50)."""
+    per component) JPEG from raw 8-bit pixels (row-major, interleaved
+    for 3-channel RGB). Quality is fixed at the Annex K tables (~50).
+
+    r8 (VERDICT r7 #1): `subsampling` ∈ {"444", "422", "420"} — 4:2:0
+    and 4:2:2 box-decimate the chroma planes and emit the interleaved
+    MCU scan layout (Y blocks raster-ordered within each MCU, then Cb,
+    then Cr) so the test corpus can exercise the dominant web-JPEG
+    profile. Subsampled encode is baseline-sequential only."""
     if channels not in (1, 3):
         raise NotImplementedError("encode_jpeg supports 1 or 3 channels")
+    if subsampling not in _SUBSAMPLING:
+        raise NotImplementedError(f"unsupported subsampling {subsampling!r}")
+    if subsampling != "444" and channels != 3:
+        subsampling = "444"  # grayscale has no chroma to subsample
+    if subsampling != "444" and progressive:
+        raise NotImplementedError(
+            "progressive + subsampled encode not supported"
+        )
     arr = np.frombuffer(pixels, dtype=np.uint8)
     if arr.size != width * height * channels:
         raise ValueError("pixel buffer does not match width*height*channels")
@@ -228,19 +272,20 @@ def encode_jpeg(
         ]
     else:
         comps = [arr[..., 0]]
-    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    samp = _SUBSAMPLING[subsampling][:channels]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
     quants = [QUANT_LUMA] + [QUANT_CHROMA] * (channels - 1)
+    # MCU grid; per-component block grids are (mcuy·v, mcux·h)
+    mcux, mcuy = -(-width // (8 * hmax)), -(-height // (8 * vmax))
 
-    # quantized zigzag sequences per component: (bh, bw, 64)
     qseq = []
     for ci, comp in enumerate(comps):
-        padded = np.pad(
-            comp, ((0, ph - height), (0, pw - width)), mode="edge"
-        )
-        blocks = _blocks_of(padded) - 128.0
-        coef = np.einsum("km,ijmn,ln->ijkl", _C, blocks, _C)
-        qb = np.round(coef / quants[ci]).astype(np.int64)
-        qseq.append(qb.reshape(ph // 8, pw // 8, 64)[..., _INV_ZIGZAG])
+        hi, vi = samp[ci]
+        if (hi, vi) != (hmax, vmax):
+            comp = _box_downsample(comp, hmax // hi, vmax // vi)
+        qseq.append(_quantized_zigzag(comp, quants[ci], mcuy * vi, mcux * hi))
+    ph, pw = mcuy * vmax * 8, mcux * hmax * 8
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -257,7 +302,8 @@ def encode_jpeg(
     sof_body = struct.pack(">BHHB", 8, height, width, channels)
     for ci in range(channels):
         tq = 0 if ci == 0 else 1
-        sof_body += bytes([ci + 1, 0x11, tq])  # 1×1 sampling: 4:4:4
+        hi, vi = samp[ci]
+        sof_body += bytes([ci + 1, (hi << 4) | vi, tq])
 
     out = b"\xff\xd8"  # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
@@ -280,15 +326,21 @@ def encode_jpeg(
         sos_body += bytes([0, 63, 0])
         writer = _BitWriter()
         prev_dc = [0] * channels
-        for by in range(bh):
-            for bx in range(bw):
+        # interleaved MCU scan order (T.81 A.2.3): per MCU, each
+        # component contributes its h×v blocks raster-ordered. At 4:4:4
+        # this is exactly the old per-block interleave.
+        for my in range(mcuy):
+            for mx in range(mcux):
                 for ci in range(channels):
                     tsel = 0 if ci == 0 else 1
-                    seq = qseq[ci][by, bx]
-                    diff = int(seq[0]) - prev_dc[ci]
-                    prev_dc[ci] = int(seq[0])
-                    _encode_dc(writer, _ENC_DC[tsel], diff)
-                    _encode_ac_band(writer, _ENC_AC[tsel], seq, 1, 63)
+                    hi, vi = samp[ci]
+                    for byy in range(vi):
+                        for bxx in range(hi):
+                            seq = qseq[ci][my * vi + byy, mx * hi + bxx]
+                            diff = int(seq[0]) - prev_dc[ci]
+                            prev_dc[ci] = int(seq[0])
+                            _encode_dc(writer, _ENC_DC[tsel], diff)
+                            _encode_ac_band(writer, _ENC_AC[tsel], seq, 1, 63)
         out += seg(0xDA, sos_body) + writer.flush()
     else:
         # scan 1: interleaved DC-only (Ss=0, Se=0, Ah=0, Al=0)
@@ -530,21 +582,24 @@ def _decode_progressive(
 
 def decode_jpeg(payload: bytes) -> dict:
     """Decode a JPEG within the supported profile: 8-bit, 1 or 3
-    components, 4:4:4, no restarts; baseline sequential (SOF0) fully,
-    progressive (SOF2) via DC first/refinement scans plus
+    components, no restarts; baseline sequential (SOF0) fully —
+    INCLUDING chroma-subsampled 4:2:0 / 4:2:2 interleaved-MCU scans
+    (r8, the dominant web profiles; bilinear chroma upsample) —
+    progressive (SOF2, 4:4:4 only) via DC first/refinement scans plus
     spectral-selection AC scans (Ah=0) — AC successive-approximation
     refinement scans are skipped, degrading to a coarser (never wrong-
     layout) image. Returns {width, height, channels, pixels (bytes,
     RGB/gray row-major), mean_intensity}. ValueError on malformed bytes;
-    NotImplementedError on valid-but-unsupported profiles (subsampled,
-    12-bit, hierarchical, restart intervals, arithmetic coding) so
-    callers degrade to the header walk."""
+    NotImplementedError on valid-but-unsupported profiles (progressive
+    subsampled, non-interleaved baseline, 12-bit, hierarchical, restart
+    intervals, arithmetic coding) so callers degrade to the header
+    walk."""
     if payload is None or not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG payload (bad SOI marker)")
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
-    frame = None  # (h, w, [(cid, tq)])
+    frame = None  # (h, w, [(cid, hi, vi, tq)])
     progressive = False
     scan_comps = None
     # progressive scans: (comps, Ss, Se, Ah, Al, data_start, dc_tabs, ac_tabs)
@@ -613,12 +668,13 @@ def decode_jpeg(payload: bytes) -> dict:
                 raise ValueError("malformed JPEG: truncated SOF components")
             comps = []
             for c in range(ncomp):
-                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling not supported (4:4:4 only)"
-                    )
-                comps.append((cid, tq))
+                cid, sampb, tq = body[6 + 3 * c : 9 + 3 * c]
+                hi, vi = sampb >> 4, sampb & 0x0F
+                if ncomp == 1:
+                    hi = vi = 1  # single-component scans ignore sampling
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError("malformed JPEG: bad sampling factor")
+                comps.append((cid, hi, vi, tq))
             frame = (h, w, comps)
         elif marker == 0xDA:
             if frame is None:
@@ -628,7 +684,7 @@ def decode_jpeg(payload: bytes) -> dict:
             ns = body[0]
             if ns < 1 or len(body) < 1 + 2 * ns:
                 raise ValueError("malformed JPEG: truncated SOS components")
-            frame_ids = {cid for cid, _tq in frame[2]}
+            frame_ids = {cid for cid, _hi, _vi, _tq in frame[2]}
             scan_comps = []
             for c in range(ns):
                 cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
@@ -656,46 +712,90 @@ def decode_jpeg(payload: bytes) -> dict:
     if progressive:
         if not scans:
             raise NoScanData("JPEG has headers but no scan data")
-        return _decode_progressive(payload, frame, quant, scans)
+        if any((hi, vi) != (1, 1) for _cid, hi, vi, _tq in frame[2]):
+            raise NotImplementedError(
+                "progressive subsampled JPEG not supported"
+            )
+        return _decode_progressive(
+            payload,
+            (frame[0], frame[1],
+             [(cid, tq) for cid, _hi, _vi, tq in frame[2]]),
+            quant,
+            scans,
+        )
     if scan_comps is None:
         if frame is not None:
             raise NoScanData("JPEG has headers but no scan data")
         raise ValueError("malformed JPEG: missing SOF/SOS (no scan data)")
+    # r8 (VERDICT r7 #1): generic interleaved-MCU sequential decode —
+    # 4:2:0 / 4:2:2 (the dominant web profiles) and 4:4:4 are the same
+    # loop with per-component (h, v) block counts per MCU. Coefficients
+    # land in per-component stores; dequant+IDCT is one batched einsum
+    # per component; subsampled chroma planes are bilinearly upsampled
+    # to frame size before the color transform.
     h, w, comps = frame
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    if len(scan_comps) != len(comps):
+        raise NotImplementedError(
+            "non-interleaved baseline scan not supported"
+        )
+    hmax = max(hi for _cid, hi, _vi, _tq in comps)
+    vmax = max(vi for _cid, _hi, vi, _tq in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     nch = len(comps)
-    planes = [np.zeros((ph, pw)) for _ in range(nch)]
+    samp_of = {cid: (hi, vi) for cid, hi, vi, _tq in comps}
+    tq_of = {cid: tq for cid, _hi, _vi, tq in comps}
+    comp_pos = {cid: k for k, (cid, _hi, _vi, _tq) in enumerate(comps)}
+    coef = [
+        np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.float64)
+        for _cid, hi, vi, _tq in comps
+    ]
     reader = _BitReader(payload, i)
     prev_dc = [0] * nch
-    tq_of = {cid: tq for cid, tq in comps}
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            for ci, (cid, td, ta) in enumerate(scan_comps):
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, td, ta in scan_comps:
+                ci = comp_pos[cid]
+                hi, vi = samp_of[cid]
                 if td not in huff_dc or ta not in huff_ac or tq_of[cid] not in quant:
                     raise ValueError("malformed JPEG: missing table for scan")
-                seq = np.zeros(64, dtype=np.float64)
-                s = _read_symbol(reader, huff_dc[td])
-                diff = _extend(reader.bits(s), s) if s else 0
-                prev_dc[ci] += diff
-                seq[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    rs = _read_symbol(reader, huff_ac[ta])
-                    r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("malformed JPEG: AC index overrun")
-                    seq[k] = _extend(reader.bits(s), s)
-                    k += 1
-                coef = np.zeros(64)
-                coef[_INV_ZIGZAG] = seq
-                blk = coef.reshape(8, 8) * quant[tq_of[cid]]
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _C.T @ blk @ _C + 128.0
-                )
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        seq = coef[ci][my * vi + byy, mx * hi + bxx]
+                        s = _read_symbol(reader, huff_dc[td])
+                        diff = _extend(reader.bits(s), s) if s else 0
+                        prev_dc[ci] += diff
+                        seq[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(reader, huff_ac[ta])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "malformed JPEG: AC index overrun"
+                                )
+                            seq[k] = _extend(reader.bits(s), s)
+                            k += 1
+    planes = []
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        natural = np.zeros_like(coef[ci])
+        natural[..., _INV_ZIGZAG] = coef[ci]
+        bh_i, bw_i = natural.shape[:2]
+        blk = natural.reshape(bh_i, bw_i, 8, 8) * quant[tq]
+        px = np.einsum("km,ijkl,ln->ijmn", _C, blk, _C) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(bh_i * 8, bw_i * 8)
+        # component's true extent, then upsample to frame size
+        ch = -(-(h * vi) // vmax)
+        cw = -(-(w * hi) // hmax)
+        plane = plane[:ch, :cw]
+        if (ch, cw) != (h, w):
+            from .phash import bilinear_resize  # shared resample kernel
+
+            plane = bilinear_resize(plane, h, w)
+        planes.append(plane)
     return _to_image(planes, h, w)

@@ -91,10 +91,25 @@ def dhash64(gray: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v  # signed-long wrap
 
 
-def _gray_from_png(payload: bytes) -> np.ndarray:
-    from .codecs import decode_png
+def decode_gray(payload: bytes) -> np.ndarray:
+    """Grayscale plane from any pixel-decodable payload — format
+    sniffed from magic bytes (PNG signature / JPEG SOI), decoded by the
+    repo's own codecs (r8: JPEG now includes the baseline 4:2:0/4:2:2
+    web profile, so real-world JPEGs reach the perceptual-hash path
+    instead of degrading to metadata). ValueError on undecodable bytes;
+    NotImplementedError on valid-but-unsupported profiles — same
+    detect-and-degrade contract as `operators.multimodal.decode_media`."""
+    payload = bytes(payload)
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        from .codecs import decode_png
 
-    img = decode_png(bytes(payload))
+        img = decode_png(payload)
+    elif payload.startswith(b"\xff\xd8"):
+        from .jpeg_codec import decode_jpeg
+
+        img = decode_jpeg(payload)
+    else:
+        raise ValueError("not a pixel-decodable payload (PNG/JPEG)")
     px = np.frombuffer(bytes(img["pixels"]), dtype=np.uint8).reshape(
         img["height"], img["width"], img["channels"]
     )
@@ -107,9 +122,9 @@ def phash_frame(
     payload_col: str = "payload",
     include_dhash: bool = False,
 ) -> DataFrame:
-    """(id, phash [, dhash]) per PNG payload — one Arrow map pass, no
-    shuffle; payload bytes never leave their partition. Undecodable
-    payloads raise (route corrupt media through
+    """(id, phash [, dhash]) per PNG/JPEG payload (format-sniffed, r8)
+    — one Arrow map pass, no shuffle; payload bytes never leave their
+    partition. Undecodable payloads raise (route corrupt media through
     `operators.multimodal.decode_features(on_error='quarantine')`
     upstream when the corpus is untrusted)."""
     import pandas as pd
@@ -126,7 +141,7 @@ def phash_frame(
             if include_dhash:
                 out["dhash"] = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                gray = _gray_from_png(payload)
+                gray = decode_gray(payload)
                 out[id_col].append(mid)
                 out["phash"].append(phash64(gray))
                 if include_dhash:

@@ -112,11 +112,12 @@ def decode_media(payload: bytes, mime: str, fake: bool = False) -> dict[str, Any
         }
     if mime in ("image/jpeg", "image/jpg"):
         # full pixel decode for the supported profile (baseline
-        # sequential + progressive 4:4:4 Huffman,
-        # functions/jpeg_codec.py — r5 adds SOF2 DC + spectral-AC scan
-        # reconstruction); detect-and-degrade to the SOF header walk for
-        # header-only artifacts and valid-but-unsupported profiles
-        # (subsampled, 12-bit, restarts). Genuinely corrupt bytes still
+        # sequential — including 4:2:0/4:2:2 interleaved-MCU chroma
+        # subsampling, the dominant web profiles (r8) — plus
+        # progressive 4:4:4 Huffman, functions/jpeg_codec.py);
+        # detect-and-degrade to the SOF header walk for header-only
+        # artifacts and valid-but-unsupported profiles (progressive
+        # subsampled, 12-bit, restarts). Genuinely corrupt bytes still
         # raise ValueError so the quarantine channel keeps routing them.
         from ..functions import jpeg_codec
 

@@ -118,6 +118,9 @@ HEADLINE = [
     "multimodal_phash_dedup",
     "text_bpe_encode",
     "sequence_pack_bpe",
+    # r8: real-world JPEG profiles (4:2:0/4:2:2) reach the image path
+    "multimodal_jpeg420_roundtrip",
+    "multimodal_phash_dedup_mixed",
 ]
 
 
