@@ -34,6 +34,8 @@ def png_info(payload: bytes) -> tuple[int, int, int, int]:
     """Parse the IHDR chunk: (width, height, bit_depth, color_type)."""
     if payload is None or not payload.startswith(PNG_SIG):
         raise ValueError("not a PNG payload (bad signature)")
+    if len(payload) < 29:  # r8 fuzz: truncated header leaked struct.error
+        raise ValueError("malformed PNG: truncated IHDR")
     length, ctype = struct.unpack(">I4s", payload[8:16])
     if ctype != b"IHDR" or length != 13:
         raise ValueError("malformed PNG: first chunk is not IHDR")
@@ -66,13 +68,18 @@ def decode_png(payload: bytes) -> dict:
     idat = bytearray()
     off = 8
     while off < len(payload):
+        if off + 8 > len(payload):  # r8 fuzz: partial chunk header
+            raise ValueError("malformed PNG: truncated chunk header")
         length, ctype = struct.unpack(">I4s", payload[off : off + 8])
         if ctype == b"IDAT":
             idat += payload[off + 8 : off + 8 + length]
         elif ctype == b"IEND":
             break
         off += length + 12  # len + type + data + crc
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # r8 fuzz: corrupt deflate is quarantine,
+        raise ValueError(f"malformed PNG: bad IDAT deflate ({exc})") from exc
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("malformed PNG: unexpected IDAT payload size")

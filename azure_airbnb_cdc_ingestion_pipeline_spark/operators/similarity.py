@@ -27,6 +27,37 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def unit_rows(M):
+    """Row-unit-normalize a (n × dim) float matrix under the kernel-wide
+    adversarial-input policy (r8, VERDICT r7 #8): rows containing
+    NaN/±inf are REPLACED BY ZERO — they score cos 0 against everything,
+    rank last, and can never poison an argpartition order or another
+    row's score — and zero-norm rows likewise stay zero (cos 0, the r6
+    guard). One vectorized isfinite pass per Arrow batch; deterministic.
+    The JVM-expression paths get the equivalent exclusion for free:
+    non-finite cosines fail every `>= threshold` predicate (NaN compares
+    false) — pinned by tests/test_adversarial_kernels.py."""
+    import numpy as np
+
+    M = np.asarray(M, dtype=np.float64)
+    bad = ~np.isfinite(M).all(axis=1)
+    if bad.any():
+        M = M.copy()
+        M[bad] = 0.0
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    # degenerate norms (fuzz-found): subnormal rows whose squared norm
+    # UNDERFLOWS to 0, and huge rows whose squared norm OVERFLOWS to inf
+    # — both get the zero-row policy outright, so the output is exactly
+    # the zero vector, never an unnormalized residue
+    degen = (n.ravel() == 0.0) | ~np.isfinite(n.ravel())
+    if degen.any():
+        if not bad.any():
+            M = M.copy()
+        M[degen] = 0.0
+        n = np.where(degen[:, None], 1.0, n)
+    return M / n
+
+
 def dot(a: Column, b: Column) -> Column:
     """⟨a,b⟩ in double precision (left-fold sum, deterministic order)."""
     return F.aggregate(
@@ -371,10 +402,7 @@ def cosine_pairs_lsh(
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(V, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            U = V / norms
+            U = unit_rows(np.vstack(pdf["v"].to_numpy()))
             signs = (U @ proj >= 0).astype(np.float64)
             cols = [
                 (signs[:, t * num_planes : (t + 1) * num_planes] @ weights).astype(
@@ -434,11 +462,9 @@ def cosine_pairs_lsh(
         ids = np.asarray(tbl.column("id").combine_chunks(), dtype=np.int64)
         flat = tbl.column("v").combine_chunks().flatten()
         V = np.asarray(flat, dtype=np.float64).reshape(len(ids), -1)
-        norms = np.linalg.norm(V, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
         order = np.argsort(ids, kind="stable")
         bc = src.sparkSession.sparkContext.broadcast(
-            (ids[order], (V / norms)[order])
+            (ids[order], unit_rows(V)[order])
         )
         thr = threshold
 
@@ -538,8 +564,7 @@ def numpy_topk(
     corpus = fan_out(corpus)  # tiny-file guard: GEMM batches per partition
     qrows = queries.select(query_id, query_vec).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
-    qm = np.array([r[1] for r in qrows], dtype=np.float64)
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qn = unit_rows(np.array([r[1] for r in qrows], dtype=np.float64))
     take = k + 1  # +1 absorbs a potential self-match dropped below
 
     def score(batches):
@@ -548,9 +573,7 @@ def numpy_topk(
                 continue
             ids = pdf[corpus_id].to_numpy(dtype=np.int64)
             v = np.array(pdf[corpus_vec].tolist(), dtype=np.float64)
-            norms = np.linalg.norm(v, axis=1, keepdims=True)
-            norms[norms == 0.0] = 1.0
-            s = (v / norms) @ qn.T  # (batch × q) cosine matrix
+            s = unit_rows(v) @ qn.T  # (batch × q) cosine matrix
             top = min(take, len(ids))
             # per query-column: indices of the `top` best corpus rows
             cand = np.argpartition(-s, top - 1, axis=0)[:top]
@@ -654,14 +677,10 @@ def blocked_topk(
                  "neighbor_id": pd.Series(dtype="int64"),
                  "cos": pd.Series(dtype="float64")}
             )
-        qm = np.array(qpdf["qv"].tolist(), dtype=np.float64)
-        qnorms = np.linalg.norm(qm, axis=1, keepdims=True)
-        qnorms[qnorms == 0.0] = 1.0  # zero-norm query → cos 0, not NaN
-        qn = qm / qnorms
-        cm = np.array(cpdf["cv"].tolist(), dtype=np.float64)
-        norms = np.linalg.norm(cm, axis=1, keepdims=True)
-        norms[norms == 0.0] = 1.0
-        s = (cm / norms) @ qn.T  # (c_blk × q_blk)
+        # unit_rows: zero-norm AND non-finite rows → cos 0 (r8 policy)
+        qn = unit_rows(np.array(qpdf["qv"].tolist(), dtype=np.float64))
+        cn = unit_rows(np.array(cpdf["cv"].tolist(), dtype=np.float64))
+        s = cn @ qn.T  # (c_blk × q_blk)
         top = min(take, len(cpdf))
         # Select local candidates by the SAME total order the global
         # window uses — (round(cos,4) DESC, neighbor_id ASC) — so a
@@ -769,7 +788,7 @@ def ivf_topk(
     on cell id, so AQE handles uneven cell sizes like any other grouped
     join.
     """
-    from .windows import topk_per_group
+    from .windows import argmax_per_group, topk_per_group
 
     spark = corpus.sparkSession
     if centroids is None:
@@ -791,19 +810,25 @@ def ivf_topk(
         )
     else:
         centers = centroids.select("__cell", "center")
-        # nearest-centroid assignment as one broadcast join + ranking window
+        # nearest-centroid assignment: broadcast cross join + ARGMAX
+        # aggregation. r8 (found by the SCALE_r08 recall ladder filling
+        # the disk at sf100): the old row_number window over the
+        # |corpus| × |centroids| explosion shuffled every exploded row
+        # WITH its embedding payload (~100 GB at 2M × 67). max_by gets
+        # map-side partial aggregation, and the explode is partition-
+        # local, so each corpus id collapses to ONE row before the
+        # exchange — the shuffle is |corpus| rows regardless of the
+        # centroid count. Same (cd DESC, cell ASC) tie order as the
+        # window form (lexicographic struct max).
         scored_cells = corpus.crossJoin(F.broadcast(centers)).select(
             "*", cosine(F.col(corpus_vec), F.col("center")).alias("__cd")
         )
-        assigned = (
-            topk_per_group(
-                scored_cells,
-                [corpus_id],
-                [F.col("__cd"), -F.col("__cell")],
-                k=1,
-                descending=True,
-            )
-            .drop("__cd", "center")
+        payload = [c for c in corpus.columns if c != corpus_id] + ["__cell"]
+        assigned = argmax_per_group(
+            scored_cells,
+            [corpus_id],
+            [F.col("__cd"), -F.col("__cell")],
+            payload,
         )
     probes = topk_per_group(
         queries.crossJoin(F.broadcast(centers)).select(
@@ -1286,14 +1311,21 @@ def pq_topk(
     candidate set is re-scored at full precision.
 
     Deterministic end to end: codebooks are Lloyd iterations (numpy
-    float64, 5 rounds) over a FIXED bounded sample (vec_id < 5000 and
-    ≡0 mod 17 → ≤ 294 training rows at every corpus size), initialized
-    from the first ksub sample rows — no RNG. Scale posture: training
-    sample is driver-bounded by construction; encoding and ADC scanning
-    are Arrow map passes over corpus partitions (no corpus shuffle);
-    each Arrow batch reduces to `shortlist` rows per query before the
-    single |queries|-keyed ranking shuffle; exact re-rank touches only
-    |queries| x shortlist rows.
+    float64, 5 rounds) over a corpus-REPRESENTATIVE sample (r8, VERDICT
+    r7 #3 — the old ≤294-row id-stride sample was statistically thin and
+    id-correlated): every row is admitted iff its md5(id) hash falls
+    under rate = cap/|corpus| (default cap 16 384), so the sample is a
+    uniform draw from the ACTUAL distribution at every corpus size —
+    including 100 TB, where the collect is still ≤ ~cap rows (the
+    bounded-by-contract driver materialization; 16 k × 64 doubles
+    ≈ 8 MB). Hash-order initialization spreads the ksub seeds across the
+    sample deterministically — no RNG anywhere. Normalization matches
+    the scan kernel (unit vectors), so codebooks quantize the same space
+    the codes live in. Scale posture: the sample scan is one map-only
+    filter pass; encoding and ADC scanning are Arrow map passes over
+    corpus partitions (no corpus shuffle); each Arrow batch reduces to
+    `shortlist` rows per query before the single |queries|-keyed ranking
+    shuffle; exact re-rank touches only |queries| x shortlist rows.
     """
     import numpy as np
     import pandas as pd
@@ -1302,34 +1334,42 @@ def pq_topk(
     from ..session import fan_out
 
     sub = dim // m
-    # Training sample: the strided-id filter assumes dense non-negative
-    # integer ids near 0 (ids 0,17,34,…<5000 → ≤294 rows). On an id
-    # space that misses that range it yields nothing — fall back to a
-    # deterministic LIMIT-based sample (orderBy id → stable across
-    # partitionings) rather than crashing in np.vstack, and fail loud
-    # if even the corpus itself can't seat ksub centroids (r6 advisor).
+    sample_cap = 16384
+    n_corpus = corpus.count()
+    rate = min(1.0, sample_cap / max(n_corpus, 1))
+    # md5-stable uniform [0,1) per id — the repo's standard deterministic
+    # sampling primitive (same construction as splits.split_bucket)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(corpus_id).cast("string")), 1, 15), 16, 10
+        ).cast("double")
+        / 1152921504606846975.0
+    )
     sample_rows = (
-        corpus.filter((F.col(corpus_id) < 5000) & (F.col(corpus_id) % 17 == 0))
-        .select(F.col(corpus_vec).cast("array<double>").alias("v"))
+        corpus.select(
+            F.col(corpus_vec).cast("array<double>").alias("v"), u.alias("u")
+        )
+        .filter(F.col("u") < rate)
         .collect()
     )
-    if len(sample_rows) < ksub:
-        sample_rows = (
-            corpus.orderBy(F.col(corpus_id))
-            .limit(300)
-            .select(F.col(corpus_vec).cast("array<double>").alias("v"))
-            .collect()
-        )
     if len(sample_rows) < ksub:
         raise ValueError(
             f"pq_topk: corpus has only {len(sample_rows)} rows — cannot "
             f"train {ksub} centroids per subspace (need >= ksub rows)."
         )
-    train = np.vstack([np.asarray(r.v, dtype=np.float64) for r in sample_rows])
+    # hash order: a deterministic pseudo-random shuffle, so strided init
+    # seeds spread over the distribution rather than over id ranges
+    sample_rows.sort(key=lambda r: r.u)
+    train = unit_rows(
+        np.vstack([np.asarray(r.v, dtype=np.float64) for r in sample_rows])
+    )  # train in the unit space the scan quantizes
+    stride = max(1, len(train) // ksub)
     codebooks = []
     for j in range(m):
         X = train[:, j * sub : (j + 1) * sub]
-        C = X[:ksub].copy()  # deterministic init: first ksub sample rows
+        C = X[::stride][:ksub].copy()
+        if len(C) < ksub:  # tiny sample: pad by wrapping
+            C = np.vstack([C, X[: ksub - len(C)]])
         for _ in range(5):  # Lloyd
             d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
@@ -1345,7 +1385,7 @@ def pq_topk(
     ).collect()
     q_ids = [r[0] for r in q_rows]
     Q = np.vstack([np.asarray(r.qv, dtype=np.float64) for r in q_rows])
-    qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qn = unit_rows(Q)
     # ADC tables: for each query and subspace, dot(q_sub, centroid) —
     # approx dot(q, x) = sum_j table[q][j][code_j(x)]
     tables = np.einsum("qjs,jks->qjk", qn.reshape(len(Q), m, sub), CB)
@@ -1357,9 +1397,7 @@ def pq_topk(
             if not len(pdf):
                 continue
             V = np.vstack(pdf["v"].to_numpy())
-            norms = np.linalg.norm(V, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            U = (V / norms).reshape(len(V), m, sub)
+            U = unit_rows(V).reshape(len(V), m, sub)
             # encode: per subspace nearest centroid
             codes = np.empty((len(V), m), dtype=np.int64)
             for j in range(m):

@@ -141,6 +141,107 @@ def global_rank_with_count(
     return out, acc
 
 
+def global_ntile_multi(
+    df: DataFrame,
+    metrics: Sequence[tuple[str, str]],
+    tie_cols: Sequence[str],
+    n_buckets: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``ntile(n)`` over SEVERAL metrics in ONE shared
+    range-partition + offset pass (r8, VERDICT r7 #5).
+
+    Chaining :func:`global_ntile` per metric pays a full range exchange,
+    per-partition sort, size collect, and offset join PER METRIC — and
+    each pass re-shuffles a frame already carrying the previous passes'
+    machinery (rfm_segments compiled to 52 shuffles that way). Instead:
+    melt the metrics into (tie_cols, __m, __val) rows — 3× the rows but
+    one frame — range-partition ONCE on (__m, __val, tie_cols) (the
+    leading metric key makes ranges metric-contiguous), rank per
+    (partition, metric) locally, collect ALL per-(partition, metric)
+    sizes in one job, offset-join, bucket with the same ANSI allocation
+    as :func:`global_ntile`, and pivot the buckets back to one row per
+    entity. Same results, fixed shuffle count regardless of how many
+    metrics ride along.
+
+    ``metrics`` is ``[(value_col, bucket_col), ...]``; values are cast
+    to double for the shared melt column (exact for ints < 2^53 —
+    ordering is unchanged). ``tie_cols`` must complete a total order
+    per metric, exactly as ``ntile(n) OVER (ORDER BY value, tie)``.
+    Returns one row per distinct ``tie_cols`` with every bucket column.
+    """
+    from collections import defaultdict
+
+    from ..session import track_persist
+
+    mnames = [v for v, _ in metrics]
+    melted = df.select(
+        *tie_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(v).alias("__m"),
+                        F.col(v).cast("double").alias("__val"),
+                    )
+                    for v in mnames
+                ]
+            )
+        ).alias("__mv"),
+    ).select(
+        *tie_cols,
+        F.col("__mv.__m").alias("__m"),
+        F.col("__mv.__val").alias("__val"),
+    )
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    order_cols = [F.col("__m"), F.col("__val")] + [F.col(c) for c in tie_cols]
+    d = melted.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid", "__m").orderBy(*order_cols)
+    # persisted before the size collect for the same reason as
+    # global_rank_with_count: offsets and output must see one sampling
+    ranked = track_persist(d.withColumn("__lr", F.row_number().over(w)))
+    sizes = ranked.groupBy("__pid", "__m").agg(F.max("__lr").alias("n")).collect()
+    per_m: dict[str, list] = defaultdict(list)
+    for r in sizes:
+        per_m[r["__m"]].append((r["__pid"], r["n"]))
+    offsets, totals = [], {}
+    for m, lst in per_m.items():
+        acc = 0
+        for pid, n in sorted(lst):
+            offsets.append((pid, m, acc))
+            acc += n
+        totals[m] = acc
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "__pid int, __m string, __off long"
+    )
+    gr = F.col("__lr") + F.col("__off")
+    bucket = F.lit(None)
+    for m in mnames:
+        n = totals.get(m, 0)
+        q, r = divmod(n, n_buckets) if n else (0, 0)
+        if q == 0:
+            b = gr
+        else:
+            b = F.when(
+                gr <= r * (q + 1), F.floor((gr - 1) / (q + 1)) + 1
+            ).otherwise(r + F.floor((gr - r * (q + 1) - 1) / q) + 1)
+        bucket = F.when(F.col("__m") == m, b).otherwise(bucket)
+    out = ranked.join(F.broadcast(off_df), ["__pid", "__m"]).withColumn(
+        "__b", bucket.cast("int")
+    )
+    return out.groupBy(*tie_cols).agg(
+        *[
+            F.max(F.when(F.col("__m") == v, F.col("__b"))).alias(bc)
+            for v, bc in metrics
+        ]
+    )
+
+
 def global_ntile(
     df: DataFrame,
     order_by: Sequence[str | Column],

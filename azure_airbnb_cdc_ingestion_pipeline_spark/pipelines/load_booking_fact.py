@@ -311,9 +311,18 @@ def load_booking_fact_stream(
     dq_rules: list | None = None,
     dq_on_breach: str = "halt",
     dq_quarantine: ParquetTable | None = None,
+    incremental_gold: bool = False,
+    processing_time: str = "10 seconds",
 ):
     """Streaming entry: drain the change-feed landing dir through the merge
     (exactly-once via checkpoint + idempotent merge).
+
+    ``available_now=False`` runs a CONTINUOUS ``processingTime`` trigger
+    (r8 — the steady-latency consumer shape; ``processing_time`` sets the
+    cadence) and returns the running query without awaiting it.
+    ``incremental_gold=True`` maintains gold with retraction deltas every
+    batch instead of full re-aggregation (see
+    :func:`process_booking_batch`).
 
     ``dq_rules`` (e.g. :func:`booking_expectations`) arms the per-batch
     expectation gate: the suite is evaluated on the derived rows BEFORE
@@ -352,11 +361,12 @@ def load_booking_fact_stream(
             partitioned=partitioned, event_time_wins=event_time_wins,
             app_id=app_id, batch_id=batch_id, merge_on_read=merge_on_read,
             dq_rules=dq_rules, dq_on_breach=dq_on_breach,
-            dq_quarantine=dq_quarantine,
+            dq_quarantine=dq_quarantine, incremental_gold=incremental_gold,
         )
 
     q = run_foreach_batch_merge(
-        stream, _process, checkpoint_dir, available_now=available_now
+        stream, _process, checkpoint_dir, available_now=available_now,
+        processing_time=processing_time,
     )
     if available_now:
         q.awaitTermination()

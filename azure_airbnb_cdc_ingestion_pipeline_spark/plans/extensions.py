@@ -671,9 +671,15 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   ((0.96, 0.28) is a scaled Pythagorean pair: 0.96² + 0.28² = 1).
 #   These pairs sit INSIDE the [threshold, 0.999) band the r6 adaptive
 #   LSH only covered best-effort — they gate the r7 guarantee that
-#   recall is sized at the caller's threshold. Id offset 1e9 is
-#   collision-free at every SF yet keeps vec_id * 2654435761 (the
-#   semdedup hash-sample rank) inside BIGINT.
+#   recall is sized at the caller's threshold. Id offset 5e6 (r8 fix —
+#   found by the SCALE_r08 recall harness): the old 1e9 offset COLLIDED
+#   with the scale generator's replica id space (stride 1e7 per replica;
+#   ids cross 1e9 at k≥100), so 2/3 of planted midband rows at sf30
+#   duplicated a real replica id and the broadcast verify gathered the
+#   wrong vector (midband recall 0.33 — a testbed artifact, not an
+#   engine miss). 5e6 mod 1e7 sits 3e6 clear of both the replica-id
+#   window [0, 2000) and the pert window [100000, 102000) for every
+#   replica count, and keeps vec_id * 2654435761 inside BIGINT.
 _EMB_AUG_SQL = """
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       UNION ALL
@@ -681,7 +687,7 @@ _EMB_AUG_SQL = """
         (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings)
       WHERE vec_id % 29 = 0
       UNION ALL
-      SELECT vec_id + 1000000000,
+      SELECT vec_id + 5000000,
              list_transform(generate_series(1, len(v0)),
                i -> 0.96 * v0[i]
                     + (0.28 * sqrt(nv2 / nw2))
@@ -724,7 +730,7 @@ def _emb_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("nw2", F.expr("nv2 - (dvw * dvw) / nv2"))
         .select(
-            (F.col("vec_id") + F.lit(1000000000)).alias("vec_id"),
+            (F.col("vec_id") + F.lit(5000000)).alias("vec_id"),
             F.expr(
                 "transform(sequence(1, size(v)), i -> "
                 "0.96d * element_at(v, i) + (0.28d * sqrt(nv2 / nw2)) * "

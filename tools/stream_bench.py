@@ -14,6 +14,7 @@ Usage: python tools/stream_bench.py [n_events] [n_files]
        python tools/stream_bench.py --skew [n_events] [n_files]
        python tools/stream_bench.py --bigfact [seed_events] [drip_batches]
        python tools/stream_bench.py --crash [n_events] [n_kills]
+       python tools/stream_bench.py --latency [duration_sec] [batch_events] [drip_period]
 
 --soak (VERDICT r5 #3): merge-on-read read-amplification soak — drip
   n_batches 1-file micro-batches through the MoR path and time the
@@ -431,6 +432,161 @@ def run_bigfact(seed_events: int = 60_000_000, drip_batches: int = 20,
     )
 
 
+class _GoldCommitLog(ParquetTable):
+    """ParquetTable that wall-stamps every overwrite — the gold table's
+    per-batch commit instants for the latency leg."""
+
+    def __init__(self, spark, path):
+        super().__init__(spark, path)
+        self.commits: list[float] = []
+        self.armed = False  # ignore the standing-gold seed overwrite
+
+    def overwrite(self, df, **kw):
+        out = super().overwrite(df, **kw)
+        if self.armed:
+            self.commits.append(time.time())
+        return out
+
+
+def run_latency(duration_sec: int = 630, batch_events: int = 1000,
+                drip_period: float = 5.0, seed_events: int = 6_000_000,
+                trigger: str = "2 seconds") -> None:
+    """Continuous-trigger steady-latency leg (VERDICT r7 #6): a REAL
+    ``processingTime`` trigger (not an availableNow drain) runs for
+    ``duration_sec`` while a feeder drops one ``batch_events``-event file
+    every ``drip_period`` seconds, with INCREMENTAL GOLD maintenance on
+    every batch. Reports p50/p99 event→fact and event→gold visibility
+    latency (file-drop wall → batch commit / gold overwrite wall) and
+    proves the incrementally-maintained gold equals a from-scratch
+    rebuild of the final fact.
+
+    Batch↔file matching: files are dropped with strictly increasing
+    mtimes and ``maxFilesPerTrigger=1``, so the k-th non-empty batch
+    consumes the k-th dropped file (FileStreamSource ordering).
+    Event→fact latency uses the batch's trigger-end instant — the
+    exactly-once visibility point (foreachBatch committed); gold commits
+    are wall-stamped inside the batch by a table subclass, so the two
+    latencies honestly split the in-batch work."""
+    import glob
+    from datetime import datetime, timezone
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.aggregate import (
+        gold_booking_aggregation,
+    )
+
+    spark = get_spark("stream-latency")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="stream_latency_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    try:
+        fact = ParquetTable(spark, os.path.join(work, "fact"))
+        quarantine = ParquetTable(spark, os.path.join(work, "quarantine"))
+        gold = _GoldCommitLog(spark, os.path.join(work, "gold"))
+        dim = spark.createDataFrame(
+            [(i, f"country-{i % 12}") for i in range(500)],
+            "customer_id int, country string",
+        )
+        t0 = time.perf_counter()
+        seeded = _seed_fact(spark, fact, seed_events)
+        seed_sec = time.perf_counter() - t0
+        gold.overwrite(gold_booking_aggregation(fact.read(), dim))
+        gold.armed = True
+
+        # pre-generate every drip file up front so the feeder is a pure
+        # file move — no Spark jobs compete with the running trigger
+        n_files = int(duration_sec // drip_period)
+        stage = os.path.join(work, "stage")
+        _recent_month_drip(
+            spark, stage, batch_events * n_files, n_files, seed_events
+        )
+        staged = sorted(glob.glob(os.path.join(stage, "*.json")))
+
+        q = load_booking_fact_stream(
+            spark, landing, fact, quarantine, os.path.join(work, "ckpt"),
+            dim=dim, gold=gold, available_now=False,
+            processing_time=trigger, max_files_per_trigger=1,
+            incremental_gold=True,
+        )
+        drops: list[float] = []
+        progresses: dict[int, dict] = {}
+
+        def absorb():
+            for p in q.recentProgress:
+                progresses[int(p["batchId"])] = p
+
+        t_start = time.time()
+        for k, src in enumerate(staged):
+            tgt = os.path.join(landing, f"drip_{k:05d}.json")
+            shutil.move(src, tgt)
+            os.utime(tgt)  # strictly-increasing mtime = source order
+            drops.append(time.time())
+            deadline = t_start + (k + 1) * drip_period
+            while time.time() < deadline:
+                absorb()
+                time.sleep(0.4)
+        tail_deadline = time.time() + 30
+        while time.time() < tail_deadline:
+            absorb()
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+        absorb()
+
+        nonempty = [
+            p for _bid, p in sorted(progresses.items())
+            if int(p.get("numInputRows", 0)) > 0
+        ]
+        lat_fact, lat_gold = [], []
+        for i, p in enumerate(nonempty[: len(drops)]):
+            start = datetime.fromisoformat(
+                p["timestamp"].replace("Z", "+00:00")
+            ).astimezone(timezone.utc).timestamp()
+            end = start + float(p["durationMs"]["triggerExecution"]) / 1e3
+            lat_fact.append(end - drops[i])
+        for i, gw in enumerate(gold.commits[: len(drops)]):
+            lat_gold.append(gw - drops[i])
+
+        def pct(xs, q_):
+            if not xs:
+                return None
+            xs = sorted(xs)
+            return round(xs[min(len(xs) - 1, int(q_ * len(xs)))], 3)
+
+        # end-state parity: incremental gold == batch rebuild
+        rebuilt = gold_booking_aggregation(fact.read(), dim)
+        live = gold.read()
+        parity_diff = (
+            rebuilt.exceptAll(live).count() + live.exceptAll(rebuilt).count()
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "cdc_continuous_trigger_latency",
+                    "trigger": trigger,
+                    "duration_sec": round(time.time() - t_start, 1),
+                    "batch_events": batch_events,
+                    "drip_period_sec": drip_period,
+                    "files_dropped": len(drops),
+                    "batches_nonempty": len(nonempty),
+                    "gold_commits": len(gold.commits),
+                    "fact_rows_seeded": seeded,
+                    "seed_sec": round(seed_sec, 1),
+                    "event_to_fact_p50_sec": pct(lat_fact, 0.50),
+                    "event_to_fact_p99_sec": pct(lat_fact, 0.99),
+                    "event_to_gold_p50_sec": pct(lat_gold, 0.50),
+                    "event_to_gold_p99_sec": pct(lat_gold, 0.99),
+                    "offered_events_per_sec": round(
+                        batch_events / drip_period, 1
+                    ),
+                    "gold_parity_diff_rows": parity_diff,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _crash_child(work: str) -> None:
     """Child-process entry: drain whatever is pending, one file per
     trigger. The parent SIGKILLs this mid-drain."""
@@ -556,6 +712,13 @@ def main() -> None:
         run_crash(
             int(sys.argv[2]) if len(sys.argv) > 2 else 100_000,
             int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--latency":
+        run_latency(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 630,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 1000,
+            float(sys.argv[4]) if len(sys.argv) > 4 else 5.0,
         )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--soak":
