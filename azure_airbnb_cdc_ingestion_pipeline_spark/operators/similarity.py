@@ -425,10 +425,12 @@ def cosine_pairs_lsh(
     # (row × table) bucket row would shuffle ~150 GB at 2 M vectors. When
     # the full unit matrix fits a broadcast budget (n·dim·8 bytes ≤
     # SPARK_GRAFT_LSH_BCAST_MB, default 512 MB ≈ 1 M vectors at dim 64),
-    # the candidate plan goes SKINNY (24 B rows: id, tbl, bucket), pairs
-    # are deduped across tables BEFORE any dot is computed, and
+    # the candidate plan goes SKINNY (24 B rows: id, tbl, bucket),
     # verification is a gather-GEMM mapInPandas against the broadcast
-    # matrix — total shuffle ~n·T·24 B + pairs·16 B, an ~8× cut. Beyond
+    # matrix fused NARROWLY onto the join output (r8: dedup runs AFTER
+    # the exact-cos filter — see the candidate-join comment below), and
+    # the pair-keyed dedup shuffle carries only true pairs — total
+    # shuffle ~n·T·24 B + true-pairs·24 B, an ~8× cut. Beyond
     # the budget (unbounded n — the true 100 TB regime, where a matrix
     # broadcast to 1000 executors is the wrong trade) the plan falls back
     # to the r5 inline-carry join below, which stays linear in n with a
@@ -438,25 +440,67 @@ def cosine_pairs_lsh(
     # the scale bench exercises both sides of the gate.
     import os
 
-    budget_mb = float(os.environ.get("SPARK_GRAFT_LSH_BCAST_MB", "512"))
+    # r8: default budget 512 → 2048 MB (≈ 4M vectors at dim 64). The
+    # sf100 recall ladder showed the regimes must line up with the
+    # adaptive sizer: at the at-threshold table count (T ≈ 160 at 2M
+    # vectors) the inline-carry fallback shuffles n·T·544 B (~190 GB at
+    # sf100 — undriveable), while the broadcast matrix is just 1.1 GB —
+    # cheap on any executor profile. Beyond ~4M vectors the at-threshold
+    # guarantee hits max_tables anyway (the documented cliff), and the
+    # recall_at=0.999 degrade regime (T ≈ 7–9) is exactly where
+    # inline-carry's per-row constant becomes viable again — so the two
+    # gates now switch paths in the same neighborhood by design.
+    budget_mb = float(os.environ.get("SPARK_GRAFT_LSH_BCAST_MB", "2048"))
+    # the matrix rides ONE driver collect — cap the gate at ~80% of the
+    # session's effective maxResultSize so a foreign session (stock 1g)
+    # degrades to the inline plan instead of crashing mid-collect
+    try:
+        from pyspark.util import _parse_memory
+
+        mrs = src.sparkSession.conf.get("spark.driver.maxResultSize", "1g")
+        if mrs not in ("0", "0b"):  # 0 = unlimited
+            budget_mb = min(budget_mb, 0.8 * _parse_memory(mrs))
+    except Exception:
+        pass  # unparseable → trust the env budget
     if n * dim * 8 <= budget_mb * (1 << 20):
-        skinny = bucketed.select(
-            "id", F.posexplode("bks").alias("tbl", "sign_bucket")
-        ).select(
-            "id", "tbl",
-            _bucketize(F.col("sign_bucket"), nbuckets).alias("bucket"),
-        )
-        sa, sb = skinny.alias("A"), skinny.alias("B")
-        cand = (
-            sa.join(
-                sb,
-                (F.col("A.tbl") == F.col("B.tbl"))
-                & (F.col("A.bucket") == F.col("B.bucket"))
-                & (F.col("A.id") < F.col("B.id")),
+        # r8 (second sf100 post-mortem): the skinny self-join must be a
+        # SHUFFLED HASH join on an explicitly sized exchange. The default
+        # sort-merge join SORTS both 24 B-row sides — n·T rows each
+        # (346M at the 2M-vector/160-table grid) — and the sorter spill
+        # alone (~2 × 25 GB of UnsafeRow scratch) dwarfed the compressed
+        # exchange (~5 GB). Hash join builds a per-task map instead
+        # (nothing sorts); partition count scales with n·T so the build
+        # side stays ~1.5M rows/task at any corpus size.
+        n_skinny = n * num_tables
+        p_skinny = int(min(2048, max(32, n_skinny // 1_500_000)))
+        skinny = (
+            bucketed.select(
+                "id", F.posexplode("bks").alias("tbl", "sign_bucket")
             )
-            .select(F.col("A.id").alias("a_id"), F.col("B.id").alias("b_id"))
-            .dropDuplicates(["a_id", "b_id"])
+            .select(
+                "id", "tbl",
+                _bucketize(F.col("sign_bucket"), nbuckets).alias("bucket"),
+            )
+            .repartition(p_skinny, "tbl", "bucket")
         )
+        sa, sb = skinny.alias("A").hint("shuffle_hash"), skinny.alias("B")
+        # r8 (sf100 post-mortem): dedup moved AFTER verification. The r7
+        # order — dropDuplicates on the raw candidate stream, then dot —
+        # saved dot products (cheap numpy: ~1.4B × 64 flops ≈ seconds)
+        # by paying a pair-keyed SHUFFLE of every pre-dedup candidate
+        # row (~1.4B rows at the 160-table/2M-vector grid — >50 GB of
+        # sorter scratch; filled the box twice). The candidate join's
+        # output feeds the Arrow verify NARROWLY (no exchange), the
+        # exact-cos filter kills non-pairs in place, and the dedup
+        # shuffle then carries only true pairs × table duplication.
+        # Duplicate pairs verify to IDENTICAL cos (same kernel, same
+        # inputs), so dedup-after-verify emits the same rows.
+        cand = sa.join(
+            sb,
+            (F.col("A.tbl") == F.col("B.tbl"))
+            & (F.col("A.bucket") == F.col("B.bucket"))
+            & (F.col("A.id") < F.col("B.id")),
+        ).select(F.col("A.id").alias("a_id"), F.col("B.id").alias("b_id"))
         # driver materialization is bounded by the budget gate above
         tbl = src.toArrow()
         ids = np.asarray(tbl.column("id").combine_chunks(), dtype=np.int64)
@@ -491,7 +535,9 @@ def cosine_pairs_lsh(
                         }
                     )
 
-        return cand.mapInPandas(_verify, "a_id long, b_id long, cos double")
+        return cand.mapInPandas(
+            _verify, "a_id long, b_id long, cos double"
+        ).dropDuplicates(["a_id", "b_id"])
 
     buckets = bucketed.select(
         "id",

@@ -76,6 +76,15 @@ def get_spark(
         # kernel OOM-killing the JVM). On a real cluster this knob is
         # per-executor and set by the deployment, not here.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()))
+        # r8: the LSH broadcast-verify path materializes the unit matrix
+        # via one bounded driver collect (≤ SPARK_GRAFT_LSH_BCAST_MB,
+        # default 2 GiB) — the stock 1g maxResultSize rejects it at
+        # ~2M vectors. 4g covers the gate with headroom; the dispatch in
+        # cosine_pairs_lsh ALSO reads the session's effective limit, so
+        # a foreign session with the stock 1g degrades to the inline
+        # plan instead of crashing.
+        .config("spark.driver.maxResultSize",
+                os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
