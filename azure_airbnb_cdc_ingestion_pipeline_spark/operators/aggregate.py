@@ -74,6 +74,15 @@ def merge_gold(
     case; a shrinking max needs a per-group recompute, the standard
     materialized-view limitation).
 
+    Float caveat (r8, measured by the continuous-trigger latency leg):
+    a DOUBLE sum maintained by +/- retractions accumulates epsilon-order
+    drift vs a fresh aggregation (different addition order) — ~1e-9
+    relative after 126 k-event batches. Counts and max are unaffected.
+    Treat sums as exact at the repo's money rounding (6 dp) and re-zero
+    the drift with a periodic full refresh (the same cadence pattern as
+    the MoR fold), or store money as DECIMAL when bit-exactness at any
+    horizon is a requirement.
+
     Cost per trigger: one batch-sized aggregation plus a full-outer
     merge on the (low-cardinality) group key — O(batch + |groups|),
     instead of O(fact table).

@@ -315,11 +315,25 @@ def _recent_month_drip(spark, landing_dir: str, n_events: int, n_files: int,
     an UPDATE of an existing fact row and the month precondition holds."""
     n_keys = max(1, min(n_events, (int(n_seed_events * 0.9) - 120) // 120))
     bk = (F.col("id") % n_keys) * 120 + 119
+    # customer_id must equal the booking's CURRENT fact customer (a real
+    # CDC update edits amounts/dates, it does not reassign the customer).
+    # The seed's winner for key K is its latest event: id K+0.9n when the
+    # key had two seed events (K < 0.1n), else id K — so the update
+    # carries that event's customer. (r8: the latency leg's gold parity
+    # check caught the old id%500 churning customers, which MOVES rows
+    # across dim groups and shrinks group maxima — the documented
+    # incremental-max limitation, not an update-in-place workload.)
+    nine = int(n_seed_events * 0.9)
+    winner = F.when(bk < n_seed_events - nine, bk + nine).otherwise(bk)
     df = (
         spark.range(n_events)
         .select(
             F.concat(F.lit("bk-"), bk.cast("string")).alias("booking_id"),
-            (F.col("id") % 500).cast("string").alias("customer_id"),
+            # INT, not string: BOOKING_DOC_SCHEMA types customer_id int,
+            # and the schema-enforced JSON read NULLs a quoted value —
+            # which silently orphaned every update from its dim group
+            # (r8: found by the latency leg's gold parity check)
+            (winner % 500).cast("int").alias("customer_id"),
             F.concat(F.lit("prop-"), (F.col("id") % 1000).cast("string")).alias("property_id"),
             F.lit("2024-03-01").alias("check_in_date"),
             F.lit("2024-03-05").alias("check_out_date"),
@@ -553,11 +567,42 @@ def run_latency(duration_sec: int = 630, batch_events: int = 1000,
             xs = sorted(xs)
             return round(xs[min(len(xs) - 1, int(q_ * len(xs)))], 3)
 
-        # end-state parity: incremental gold == batch rebuild
+        # end-state parity: incremental gold == batch rebuild. count/max
+        # are exact by algebra; total_amount is a DOUBLE sum whose
+        # incremental (+/- retraction) accumulation order differs from a
+        # fresh aggregation, so it carries float-epsilon drift — the
+        # documented materialized-view limitation (merge_gold docstring;
+        # a periodic full refresh re-zeros it). Parity gates at the repo's
+        # 6 dp money convention; exact-diff and max drift are reported so
+        # the epsilon claim is checkable.
+        from pyspark.sql import functions as _F
+
+        def _r6(df):
+            return df.select(
+                "country", "total_bookings", "last_booking_date",
+                _F.round("total_amount", 6).alias("total_amount"),
+            )
+
         rebuilt = gold_booking_aggregation(fact.read(), dim)
         live = gold.read()
         parity_diff = (
+            _r6(rebuilt).exceptAll(_r6(live)).count()
+            + _r6(live).exceptAll(_r6(rebuilt)).count()
+        )
+        exact_diff = (
             rebuilt.exceptAll(live).count() + live.exceptAll(rebuilt).count()
+        )
+        drift = (
+            rebuilt.alias("r")
+            .join(live.alias("l"), "country")
+            .select(
+                _F.max(
+                    _F.abs(
+                        _F.col("r.total_amount") - _F.col("l.total_amount")
+                    )
+                ).alias("m")
+            )
+            .collect()[0]["m"]
         )
         print(
             json.dumps(
@@ -579,7 +624,9 @@ def run_latency(duration_sec: int = 630, batch_events: int = 1000,
                     "offered_events_per_sec": round(
                         batch_events / drip_period, 1
                     ),
-                    "gold_parity_diff_rows": parity_diff,
+                    "gold_parity_diff_rows_6dp": parity_diff,
+                    "gold_parity_exact_diff_rows": exact_diff,
+                    "gold_max_amount_drift": drift,
                 }
             )
         )
