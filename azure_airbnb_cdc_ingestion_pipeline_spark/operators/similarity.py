@@ -55,7 +55,17 @@ def unit_rows(M):
             M = M.copy()
         M[degen] = 0.0
         n = np.where(degen[:, None], 1.0, n)
-    return M / n
+    U = M / n
+    # subnormal-squared norms (|v| ~ 1e-162) lose most of their mantissa
+    # in the sum of squares, so the first divide can be percent-level
+    # off (fuzz-found). One CONDITIONAL second pass fixes those rows;
+    # normal rows (renorm within 1e-12 of 1) are untouched, keeping the
+    # gated-hash outputs bit-identical.
+    rn = np.linalg.norm(U, axis=1, keepdims=True)
+    off = (np.abs(rn.ravel() - 1.0) > 1e-12) & ~degen & (rn.ravel() > 0.0)
+    if off.any():
+        U[off] = U[off] / rn[off]
+    return U
 
 
 def dot(a: Column, b: Column) -> Column:
