@@ -255,10 +255,6 @@ def encode_jpeg(
         raise NotImplementedError(f"unsupported subsampling {subsampling!r}")
     if subsampling != "444" and channels != 3:
         subsampling = "444"  # grayscale has no chroma to subsample
-    if subsampling != "444" and progressive:
-        raise NotImplementedError(
-            "progressive + subsampled encode not supported"
-        )
     arr = np.frombuffer(pixels, dtype=np.uint8)
     if arr.size != width * height * channels:
         raise ValueError("pixel buffer does not match width*height*channels")
@@ -343,7 +339,10 @@ def encode_jpeg(
                             _encode_ac_band(writer, _ENC_AC[tsel], seq, 1, 63)
         out += seg(0xDA, sos_body) + writer.flush()
     else:
-        # scan 1: interleaved DC-only (Ss=0, Se=0, Ah=0, Al=0)
+        # scan 1: interleaved DC-only (Ss=0, Se=0, Ah=0, Al=0) in MCU
+        # order — h×v blocks per component per MCU (r8: subsumes the
+        # old per-block 4:4:4 interleave, so progressive+subsampled
+        # encodes are now legal too)
         sos_body = bytes([channels])
         for ci in range(channels):
             tsel = 0 if ci == 0 else 1
@@ -351,22 +350,30 @@ def encode_jpeg(
         sos_body += bytes([0, 0, 0])
         writer = _BitWriter()
         prev_dc = [0] * channels
-        for by in range(bh):
-            for bx in range(bw):
+        for my in range(mcuy):
+            for mx in range(mcux):
                 for ci in range(channels):
                     tsel = 0 if ci == 0 else 1
-                    diff = int(qseq[ci][by, bx, 0]) - prev_dc[ci]
-                    prev_dc[ci] = int(qseq[ci][by, bx, 0])
-                    _encode_dc(writer, _ENC_DC[tsel], diff)
+                    hi, vi = samp[ci]
+                    for byy in range(vi):
+                        for bxx in range(hi):
+                            dc = int(qseq[ci][my * vi + byy, mx * hi + bxx, 0])
+                            _encode_dc(writer, _ENC_DC[tsel], dc - prev_dc[ci])
+                            prev_dc[ci] = dc
         out += seg(0xDA, sos_body) + writer.flush()
         # one spectral-selection AC scan per component (Ss=1, Se=63):
-        # per-block EOB0 keeps the stream baseline-shaped
+        # per-block EOB0 keeps the stream baseline-shaped. Single-
+        # component scans cover only the component's OWN extent grid
+        # (T.81 A.2.2), not the MCU-padded grid.
         for ci in range(channels):
             tsel = 0 if ci == 0 else 1
+            hi, vi = samp[ci]
+            nbh = -(-(-(-(height * vi) // vmax)) // 8)
+            nbw = -(-(-(-(width * hi) // hmax)) // 8)
             sos_body = bytes([1, ci + 1, tsel]) + bytes([1, 63, 0])
             writer = _BitWriter()
-            for by in range(bh):
-                for bx in range(bw):
+            for by in range(nbh):
+                for bx in range(nbw):
                     _encode_ac_band(
                         writer, _ENC_AC[tsel], qseq[ci][by, bx], 1, 63
                     )
@@ -490,13 +497,28 @@ def _decode_progressive(
     successive-approximation refinement scans are skipped (coefficients
     stay at their coarser approximation — a fidelity degrade, never a
     layout error)."""
-    h, w, comps = frame
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    bh, bw = ph // 8, pw // 8
+    h, w, comps = frame  # [(cid, hi, vi, tq)]
+    hmax = max(hi for _cid, hi, _vi, _tq in comps)
+    vmax = max(vi for _cid, _hi, vi, _tq in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     nch = len(comps)
-    comp_idx = {cid: k for k, (cid, _tq) in enumerate(comps)}
-    # zigzag-order coefficient store per component
-    coef = [np.zeros((bh, bw, 64), dtype=np.int64) for _ in range(nch)]
+    comp_idx = {cid: k for k, (cid, _hi, _vi, _tq) in enumerate(comps)}
+    samp_of = {cid: (hi, vi) for cid, hi, vi, _tq in comps}
+    # per-component geometry: the FULL MCU-padded grid (interleaved DC
+    # scans cover it) and the NON-INTERLEAVED grid over the component's
+    # own extent (single-component scans cover only ceil(dim/8) blocks —
+    # T.81 A.2.2; the MCU padding blocks simply keep zero AC there)
+    full_grid, sub_grid, extent = [], [], []
+    for _cid, hi, vi, _tq in comps:
+        full_grid.append((mcuy * vi, mcux * hi))
+        ch = -(-(h * vi) // vmax)
+        cw = -(-(w * hi) // hmax)
+        extent.append((ch, cw))
+        sub_grid.append((-(-ch // 8), -(-cw // 8)))
+    # zigzag-order coefficient store per component (full grid)
+    coef = [
+        np.zeros((gh, gw, 64), dtype=np.int64) for gh, gw in full_grid
+    ]
     for scomps, ss, se, ah, al, start, dc_tabs, ac_tabs in scans:
         reader = _BitReader(payload, start)
         if ss == 0:
@@ -505,27 +527,64 @@ def _decode_progressive(
                     "malformed JPEG: progressive DC scan with Se != 0"
                 )
             idxs = [comp_idx[cid] for cid, _td, _ta in scomps]
+            interleaved = len(scomps) > 1
             if ah == 0:
                 prev = [0] * len(scomps)
-                for by in range(bh):
-                    for bx in range(bw):
-                        for k, (cid, td, _ta) in enumerate(scomps):
-                            if td not in dc_tabs:
-                                raise ValueError(
-                                    "malformed JPEG: missing DC table"
-                                )
+                if interleaved:  # MCU order, h×v blocks per component
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            for k, (cid, td, _ta) in enumerate(scomps):
+                                if td not in dc_tabs:
+                                    raise ValueError(
+                                        "malformed JPEG: missing DC table"
+                                    )
+                                hi, vi = samp_of[cid]
+                                for byy in range(vi):
+                                    for bxx in range(hi):
+                                        s = _read_symbol(reader, dc_tabs[td])
+                                        diff = (
+                                            _extend(reader.bits(s), s)
+                                            if s else 0
+                                        )
+                                        prev[k] += diff
+                                        coef[idxs[k]][
+                                            my * vi + byy, mx * hi + bxx, 0
+                                        ] = prev[k] << al
+                else:  # single component: raster over its own sub-grid
+                    cid, td, _ta = scomps[0]
+                    if td not in dc_tabs:
+                        raise ValueError("malformed JPEG: missing DC table")
+                    ci = idxs[0]
+                    nbh, nbw = sub_grid[ci]
+                    for by in range(nbh):
+                        for bx in range(nbw):
                             s = _read_symbol(reader, dc_tabs[td])
                             diff = _extend(reader.bits(s), s) if s else 0
-                            prev[k] += diff
-                            coef[idxs[k]][by, bx, 0] = prev[k] << al
+                            prev[0] += diff
+                            coef[ci][by, bx, 0] = prev[0] << al
             else:
-                # DC refinement: one raw bit per block; plain addition is
-                # correct under T.81's arithmetic-shift approximation
-                for by in range(bh):
-                    for bx in range(bw):
-                        for k in idxs:
+                # DC refinement: one raw bit per block in the SAME block
+                # order as the first scan; plain addition is correct
+                # under T.81's arithmetic-shift approximation
+                if interleaved:
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            for k, (cid, _td, _ta) in enumerate(scomps):
+                                hi, vi = samp_of[cid]
+                                for byy in range(vi):
+                                    for bxx in range(hi):
+                                        if reader.bit():
+                                            coef[idxs[k]][
+                                                my * vi + byy,
+                                                mx * hi + bxx, 0,
+                                            ] += 1 << al
+                else:
+                    ci = idxs[0]
+                    nbh, nbw = sub_grid[ci]
+                    for by in range(nbh):
+                        for bx in range(nbw):
                             if reader.bit():
-                                coef[k][by, bx, 0] += 1 << al
+                                coef[ci][by, bx, 0] += 1 << al
         else:
             if len(scomps) != 1:
                 raise ValueError(
@@ -541,9 +600,10 @@ def _decode_progressive(
             if ta not in ac_tabs:
                 raise ValueError("malformed JPEG: missing AC table")
             tab = ac_tabs[ta]
+            nbh, nbw = sub_grid[ci]
             eobrun = 0
-            for by in range(bh):
-                for bx in range(bw):
+            for by in range(nbh):
+                for bx in range(nbw):
                     if eobrun > 0:
                         eobrun -= 1
                         continue
@@ -569,31 +629,40 @@ def _decode_progressive(
                         ) << al
                         k += 1
     planes = []
-    for ci, (cid, tq) in enumerate(comps):
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
         if tq not in quant:
             raise ValueError("malformed JPEG: missing quant table")
-        natural = np.zeros((bh, bw, 64), dtype=np.float64)
+        gh, gw = full_grid[ci]
+        natural = np.zeros((gh, gw, 64), dtype=np.float64)
         natural[..., _INV_ZIGZAG] = coef[ci]
-        blk = natural.reshape(bh, bw, 8, 8) * quant[tq]
+        blk = natural.reshape(gh, gw, 8, 8) * quant[tq]
         px = np.einsum("km,ijkl,ln->ijmn", _C, blk, _C) + 128.0
-        planes.append(px.transpose(0, 2, 1, 3).reshape(ph, pw))
+        plane = px.transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+        ch, cw = extent[ci]
+        plane = plane[:ch, :cw]
+        if (ch, cw) != (h, w):
+            from .phash import bilinear_resize
+
+            plane = bilinear_resize(plane, h, w)
+        planes.append(plane)
     return _to_image(planes, h, w)
 
 
 def decode_jpeg(payload: bytes) -> dict:
     """Decode a JPEG within the supported profile: 8-bit, 1 or 3
-    components, no restarts; baseline sequential (SOF0) fully —
-    INCLUDING chroma-subsampled 4:2:0 / 4:2:2 interleaved-MCU scans
-    (r8, the dominant web profiles; bilinear chroma upsample) —
-    progressive (SOF2, 4:4:4 only) via DC first/refinement scans plus
-    spectral-selection AC scans (Ah=0) — AC successive-approximation
-    refinement scans are skipped, degrading to a coarser (never wrong-
-    layout) image. Returns {width, height, channels, pixels (bytes,
-    RGB/gray row-major), mean_intensity}. ValueError on malformed bytes;
-    NotImplementedError on valid-but-unsupported profiles (progressive
-    subsampled, non-interleaved baseline, 12-bit, hierarchical, restart
-    intervals, arithmetic coding) so callers degrade to the header
-    walk."""
+    components, no restarts; baseline sequential (SOF0) AND progressive
+    (SOF2) — both INCLUDING chroma-subsampled 4:2:0 / 4:2:2
+    interleaved-MCU layouts (r8, the dominant web profiles; bilinear
+    chroma upsample; single-component scans cover the component's own
+    extent grid per T.81 A.2.2). Progressive decodes DC first/refinement
+    scans plus spectral-selection AC scans (Ah=0) exactly; AC
+    successive-approximation refinement scans are skipped, degrading to
+    a coarser (never wrong-layout) image. Returns {width, height,
+    channels, pixels (bytes, RGB/gray row-major), mean_intensity}.
+    ValueError on malformed bytes; NotImplementedError on
+    valid-but-unsupported profiles (non-interleaved baseline, 12-bit,
+    hierarchical, restart intervals, arithmetic coding) so callers
+    degrade to the header walk."""
     if payload is None or not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG payload (bad SOI marker)")
     quant: dict[int, np.ndarray] = {}
@@ -712,17 +781,7 @@ def decode_jpeg(payload: bytes) -> dict:
     if progressive:
         if not scans:
             raise NoScanData("JPEG has headers but no scan data")
-        if any((hi, vi) != (1, 1) for _cid, hi, vi, _tq in frame[2]):
-            raise NotImplementedError(
-                "progressive subsampled JPEG not supported"
-            )
-        return _decode_progressive(
-            payload,
-            (frame[0], frame[1],
-             [(cid, tq) for cid, _hi, _vi, tq in frame[2]]),
-            quant,
-            scans,
-        )
+        return _decode_progressive(payload, frame, quant, scans)
     if scan_comps is None:
         if frame is not None:
             raise NoScanData("JPEG has headers but no scan data")

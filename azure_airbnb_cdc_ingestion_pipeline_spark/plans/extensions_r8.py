@@ -54,13 +54,16 @@ def q_multimodal_jpeg420_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Chroma-subsampled JPEG decode under the oracle gate (VERDICT r7
-    #1): synthesize a constant gray-valued COLOR JPEG per doc — 4:2:0
-    for even doc_ids, 4:2:2 for odd — at dims (12+id%21) × (10+id%17)
-    (never a multiple of 16 ⇒ every image exercises partial MCUs),
-    decode through the `decode_features` Arrow stage, and emit decoded
-    dimensions and mean intensity. Same scan-speed-linear shape as
-    `multimodal_jpeg_roundtrip`: two narrow mapInPandas passes, payload
-    bytes never shuffle."""
+    #1): synthesize a constant gray-valued COLOR JPEG per doc — doc_id
+    mod 4 selects baseline-4:2:0 / baseline-4:2:2 / PROGRESSIVE-4:2:0 /
+    progressive-4:2:2 (late r8: the progressive interleaved-MCU DC scan
+    + per-component extent-grid AC scans decode bit-identically to
+    baseline, so the same analytic oracle gates all four profiles) — at
+    dims (12+id%21) × (10+id%17) (never a multiple of 16 ⇒ every image
+    exercises partial MCUs), decode through the `decode_features` Arrow
+    stage, and emit decoded dimensions and mean intensity. Same
+    scan-speed-linear shape as `multimodal_jpeg_roundtrip`: two narrow
+    mapInPandas passes, payload bytes never shuffle."""
     from ..functions.jpeg_codec import encode_jpeg
     from ..operators.multimodal import decode_features
     from ..session import fan_out
@@ -84,6 +87,7 @@ def q_multimodal_jpeg420_roundtrip(
                     encode_jpeg(
                         w, h, 3, px.tobytes(),
                         subsampling="420" if did % 2 == 0 else "422",
+                        progressive=bool(did % 4 >= 2),
                     )
                 )
             yield pd.DataFrame(
@@ -111,9 +115,11 @@ def _mixed_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the PNG/JPEG format boundary — media_id = doc_id·10 + variant:
     0 = base PNG, 1 = JPEG-4:2:0 re-encode of base (the 'recompressed
     by a CDN' copy), 2 = JPEG-4:2:2 re-encode of the brightness
-    variant, 3 = JPEG-4:2:0 re-encode of the 1-px-crop variant,
-    4 = gamma-curve PNG. Synthesis is a map-only Arrow pass; payloads
-    are born and hashed inside their partition, never shuffled."""
+    variant, 3 = PROGRESSIVE JPEG-4:2:0 re-encode of the 1-px-crop
+    variant (late r8 — progressive decodes bit-identically to baseline,
+    so its pHash distance envelope is the crop+420 one), 4 = gamma-curve
+    PNG. Synthesis is a map-only Arrow pass; payloads are born and
+    hashed inside their partition, never shuffled."""
     from ..functions.codecs import encode_png
     from ..functions.jpeg_codec import encode_jpeg
     from ..session import fan_out
@@ -125,9 +131,12 @@ def _mixed_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def _jpeg(px: np.ndarray, ss: str) -> bytes:
+    def _jpeg(px: np.ndarray, ss: str, progressive: bool = False) -> bytes:
         rgb = np.repeat(px[:, :, None], 3, axis=2)
-        return encode_jpeg(_IMG, _IMG, 3, rgb.tobytes(), subsampling=ss)
+        return encode_jpeg(
+            _IMG, _IMG, 3, rgb.tobytes(), subsampling=ss,
+            progressive=progressive,
+        )
 
     def gen(batches):
         for pdf in batches:
@@ -140,7 +149,7 @@ def _mixed_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     encode_png(_IMG, _IMG, 1, fam[0].tobytes()),
                     _jpeg(fam[0], "420"),
                     _jpeg(fam[1], "422"),
-                    _jpeg(fam[4], "420"),
+                    _jpeg(fam[4], "420", progressive=True),
                     encode_png(_IMG, _IMG, 1, fam[2].tobytes()),
                 ]
                 for v, payload in enumerate(variants):

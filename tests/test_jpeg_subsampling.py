@@ -93,17 +93,42 @@ def test_grayscale_ignores_subsampling():
 def test_unsupported_profiles_degrade_not_crash():
     img = _smooth_rgb(16, 16)
     with pytest.raises(NotImplementedError):
-        encode_jpeg(16, 16, 3, img.tobytes(), progressive=True,
-                    subsampling="420")
-    with pytest.raises(NotImplementedError):
         encode_jpeg(16, 16, 3, img.tobytes(), subsampling="411")
-    # hand-build a progressive+subsampled header: decode must degrade
-    # (NotImplementedError), not misdecode
-    seq = encode_jpeg(16, 16, 3, img.tobytes(), subsampling="420")
-    i = seq.index(b"\xff\xc0")
-    prog = seq[:i] + b"\xff\xc2" + seq[i + 2:]
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(prog)
+
+
+@pytest.mark.parametrize("ss", ["420", "422", "444"])
+def test_progressive_subsampled_decodes_identically_to_baseline(ss):
+    """Late r8: progressive + subsampled (the second most common web
+    profile) — the interleaved-MCU DC scan and per-component extent-grid
+    AC scans must reconstruct the SAME coefficients as baseline, so the
+    decoded pixels are bit-identical."""
+    for dims in ((67, 53), (16, 16), (9, 11)):
+        h, w = dims
+        img = _smooth_rgb(h, w)
+        b = decode_jpeg(encode_jpeg(w, h, 3, img.tobytes(), subsampling=ss))
+        p = decode_jpeg(
+            encode_jpeg(w, h, 3, img.tobytes(), subsampling=ss,
+                        progressive=True)
+        )
+        assert b["pixels"] == p["pixels"], (ss, dims)
+
+
+@pytest.mark.parametrize("ss", ["420", "422"])
+def test_progressive_subsampled_constant_bit_exact(ss):
+    img = np.full((23, 37, 3), 118, np.uint8)
+    dec = decode_jpeg(
+        encode_jpeg(37, 23, 3, img.tobytes(), subsampling=ss,
+                    progressive=True)
+    )
+    assert (np.frombuffer(dec["pixels"], np.uint8) == 118).all()
+
+
+def test_progressive_subsampled_truncation_raises_valueerror():
+    img = _smooth_rgb(32, 32)
+    enc = encode_jpeg(32, 32, 3, img.tobytes(), subsampling="420",
+                      progressive=True)
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[: len(enc) - 30])
 
 
 def test_truncated_subsampled_scan_raises_valueerror():
