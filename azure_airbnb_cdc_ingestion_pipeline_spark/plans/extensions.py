@@ -5922,12 +5922,18 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions, end exclusive.
 
     Scale: positional shingles are a map-side explode (linear in corpus
-    tokens); the duplicate-shingle set comes from ONE (shingle)-keyed
-    agg filtered to distinct-doc-count ≥ 2, and the span merge is a
-    single per-doc window (gaps-and-islands — break when consecutive
-    marked positions are > 8 apart). Shingles join by TEXT here so the
-    SQL oracle replays bit-exactly; at 100 TB key the join on
-    xxhash64(shingle) instead (same plan shape, 8-byte keys)."""
+    tokens); the duplicate-shingle set comes from ONE keyed agg filtered
+    to distinct-doc-count ≥ 2, and the span merge is a single per-doc
+    window (gaps-and-islands — break when consecutive marked positions
+    are > 8 apart). r8 (sf100 task audit: 38 GB of spill on the
+    text-keyed exchanges): the shingle TEXT never shuffles — rows carry
+    (xxhash64, crc32) of the shingle (two independent native codegen
+    hashes, 12 B of key vs ~80 B variable strings, computed inside the
+    explode so the text dies in its partition; md5 was tried first and
+    its per-shingle cost regressed the CPU-bound small-SF wall 1.7×).
+    96 combined bits ⇔ string equality at ~4e-13 collision odds over
+    the sf100 shingle population, so the oracle stays the raw-string
+    formulation and hash-matches bit-for-bit."""
     d = _t(spark, sf_dir, "documents").withColumn(
         "__t", F.split(F.lower("text"), " ")
     )
@@ -5941,20 +5947,30 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sequence(F.lit(1), npos),
                     lambda i: F.struct(
                         i.alias("p"),
-                        F.concat_ws(" ", F.slice("__t", i, 8)).alias("s"),
+                        F.xxhash64(
+                            F.concat_ws(" ", F.slice("__t", i, 8))
+                        ).alias("k1"),
+                        F.crc32(
+                            F.concat_ws(" ", F.slice("__t", i, 8))
+                        ).alias("k2"),
                     ),
                 )
             ).alias("ps"),
         )
-        .select("doc_id", F.col("ps.p").alias("p"), F.col("ps.s").alias("s"))
+        .select(
+            "doc_id",
+            F.col("ps.p").alias("p"),
+            F.col("ps.k1").alias("k1"),
+            F.col("ps.k2").alias("k2"),
+        )
     )
     dup = (
-        sh.groupBy("s")
+        sh.groupBy("k1", "k2")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("s")
+        .select("k1", "k2")
     )
-    marked = sh.join(dup, "s").select("doc_id", "p")
+    marked = sh.join(dup, ["k1", "k2"]).select("doc_id", "p")
     w = Window.partitionBy("doc_id").orderBy("p")
     brk = marked.withColumn(
         "nb",

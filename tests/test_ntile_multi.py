@@ -1,0 +1,70 @@
+"""global_ntile_multi (r8, VERDICT r7 #5): the melted multi-metric exact
+ntile must equal per-metric global_ntile (itself pinned to ANSI ntile)
+on every metric, for uneven bucket allocations and negative/duplicate
+values, while sharing one range pass."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_airbnb_cdc_ingestion_pipeline_spark.operators.windows import (
+    global_ntile,
+    global_ntile_multi,
+)
+
+
+def _frame(spark, n=97):
+    return spark.range(n).select(
+        F.col("id").alias("uid"),
+        (F.col("id") * 37 % 11).alias("m1"),          # heavy ties
+        (-F.col("id") % 13).cast("double").alias("m2"),
+        (F.col("id") * 7919 % 1000 / 3.0).alias("m3"),
+    )
+
+
+@pytest.mark.parametrize("n_buckets", [2, 4, 7])
+def test_multi_equals_per_metric_global_ntile(spark, n_buckets):
+    df = _frame(spark)
+    multi = {
+        r.uid: (r.b1, r.b2, r.b3)
+        for r in global_ntile_multi(
+            df, [("m1", "b1"), ("m2", "b2"), ("m3", "b3")],
+            tie_cols=["uid"], n_buckets=n_buckets,
+        ).collect()
+    }
+    singles = {}
+    for i, m in enumerate(["m1", "m2", "m3"]):
+        out = global_ntile(df, [m, "uid"], n_buckets, "b")
+        for r in out.collect():
+            singles.setdefault(r.uid, [None] * 3)[i] = r.b
+    assert multi == {k: tuple(v) for k, v in singles.items()}
+
+
+def test_multi_matches_builtin_ntile(spark):
+    from pyspark.sql import Window
+
+    df = _frame(spark, 41)
+    w = Window.orderBy("m1", "uid")
+    expect = {
+        r.uid: r.q
+        for r in df.withColumn("q", F.ntile(4).over(w)).collect()
+    }
+    got = {
+        r.uid: r.q
+        for r in global_ntile_multi(
+            df, [("m1", "q")], tie_cols=["uid"], n_buckets=4
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_multi_single_row_and_fewer_rows_than_buckets(spark):
+    df = _frame(spark, 3)
+    out = {
+        r.uid: (r.a, r.b)
+        for r in global_ntile_multi(
+            df, [("m1", "a"), ("m2", "b")], tie_cols=["uid"], n_buckets=10
+        ).collect()
+    }
+    assert len(out) == 3
+    # with n < buckets, ANSI ntile assigns bucket = rank
+    assert sorted(v[0] for v in out.values()) == [1, 2, 3]
