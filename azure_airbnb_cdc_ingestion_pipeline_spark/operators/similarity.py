@@ -44,7 +44,12 @@ def unit_rows(M):
     if bad.any():
         M = M.copy()
         M[bad] = 0.0
-    n = np.linalg.norm(M, axis=1, keepdims=True)
+    # errstate: huge-magnitude rows overflow inside the norm's sum of
+    # squares BEFORE the degenerate-norm branch zeroes them — correct
+    # either way, but without the suppression every Arrow batch holding
+    # such a row spams a RuntimeWarning to executor logs (r8 advisor).
+    with np.errstate(over="ignore", invalid="ignore"):
+        n = np.linalg.norm(M, axis=1, keepdims=True)
     # degenerate norms (fuzz-found): subnormal rows whose squared norm
     # UNDERFLOWS to 0, and huge rows whose squared norm OVERFLOWS to inf
     # — both get the zero-row policy outright, so the output is exactly

@@ -165,8 +165,10 @@ def global_ntile_multi(
     metrics ride along.
 
     ``metrics`` is ``[(value_col, bucket_col), ...]``; values are cast
-    to double for the shared melt column (exact for ints < 2^53 —
-    ordering is unchanged). ``tie_cols`` must complete a total order
+    to double for the shared melt column (exact for ints < 2^53; bigint
+    metrics are range-guarded in the melt projection and raise_error
+    past that boundary rather than silently misordering — r8 advisor).
+    ``tie_cols`` must complete a total order
     per metric, exactly as ``ntile(n) OVER (ORDER BY value, tie)``.
     Returns one row per distinct ``tie_cols`` with every bucket column.
     """
@@ -175,6 +177,31 @@ def global_ntile_multi(
     from ..session import track_persist
 
     mnames = [v for v, _ in metrics]
+
+    # Shared-melt safety (r8 advisor): the melt column is double, exact
+    # for |int| < 2^53 — a bigint metric at or past that silently
+    # misorders relative to per-metric global_ntile. Enforce fail-loud
+    # for bigint metrics: one per-row range compare fused into the melt
+    # projection (no extra pass), raise_error past the boundary.
+    dtypes = dict(df.dtypes)
+    lim = 1 << 53
+
+    def _melt_val(v: str):
+        col = F.col(v).cast("double")
+        if dtypes.get(v) == "bigint":
+            return F.when(
+                (F.col(v) > F.lit(-lim)) & (F.col(v) < F.lit(lim)), col
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"global_ntile_multi: metric '{v}' has |value| >= "
+                        "2^53 — not exactly representable as double; "
+                        "rank it with per-metric global_ntile instead"
+                    )
+                ).cast("double")
+            )
+        return col
+
     melted = df.select(
         *tie_cols,
         F.explode(
@@ -182,7 +209,7 @@ def global_ntile_multi(
                 *[
                     F.struct(
                         F.lit(v).alias("__m"),
-                        F.col(v).cast("double").alias("__val"),
+                        _melt_val(v).alias("__val"),
                     )
                     for v in mnames
                 ]

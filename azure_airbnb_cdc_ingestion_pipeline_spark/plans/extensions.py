@@ -5933,7 +5933,26 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     its per-shingle cost regressed the CPU-bound small-SF wall 1.7×).
     96 combined bits ⇔ string equality at ~4e-13 collision odds over
     the sf100 shingle population, so the oracle stays the raw-string
-    formulation and hash-matches bit-for-bit."""
+    formulation and hash-matches bit-for-bit.
+
+    r9 (sf100 re-audit: 7.9 GB disk / 16 GB memory spill remained on
+    the hash-keyed exchanges): three fixes to the exchange posture —
+    (1) the "≥ 2 distinct docs" test is min(doc_id) ≠ max(doc_id), not
+    count_distinct, whose planning dedups (k1,k2,doc_id) through a
+    SECOND near-unique-key aggregate (the min/max partial state is
+    16 B/key and map-side combinable); (2) both (k1,k2) exchanges run
+    under a `sized_shuffle` window (partitions ∝ shingle rows, sized by
+    a cheap length-scan estimate — near-unique keys get no map-side
+    reduction, so per-task hash maps must be bounded by partition
+    count, the r7 graph lesson); (3) the mark-back join hints
+    shuffle_hash (build = the duplicated-shingle side, density-bounded)
+    so no sort-merge sorts 400 M shingle rows. The shingle string is
+    built ONCE per position and hashed twice (r8 advisor — the
+    transform emits (p, s), the post-explode projection hashes s; both
+    stay in the same codegen stage, the text still dies in its
+    partition)."""
+    from ..operators.graph import sized_shuffle
+
     d = _t(spark, sf_dir, "documents").withColumn(
         "__t", F.split(F.lower("text"), " ")
     )
@@ -5947,12 +5966,7 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sequence(F.lit(1), npos),
                     lambda i: F.struct(
                         i.alias("p"),
-                        F.xxhash64(
-                            F.concat_ws(" ", F.slice("__t", i, 8))
-                        ).alias("k1"),
-                        F.crc32(
-                            F.concat_ws(" ", F.slice("__t", i, 8))
-                        ).alias("k2"),
+                        F.concat_ws(" ", F.slice("__t", i, 8)).alias("s"),
                     ),
                 )
             ).alias("ps"),
@@ -5960,17 +5974,33 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("ps.p").alias("p"),
-            F.col("ps.k1").alias("k1"),
-            F.col("ps.k2").alias("k2"),
+            F.xxhash64("ps.s").alias("k1"),
+            F.crc32("ps.s").alias("k2"),
         )
     )
-    dup = (
-        sh.groupBy("k1", "k2")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("k1", "k2")
+    # shingle-count estimate for exchange sizing: one scalar length
+    # scan (no split/explode — chars/token ≈ 6 on any natural corpus;
+    # an over-estimate only adds partitions, which is the safe side)
+    est_rows = int(
+        _t(spark, sf_dir, "documents")
+        .select((F.coalesce(F.sum(F.length("text")), F.lit(0)) / 6).alias("n"))
+        .collect()[0]["n"]
     )
-    marked = sh.join(dup, ["k1", "k2"]).select("doc_id", "p")
+    with sized_shuffle(spark, est_rows, rows_per_task=1_500_000):
+        dup = (
+            sh.groupBy("k1", "k2")
+            .agg(
+                F.min("doc_id").alias("d0"),
+                F.max("doc_id").alias("d1"),
+            )
+            .filter(F.col("d0") != F.col("d1"))
+            .select("k1", "k2")
+        )
+        marked = (
+            sh.join(dup.hint("shuffle_hash"), ["k1", "k2"])
+            .select("doc_id", "p")
+            .localCheckpoint(eager=True)
+        )
     w = Window.partitionBy("doc_id").orderBy("p")
     brk = marked.withColumn(
         "nb",

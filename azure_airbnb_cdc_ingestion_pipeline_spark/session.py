@@ -28,6 +28,20 @@ def _default_driver_mem() -> str:
         return "8g"
 
 
+def _default_max_result(driver_mem: str) -> str:
+    """Default spark.driver.maxResultSize: min(4 GiB, driver heap / 2).
+
+    The LSH broadcast-verify gate sizes its collect against this limit,
+    so it must never EQUAL the heap (r8 advisor: a flat 4g limit inside
+    a 4g heap on an 8 GiB host left no headroom for the collect plus its
+    broadcast copy). Falls back to 2g if the heap string is exotic."""
+    try:
+        gb = int(str(driver_mem).lower().rstrip("gb"))
+        return f"{max(1, min(4, gb // 2))}g"
+    except ValueError:
+        return "2g"
+
+
 def get_spark(
     app_name: str = "airbnb-cdc-spark",
     master: str | None = None,
@@ -44,6 +58,9 @@ def get_spark(
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    _driver_mem = os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()
+    )
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -75,16 +92,20 @@ def get_spark(
         # the old 64g; a 16 GiB laptop gets 8g and spills instead of the
         # kernel OOM-killing the JVM). On a real cluster this knob is
         # per-executor and set by the deployment, not here.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()))
+        .config("spark.driver.memory", _driver_mem)
         # r8: the LSH broadcast-verify path materializes the unit matrix
         # via one bounded driver collect (≤ SPARK_GRAFT_LSH_BCAST_MB,
         # default 2 GiB) — the stock 1g maxResultSize rejects it at
-        # ~2M vectors. 4g covers the gate with headroom; the dispatch in
-        # cosine_pairs_lsh ALSO reads the session's effective limit, so
-        # a foreign session with the stock 1g degrades to the inline
+        # ~2M vectors. min(4g, driver_mem/2) covers the gate with
+        # headroom while never letting the limit EQUAL the heap on
+        # small hosts (r8 advisor: a 4g limit inside a 4g heap admits a
+        # ~2 GiB collect + broadcast copy with no headroom); the
+        # dispatch in cosine_pairs_lsh ALSO reads the session's
+        # effective limit, so a tight session degrades to the inline
         # plan instead of crashing.
         .config("spark.driver.maxResultSize",
-                os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"))
+                os.environ.get("SPARK_GRAFT_MAX_RESULT",
+                               _default_max_result(_driver_mem)))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
