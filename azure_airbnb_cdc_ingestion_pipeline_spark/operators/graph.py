@@ -88,6 +88,16 @@ _BROADCAST_NODE_LIMIT = 250_000
 #: the shuffle-reuse map grow without bound.
 _CHECKPOINT_EVERY = 2
 
+#: Below this many edge rows the checkpoint+GC hygiene is pure fixed
+#: overhead (r8 verdict: ~2 s of the 6.85 s sf0.1 wall for a 20-row
+#: answer): five iterations' superseded shuffle generations over <20 M
+#: 24 B rows total a few GB of scratch — harmless to retain for the
+#: job's lifetime — while each System.gc() on a large local heap costs
+#: ~0.5-1 s and each eager checkpoint a full job barrier. Above it, the
+#: r7 sf100 post-mortem applies (retained generations filled the disk
+#: before iteration 3) and the hygiene stays on every _CHECKPOINT_EVERY.
+_CHECKPOINT_MIN_EDGES = 20_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -168,6 +178,11 @@ def pagerank(
     )
     n = deg.count()  # single scalar — bounded driver state
     small = n <= _BROADCAST_NODE_LIMIT
+    # Materializing the persisted edge layout HERE (instead of letting
+    # iteration 1 do it) costs nothing extra and yields |E| — the gate
+    # for the checkpoint+GC cadence below (r9: hygiene off at small |E|).
+    e_rows = norm.count()
+    hygiene = e_rows > _CHECKPOINT_MIN_EDGES
     ranks = deg.select(F.col(src).alias("node"), F.lit(1.0 / n).alias("r"))
     for it in range(iterations):
         # ranks is O(|V|): below the gate, broadcast it so each
@@ -193,7 +208,7 @@ def pagerank(
         # referenced (and on disk) to the end. The checkpoint
         # materializes only the O(|V|) rank frame; the payoff is that
         # everything older becomes unreachable and reclaimable.
-        if (it + 1) % _CHECKPOINT_EVERY == 0 and it + 1 < iterations:
+        if hygiene and (it + 1) % _CHECKPOINT_EVERY == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
             # r7 (sf100 post-mortem): shuffle FILES for superseded
             # iterations are only deleted when ContextCleaner notices

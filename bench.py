@@ -277,12 +277,15 @@ def main() -> None:
         diag["io_mb"] = io_stats
     if diag:
         print(json.dumps(diag), file=sys.stderr)
-        try:
-            here = os.path.dirname(os.path.abspath(__file__))
-            with open(os.path.join(here, "BENCH_DIAG.json"), "w") as f:
-                json.dump({**out, **diag}, f, indent=1)
-        except OSError:
-            pass
+        # BENCH_ONLY subset probes must not clobber the full-suite
+        # diagnostic — it is the strict gate's prior-wall reference
+        if not os.environ.get("SPARK_GRAFT_BENCH_ONLY"):
+            try:
+                here = os.path.dirname(os.path.abspath(__file__))
+                with open(os.path.join(here, "BENCH_DIAG.json"), "w") as f:
+                    json.dump({**out, **diag}, f, indent=1)
+            except OSError:
+                pass
     print(json.dumps(out))
     if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
         print(
