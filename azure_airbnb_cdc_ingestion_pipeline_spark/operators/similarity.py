@@ -849,7 +849,9 @@ def ivf_topk(
     on cell id, so AQE handles uneven cell sizes like any other grouped
     join.
     """
-    from .windows import argmax_per_group, topk_per_group
+    import numpy as np
+
+    from .windows import topk_per_group
 
     spark = corpus.sparkSession
     if centroids is None:
@@ -871,26 +873,44 @@ def ivf_topk(
         )
     else:
         centers = centroids.select("__cell", "center")
-        # nearest-centroid assignment: broadcast cross join + ARGMAX
-        # aggregation. r8 (found by the SCALE_r08 recall ladder filling
-        # the disk at sf100): the old row_number window over the
-        # |corpus| × |centroids| explosion shuffled every exploded row
-        # WITH its embedding payload (~100 GB at 2M × 67). max_by gets
-        # map-side partial aggregation, and the explode is partition-
-        # local, so each corpus id collapses to ONE row before the
-        # exchange — the shuffle is |corpus| rows regardless of the
-        # centroid count. Same (cd DESC, cell ASC) tie order as the
-        # window form (lexicographic struct max).
-        scored_cells = corpus.crossJoin(F.broadcast(centers)).select(
-            "*", cosine(F.col(corpus_vec), F.col("center")).alias("__cd")
+        # nearest-centroid assignment: Arrow GEMM kernel (r9). History:
+        # r8 replaced the row_number window over the |corpus|×|centroids|
+        # explosion (~100 GB payload shuffle at 2M × 67) with a map-side
+        # argmax agg — shuffle dropped to |corpus| rows, but the cosine
+        # itself still evaluated as a per-pair JVM fold over the arrays:
+        # 145 M × 64-element folds ≈ 100 s of the 121 s sf100 recall
+        # wall. The centroid set is bounded BY CONTRACT (broadcast
+        # metadata), so collect it once and score each corpus Arrow
+        # batch against ALL centroids with ONE numpy matmul — no
+        # crossJoin, no exchange at all (the kernel emits exactly one
+        # row per corpus row, cell attached). Tie order matches the old
+        # argmax: HALF_UP round to 9 dp, lowest cell id on ties
+        # (centroid columns sorted by cell id; argmax takes the first
+        # max). unit_rows gives non-finite/zero rows cos 0 everywhere,
+        # same keep-ranked-last policy as every other Arrow kernel.
+        crows = sorted(centers.collect(), key=lambda r: r["__cell"])
+        c_ids = np.array([r["__cell"] for r in crows], dtype=np.int64)
+        Cn = unit_rows(np.array([r["center"] for r in crows], dtype=np.float64))
+        out_fields = corpus.schema.fields
+        out_schema = ", ".join(
+            [f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields]
+            + ["__cell int"]
         )
-        payload = [c for c in corpus.columns if c != corpus_id] + ["__cell"]
-        assigned = argmax_per_group(
-            scored_cells,
-            [corpus_id],
-            [F.col("__cd"), -F.col("__cell")],
-            payload,
-        )
+        vec_name = corpus_vec
+
+        def _assign(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array(pdf[vec_name].tolist(), dtype=np.float64)
+                s = unit_rows(V) @ Cn.T  # (batch × n_centroids)
+                s = np.sign(s) * np.floor(np.abs(s) * 1e9 + 0.5) / 1e9
+                best = np.argmax(s, axis=1)  # first max = lowest cell id
+                out = pdf.copy()
+                out["__cell"] = c_ids[best].astype(np.int32)
+                yield out
+
+        assigned = corpus.mapInPandas(_assign, out_schema)
     probes = topk_per_group(
         queries.crossJoin(F.broadcast(centers)).select(
             query_id,
@@ -1196,8 +1216,10 @@ def semdedup_scaled(
     """
     import math
 
+    import numpy as np
+    import pandas as pd
+
     from ..session import fan_out, track_persist
-    from .windows import argmax_per_group
 
     # Persist BEFORE counting: the corpus lineage feeds the sizing count,
     # both centroid TakeOrdered jobs, and the vector-side assignment —
@@ -1217,52 +1239,98 @@ def semdedup_scaled(
     coarse = ordered.limit(k1).select(
         F.col(id_col).alias("ccell"), F.col(vec_col).alias("ccenter")
     )
-    # fine centroid → coarse cell (k2 × k1, broadcast coarse). The
-    # is_self tie-break pins each coarse centroid (coarse ⊆ fine — it is
-    # the k1-prefix of the same ordering) to ITS OWN coarse cell even when
-    # another coarse vector is identical to 9 dp — guaranteeing every
-    # ccell a vector can argmax to has ≥ 1 fine centroid, so the candidate
-    # join below can never drop a vector.
-    # the three k=1 assignments are argmax hash-aggs (max_by over the
-    # identical ordering tuple the window version used — same results,
-    # no per-group sort; see operators.windows.argmax_per_group)
-    f2c = argmax_per_group(
-        fine.crossJoin(F.broadcast(coarse)).select(
-            "cell",
-            "center",
-            "ccell",
-            F.round(cosine(F.col("center"), F.col("ccenter")), 9).alias("cd"),
-            (F.col("ccell") == F.col("cell")).cast("int").alias("is_self"),
-        ),
-        ["cell"],
-        [F.col("cd"), F.col("is_self"), -F.col("ccell")],
-        ["center", "ccell"],
+    # r9: both assignment levels are Arrow GEMM kernels, not JVM fold
+    # cosines — the r8 crossJoin+argmax form kept the shuffle at O(n)
+    # rows but still evaluated n·k1 + n·(k2/k1) per-pair array folds
+    # (~560 M × dim at sf100 ≈ the bulk of the 1 077 s wall). Semantics
+    # are byte-compatible with the old plan: scores HALF_UP-rounded to
+    # 9 dp, argmax ties to the LOWEST cell id (centroid columns sorted
+    # ascending; np.argmax takes the first max).
+    #
+    # Coarse centroids are k1 = √(n/S) rows — 4 k rows × dim even at
+    # 2 × 10⁹ vectors, bounded driver metadata by construction — so they
+    # collect once and ride the task closure.
+    crows = sorted(coarse.collect(), key=lambda r: r["ccell"])
+    cc_ids = np.array([r["ccell"] for r in crows], dtype=np.int64)
+    CCn = unit_rows(np.array([r["ccenter"] for r in crows], dtype=np.float64))
+
+    def _coarse_assign(vcol: str, self_col: str | None):
+        def _run(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array(pdf[vcol].tolist(), dtype=np.float64)
+                s = unit_rows(V) @ CCn.T
+                s = np.sign(s) * np.floor(np.abs(s) * 1e9 + 0.5) / 1e9
+                if self_col is not None:
+                    # is_self tie-break (coarse ⊆ fine): pin each coarse
+                    # centroid to ITS OWN coarse cell on exact rounded
+                    # ties — ε = a quarter of the 1e-9 rounding quantum
+                    # breaks ties toward self without ever reordering
+                    # distinct rounded scores. Guarantees every ccell a
+                    # vector can argmax to has ≥ 1 fine centroid, so the
+                    # fine-level cogroup below can never drop a vector.
+                    ids = pdf[self_col].to_numpy()
+                    pos = np.searchsorted(cc_ids, ids).clip(
+                        max=len(cc_ids) - 1
+                    )
+                    hit = cc_ids[pos] == ids
+                    s[np.nonzero(hit)[0], pos[hit]] += 2.5e-10
+                best = np.argmax(s, axis=1)
+                out = pdf.copy()
+                out["ccell"] = cc_ids[best]
+                yield out
+
+        return _run
+
+    vv_t = vectors.schema[vec_col].dataType.simpleString()
+    id_t = vectors.schema[id_col].dataType.simpleString()
+    v2c = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vv")
+    ).mapInPandas(
+        _coarse_assign("vv", None),
+        f"id {id_t}, vv {vv_t}, ccell bigint",
     )
-    # vector → coarse cell (n × k1, broadcast coarse)
-    v2c = argmax_per_group(
-        vectors.crossJoin(F.broadcast(coarse)).select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("vv"),
-            "ccell",
-            F.round(cosine(F.col(vec_col), F.col("ccenter")), 9).alias("cd"),
-        ),
-        ["id"],
-        [F.col("cd"), -F.col("ccell")],
-        ["vv", "ccell"],
+    f2c = fine.mapInPandas(
+        _coarse_assign("center", "cell"),
+        f"cell {id_t}, center {vv_t}, ccell bigint",
     )
-    # vector → fine cell, candidates restricted to its coarse cell's fine
-    # centroids (shuffle join on ccell; AQE broadcasts it while f2c is
-    # small — at huge n, f2c outgrows broadcast and this stays a keyed join)
-    assigned = argmax_per_group(
-        v2c.join(f2c.select("cell", "center", "ccell"), "ccell").select(
-            "id",
-            "vv",
-            "cell",
-            F.round(cosine(F.col("vv"), F.col("center")), 9).alias("cd"),
-        ),
-        ["id"],
-        [F.col("cd"), -F.col("cell")],
-        ["vv", "cell"],
+
+    # vector → fine cell, candidates restricted to its coarse cell's
+    # fine centroids: COGROUP on ccell — each group is ~n/k1 vectors ×
+    # ~k2/k1 fine centroids, scored by a row-tiled GEMM (score tile ≤
+    # 2048 × |group centroids|), argmax with the same 9 dp/lowest-cell
+    # convention. The only data movement is the two ccell-keyed
+    # exchanges feeding the cogroup — O(n + k2) rows.
+    def _fine_assign(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if not len(l) or not len(r):
+            return pd.DataFrame(
+                {
+                    "id": pd.Series([], dtype="int64"),
+                    "vv": pd.Series([], dtype=object),
+                    "cell": pd.Series([], dtype="int64"),
+                }
+            )
+        order = np.argsort(r["cell"].to_numpy(), kind="stable")
+        fc_ids = r["cell"].to_numpy()[order]
+        Fn = unit_rows(
+            np.array(r["center"].to_numpy()[order].tolist(), dtype=np.float64)
+        )
+        U = unit_rows(np.array(l["vv"].tolist(), dtype=np.float64))
+        best = np.empty(len(U), dtype=np.int64)
+        RB = 2048
+        for i in range(0, len(U), RB):
+            s = U[i : i + RB] @ Fn.T
+            s = np.sign(s) * np.floor(np.abs(s) * 1e9 + 0.5) / 1e9
+            best[i : i + RB] = np.argmax(s, axis=1)
+        return pd.DataFrame(
+            {"id": l["id"].to_numpy(), "vv": l["vv"], "cell": fc_ids[best]}
+        )
+
+    assigned = (
+        v2c.groupBy("ccell")
+        .cogroup(f2c.groupBy("ccell"))
+        .applyInPandas(_fine_assign, f"id {id_t}, vv {vv_t}, cell {id_t}")
     )
     return _min_id_prune(assigned, id_col, threshold)
 
