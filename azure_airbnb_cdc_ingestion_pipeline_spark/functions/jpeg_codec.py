@@ -1,11 +1,13 @@
 """Baseline JPEG codec (encode + decode), stdlib + numpy only.
 
 Closes the VERDICT r3 "pixel decode stubbed" gap for JPEG: a real
-sequential-baseline codec — DCT/quant/zigzag/Huffman per ITU-T T.81 with
-the Annex K example tables — restricted to the profile a data pipeline's
-own artifacts use: 8-bit precision, 1 or 3 components, NO chroma
-subsampling (4:4:4), no progressive scan, no restart intervals. Anything
-outside that profile raises NotImplementedError so `decode_media` can
+codec — DCT/quant/zigzag/Huffman per ITU-T T.81 with the Annex K example
+tables. Supported profile (grown r8/r9): 8-bit precision, 1 or 3
+components, baseline sequential AND progressive Huffman, 4:4:4 / 4:2:2 /
+4:2:0 interleaved-MCU chroma subsampling, restart intervals (DRI/RSTn).
+Still outside (raises NotImplementedError) — non-interleaved baseline
+scans, 12-bit precision, hierarchical, arithmetic coding — so
+`decode_media` can
 detect-and-degrade to the SOF header walk (`codecs.jpeg_info`) exactly as
 before; malformed bytes raise ValueError so the quarantine channel keeps
 working. The numeric kernels (DCT, quantize, color transform) are numpy
@@ -160,6 +162,16 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
         return bytes(self.out)
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-bit padding; a pad byte of 0xFF gets stuffed by
+        write) and emit RSTm — T.81 E.2.4. Markers are raw, never
+        stuffed."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out.append(0xFF)
+        self.out.append(0xD0 + (m & 7))
+
 
 def _blocks_of(plane: np.ndarray) -> np.ndarray:
     """(H/8, W/8, 8, 8) view of an 8-padded plane."""
@@ -238,6 +250,7 @@ def encode_jpeg(
     width: int, height: int, channels: int, pixels: bytes,
     progressive: bool = False,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Sequential-baseline (SOF0) or progressive (SOF2, spectral
     selection only: one interleaved DC scan then one full-band AC scan
@@ -248,9 +261,18 @@ def encode_jpeg(
     and 4:2:2 box-decimate the chroma planes and emit the interleaved
     MCU scan layout (Y blocks raster-ordered within each MCU, then Cb,
     then Cr) so the test corpus can exercise the dominant web-JPEG
-    profile. Subsampled encode is baseline-sequential only."""
+    profile. Subsampled encode is baseline-sequential only.
+
+    r9 (VERDICT r8 #2): ``restart_interval`` > 0 emits a DRI segment
+    and RSTm markers every that-many MCUs (blocks, for non-interleaved
+    progressive AC scans) per T.81 E.2.4 — DC predictors reset, marker
+    index cycles 0-7, no marker after a scan's last MCU — so the test
+    corpus can synthesize the restart-carrying profile most camera/CDN
+    JPEGs use."""
     if channels not in (1, 3):
         raise NotImplementedError("encode_jpeg supports 1 or 3 channels")
+    if restart_interval < 0 or restart_interval > 0xFFFF:
+        raise ValueError("restart_interval must be in [0, 65535]")
     if subsampling not in _SUBSAMPLING:
         raise NotImplementedError(f"unsupported subsampling {subsampling!r}")
     if subsampling != "444" and channels != 3:
@@ -312,6 +334,9 @@ def encode_jpeg(
     if channels == 3:
         out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
         out += dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    ri = restart_interval
+    if ri:
+        out += seg(0xDD, struct.pack(">H", ri))
 
     bh, bw = ph // 8, pw // 8
     if not progressive:
@@ -325,6 +350,7 @@ def encode_jpeg(
         # interleaved MCU scan order (T.81 A.2.3): per MCU, each
         # component contributes its h×v blocks raster-ordered. At 4:4:4
         # this is exactly the old per-block interleave.
+        done, total, rst = 0, mcuy * mcux, 0
         for my in range(mcuy):
             for mx in range(mcux):
                 for ci in range(channels):
@@ -337,6 +363,11 @@ def encode_jpeg(
                             prev_dc[ci] = int(seq[0])
                             _encode_dc(writer, _ENC_DC[tsel], diff)
                             _encode_ac_band(writer, _ENC_AC[tsel], seq, 1, 63)
+                done += 1
+                if ri and done % ri == 0 and done < total:
+                    writer.restart(rst)
+                    rst = (rst + 1) & 7
+                    prev_dc = [0] * channels
         out += seg(0xDA, sos_body) + writer.flush()
     else:
         # scan 1: interleaved DC-only (Ss=0, Se=0, Ah=0, Al=0) in MCU
@@ -350,6 +381,7 @@ def encode_jpeg(
         sos_body += bytes([0, 0, 0])
         writer = _BitWriter()
         prev_dc = [0] * channels
+        done, total, rst = 0, mcuy * mcux, 0
         for my in range(mcuy):
             for mx in range(mcux):
                 for ci in range(channels):
@@ -360,6 +392,11 @@ def encode_jpeg(
                             dc = int(qseq[ci][my * vi + byy, mx * hi + bxx, 0])
                             _encode_dc(writer, _ENC_DC[tsel], dc - prev_dc[ci])
                             prev_dc[ci] = dc
+                done += 1
+                if ri and done % ri == 0 and done < total:
+                    writer.restart(rst)
+                    rst = (rst + 1) & 7
+                    prev_dc = [0] * channels
         out += seg(0xDA, sos_body) + writer.flush()
         # one spectral-selection AC scan per component (Ss=1, Se=63):
         # per-block EOB0 keeps the stream baseline-shaped. Single-
@@ -372,11 +409,17 @@ def encode_jpeg(
             nbw = -(-(-(-(width * hi) // hmax)) // 8)
             sos_body = bytes([1, ci + 1, tsel]) + bytes([1, 63, 0])
             writer = _BitWriter()
+            # non-interleaved scan: the restart unit is one BLOCK
+            done, total, rst = 0, nbh * nbw, 0
             for by in range(nbh):
                 for bx in range(nbw):
                     _encode_ac_band(
                         writer, _ENC_AC[tsel], qseq[ci][by, bx], 1, 63
                     )
+                    done += 1
+                    if ri and done % ri == 0 and done < total:
+                        writer.restart(rst)
+                        rst = (rst + 1) & 7
             out += seg(0xDA, sos_body) + writer.flush()
     out += b"\xff\xd9"  # EOI
     return out
@@ -412,7 +455,13 @@ class _BitReader:
             elif nxt == 0xD9:  # EOI reached mid-read
                 raise ValueError("truncated JPEG scan data (EOI)")
             elif 0xD0 <= nxt <= 0xD7:
-                raise NotImplementedError("restart markers not supported")
+                # a restart marker is only legal at an MCU boundary the
+                # decode loop expects (restart_align) — mid-block it
+                # means the entropy data is short: corruption, not an
+                # unsupported profile (r9: DRI/RSTn are now decoded)
+                raise ValueError(
+                    "malformed JPEG: restart marker inside an MCU"
+                )
             else:
                 raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
         self.acc = (self.acc << 8) | byte
@@ -429,6 +478,26 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def restart_align(self, expect: int) -> None:
+        """Consume an RSTm at a restart boundary (T.81 E.2.4): discard
+        bits to the byte boundary, skip a stuffed 0xFF00 pad byte (a
+        1-bit-padded final byte can itself be 0xFF), then require the
+        marker with the expected cyclic index — anything else is
+        corruption, raised loudly (no resync heuristics)."""
+        self.acc = 0
+        self.nbits = 0
+        b, n = self.buf, len(self.buf)
+        while self.pos + 1 < n and b[self.pos] == 0xFF and b[self.pos + 1] == 0x00:
+            self.pos += 2
+        if self.pos + 1 >= n or b[self.pos] != 0xFF:
+            raise ValueError("malformed JPEG: expected restart marker")
+        m = b[self.pos + 1]
+        if not (0xD0 <= m <= 0xD7):
+            raise ValueError("malformed JPEG: expected restart marker")
+        if (m - 0xD0) != (expect & 7):
+            raise ValueError("malformed JPEG: restart marker out of sequence")
+        self.pos += 2
 
 
 def _decode_tables(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
@@ -519,8 +588,10 @@ def _decode_progressive(
     coef = [
         np.zeros((gh, gw, 64), dtype=np.int64) for gh, gw in full_grid
     ]
-    for scomps, ss, se, ah, al, start, dc_tabs, ac_tabs in scans:
+    for scomps, ss, se, ah, al, start, dc_tabs, ac_tabs, ri in scans:
         reader = _BitReader(payload, start)
+        rst = 0  # cyclic RSTm index; ri counts MCUs (blocks when
+        #          non-interleaved) per T.81 E.2.4
         if ss == 0:
             if se != 0:
                 raise ValueError(
@@ -531,8 +602,14 @@ def _decode_progressive(
             if ah == 0:
                 prev = [0] * len(scomps)
                 if interleaved:  # MCU order, h×v blocks per component
+                    done = 0
                     for my in range(mcuy):
                         for mx in range(mcux):
+                            if ri and done and done % ri == 0:
+                                reader.restart_align(rst)
+                                rst = (rst + 1) & 7
+                                prev = [0] * len(scomps)
+                            done += 1
                             for k, (cid, td, _ta) in enumerate(scomps):
                                 if td not in dc_tabs:
                                     raise ValueError(
@@ -556,8 +633,14 @@ def _decode_progressive(
                         raise ValueError("malformed JPEG: missing DC table")
                     ci = idxs[0]
                     nbh, nbw = sub_grid[ci]
+                    done = 0
                     for by in range(nbh):
                         for bx in range(nbw):
+                            if ri and done and done % ri == 0:
+                                reader.restart_align(rst)
+                                rst = (rst + 1) & 7
+                                prev[0] = 0
+                            done += 1
                             s = _read_symbol(reader, dc_tabs[td])
                             diff = _extend(reader.bits(s), s) if s else 0
                             prev[0] += diff
@@ -567,8 +650,13 @@ def _decode_progressive(
                 # order as the first scan; plain addition is correct
                 # under T.81's arithmetic-shift approximation
                 if interleaved:
+                    done = 0
                     for my in range(mcuy):
                         for mx in range(mcux):
+                            if ri and done and done % ri == 0:
+                                reader.restart_align(rst)
+                                rst = (rst + 1) & 7
+                            done += 1
                             for k, (cid, _td, _ta) in enumerate(scomps):
                                 hi, vi = samp_of[cid]
                                 for byy in range(vi):
@@ -581,8 +669,13 @@ def _decode_progressive(
                 else:
                     ci = idxs[0]
                     nbh, nbw = sub_grid[ci]
+                    done = 0
                     for by in range(nbh):
                         for bx in range(nbw):
+                            if ri and done and done % ri == 0:
+                                reader.restart_align(rst)
+                                rst = (rst + 1) & 7
+                            done += 1
                             if reader.bit():
                                 coef[ci][by, bx, 0] += 1 << al
         else:
@@ -602,8 +695,14 @@ def _decode_progressive(
             tab = ac_tabs[ta]
             nbh, nbw = sub_grid[ci]
             eobrun = 0
+            done = 0
             for by in range(nbh):
                 for bx in range(nbw):
+                    if ri and done and done % ri == 0:
+                        reader.restart_align(rst)
+                        rst = (rst + 1) & 7
+                        eobrun = 0  # EOBRUN cannot span a restart
+                    done += 1
                     if eobrun > 0:
                         eobrun -= 1
                         continue
@@ -650,19 +749,22 @@ def _decode_progressive(
 
 def decode_jpeg(payload: bytes) -> dict:
     """Decode a JPEG within the supported profile: 8-bit, 1 or 3
-    components, no restarts; baseline sequential (SOF0) AND progressive
-    (SOF2) — both INCLUDING chroma-subsampled 4:2:0 / 4:2:2
-    interleaved-MCU layouts (r8, the dominant web profiles; bilinear
-    chroma upsample; single-component scans cover the component's own
-    extent grid per T.81 A.2.2). Progressive decodes DC first/refinement
-    scans plus spectral-selection AC scans (Ah=0) exactly; AC
-    successive-approximation refinement scans are skipped, degrading to
-    a coarser (never wrong-layout) image. Returns {width, height,
-    channels, pixels (bytes, RGB/gray row-major), mean_intensity}.
-    ValueError on malformed bytes; NotImplementedError on
-    valid-but-unsupported profiles (non-interleaved baseline, 12-bit,
-    hierarchical, restart intervals, arithmetic coding) so callers
-    degrade to the header walk."""
+    components; baseline sequential (SOF0) AND progressive (SOF2) —
+    both INCLUDING chroma-subsampled 4:2:0 / 4:2:2 interleaved-MCU
+    layouts (r8, the dominant web profiles; bilinear chroma upsample;
+    single-component scans cover the component's own extent grid per
+    T.81 A.2.2) and restart intervals (r9, VERDICT r8 #2: DRI honored,
+    DC predictors / EOBRUN reset and bit-alignment at each RSTn per
+    T.81 E.2.4, cyclic marker index verified — out-of-sequence markers
+    raise loudly rather than resync). Progressive decodes DC
+    first/refinement scans plus spectral-selection AC scans (Ah=0)
+    exactly; AC successive-approximation refinement scans are skipped,
+    degrading to a coarser (never wrong-layout) image. Returns {width,
+    height, channels, pixels (bytes, RGB/gray row-major),
+    mean_intensity}. ValueError on malformed bytes; NotImplementedError
+    on valid-but-unsupported profiles (non-interleaved baseline,
+    12-bit, hierarchical, arithmetic coding) so callers degrade to the
+    header walk."""
     if payload is None or not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG payload (bad SOI marker)")
     quant: dict[int, np.ndarray] = {}
@@ -671,7 +773,9 @@ def decode_jpeg(payload: bytes) -> dict:
     frame = None  # (h, w, [(cid, hi, vi, tq)])
     progressive = False
     scan_comps = None
-    # progressive scans: (comps, Ss, Se, Ah, Al, data_start, dc_tabs, ac_tabs)
+    restart_interval = 0  # DRI in effect (0 = none); per-scan snapshot
+    # progressive scans:
+    # (comps, Ss, Se, Ah, Al, data_start, dc_tabs, ac_tabs, ri)
     scans: list[tuple] = []
     i, n = 2, len(payload)
     while i + 4 <= n:
@@ -699,7 +803,11 @@ def decode_jpeg(payload: bytes) -> dict:
                 "JPEG supported"
             )
         if marker == 0xDD:
-            raise NotImplementedError("restart intervals not supported")
+            if len(body) < 2:
+                raise ValueError("malformed JPEG: truncated DRI segment")
+            restart_interval = struct.unpack(">H", body[:2])[0]
+            i += 2 + seg_len
+            continue
         if marker == 0xDB:
             j = 0
             while j < len(body):
@@ -772,7 +880,7 @@ def decode_jpeg(payload: bytes) -> dict:
             data_start = i + 2 + seg_len
             scans.append((
                 scan_comps, ss, se, ahal >> 4, ahal & 0x0F, data_start,
-                dict(huff_dc), dict(huff_ac),
+                dict(huff_dc), dict(huff_ac), restart_interval,
             ))
             scan_comps = None
             i = _skip_entropy(payload, data_start)
@@ -810,8 +918,14 @@ def decode_jpeg(payload: bytes) -> dict:
     ]
     reader = _BitReader(payload, i)
     prev_dc = [0] * nch
+    done, rst = 0, 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and done and done % restart_interval == 0:
+                reader.restart_align(rst)
+                rst = (rst + 1) & 7
+                prev_dc = [0] * nch
+            done += 1
             for cid, td, ta in scan_comps:
                 ci = comp_pos[cid]
                 hi, vi = samp_of[cid]

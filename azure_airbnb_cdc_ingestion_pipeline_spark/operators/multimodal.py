@@ -111,14 +111,14 @@ def decode_media(payload: bytes, mime: str, fake: bool = False) -> dict[str, Any
             "duration_ms": au["duration_ms"],
         }
     if mime in ("image/jpeg", "image/jpg"):
-        # full pixel decode for the supported profile (baseline
-        # sequential — including 4:2:0/4:2:2 interleaved-MCU chroma
-        # subsampling, the dominant web profiles (r8) — plus
-        # progressive 4:4:4 Huffman, functions/jpeg_codec.py);
+        # full pixel decode for the supported profile (baseline AND
+        # progressive Huffman, 4:4:4/4:2:2/4:2:0 interleaved-MCU
+        # subsampling, restart intervals — functions/jpeg_codec.py);
         # detect-and-degrade to the SOF header walk for header-only
-        # artifacts and valid-but-unsupported profiles (progressive
-        # subsampled, 12-bit, restarts). Genuinely corrupt bytes still
-        # raise ValueError so the quarantine channel keeps routing them.
+        # artifacts and the still-unsupported profiles (non-interleaved
+        # baseline scans, 12-bit, hierarchical, arithmetic coding).
+        # Genuinely corrupt bytes still raise ValueError so the
+        # quarantine channel keeps routing them.
         from ..functions import jpeg_codec
 
         try:

@@ -88,6 +88,11 @@ def q_multimodal_jpeg420_roundtrip(
                         w, h, 3, px.tobytes(),
                         subsampling="420" if did % 2 == 0 else "422",
                         progressive=bool(did % 4 >= 2),
+                        # r9 (VERDICT r8 #2): a third of each profile
+                        # carries restart intervals (1- or 2-MCU DRI —
+                        # every image is small, so both values produce
+                        # many RSTn boundaries incl. partial-MCU edges)
+                        restart_interval=(0, 1, 2)[did % 3],
                     )
                 )
             yield pd.DataFrame(
@@ -118,8 +123,12 @@ def _mixed_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant, 3 = PROGRESSIVE JPEG-4:2:0 re-encode of the 1-px-crop
     variant (late r8 — progressive decodes bit-identically to baseline,
     so its pHash distance envelope is the crop+420 one), 4 = gamma-curve
-    PNG. Synthesis is a map-only Arrow pass; payloads are born and
-    hashed inside their partition, never shuffled."""
+    PNG, 5 = RESTART-INTERVAL (DRI=8) JPEG-4:2:0 re-encode of the
+    down-up-resample variant (r9, VERDICT r8 #2 — 256 MCUs per image ⇒
+    31 RSTn boundaries each; a broken predictor reset shifts every
+    post-restart DC level and splits the family). Synthesis is a
+    map-only Arrow pass; payloads are born and hashed inside their
+    partition, never shuffled."""
     from ..functions.codecs import encode_png
     from ..functions.jpeg_codec import encode_jpeg
     from ..session import fan_out
@@ -131,11 +140,13 @@ def _mixed_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def _jpeg(px: np.ndarray, ss: str, progressive: bool = False) -> bytes:
+    def _jpeg(
+        px: np.ndarray, ss: str, progressive: bool = False, ri: int = 0
+    ) -> bytes:
         rgb = np.repeat(px[:, :, None], 3, axis=2)
         return encode_jpeg(
             _IMG, _IMG, 3, rgb.tobytes(), subsampling=ss,
-            progressive=progressive,
+            progressive=progressive, restart_interval=ri,
         )
 
     def gen(batches):
@@ -151,6 +162,7 @@ def _mixed_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _jpeg(fam[1], "422"),
                     _jpeg(fam[4], "420", progressive=True),
                     encode_png(_IMG, _IMG, 1, fam[2].tobytes()),
+                    _jpeg(fam[3], "420", ri=8),
                 ]
                 for v, payload in enumerate(variants):
                     ids.append(int(did) * 10 + v)
@@ -167,7 +179,7 @@ def _mixed_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pixels that now cross the PNG/JPEG-420/JPEG-422 format boundary.
     oracle="""
     SELECT doc_id * 10 + v AS media_id, doc_id * 10 AS canonical_id
-    FROM documents, (SELECT unnest([0, 1, 2, 3, 4]) AS v)
+    FROM documents, (SELECT unnest([0, 1, 2, 3, 4, 5]) AS v)
     WHERE doc_id % 10 = 0
     """,
 )
@@ -181,7 +193,9 @@ def q_multimodal_phash_dedup_mixed(
     `multimodal_phash_dedup`, now provably format-blind. A wrong MCU
     raster order / chroma geometry would perturb the decoded plane
     globally (≥ the cross-family 22-bit floor) and split every family
-    containing a JPEG member."""
+    containing a JPEG member; likewise a wrong DC-predictor reset at a
+    restart boundary (variant 5 carries DRI=8) shifts every
+    post-restart block's level and splits the family."""
     from ..functions.phash import PHASH_BITS, phash_frame
     from ..operators.dedup import cluster_pairs, hamming_pairs
     from ..session import track_persist
