@@ -178,10 +178,15 @@ def pagerank(
     )
     n = deg.count()  # single scalar — bounded driver state
     small = n <= _BROADCAST_NODE_LIMIT
-    # Materializing the persisted edge layout HERE (instead of letting
-    # iteration 1 do it) costs nothing extra and yields |E| — the gate
-    # for the checkpoint+GC cadence below (r9: hygiene off at small |E|).
-    e_rows = norm.count()
+    # |E| (multigraph rows, unit weights ⇒ Σ out-weight == row count)
+    # from the already-persisted O(|V|) deg frame — a near-free agg, vs
+    # a norm.count() that would serially materialize the edge layout —
+    # gates the checkpoint+GC cadence below (r9: hygiene off at small
+    # |E|, where it was pure fixed overhead).
+    e_rows = int(
+        deg.agg(F.coalesce(F.sum("_wsum"), F.lit(0.0)).alias("e"))
+        .collect()[0]["e"]
+    )
     hygiene = e_rows > _CHECKPOINT_MIN_EDGES
     ranks = deg.select(F.col(src).alias("node"), F.lit(1.0 / n).alias("r"))
     for it in range(iterations):
