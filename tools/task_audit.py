@@ -89,6 +89,14 @@ def main() -> None:
         ).save()
         wall = round(time.time() - t0, 1)
         release_persisted()
+        # r9: superseded shuffle files of the JUST-FINISHED query are only
+        # reclaimed when ContextCleaner sees them unreachable — which
+        # needs a JVM GC that never fires between back-to-back audit
+        # queries. Without this, a 3-query sf100 audit ran the last query
+        # against a disk half-filled by the first two's scratch (and died
+        # silently behind the output pipe).
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
         stages = [
             s
             for s in _get(f"{base}/stages")
