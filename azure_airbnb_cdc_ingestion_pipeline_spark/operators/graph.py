@@ -107,6 +107,7 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     check_dangling: bool = True,
+    deg: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank over an edge list with no dangling nodes
     (every node has at least one out-edge — true for symmetrized
@@ -141,10 +142,13 @@ def pagerank(
     # lineage re-enters `norm` on every downstream action.
     from ..session import track_persist
 
-    deg = track_persist(
-        edges.groupBy(src).agg(F.sum(weight).alias("_wsum")),
-        StorageLevel.MEMORY_AND_DISK,
-    )
+    # r9: callers that can compute the out-weight sums WITHOUT the edge
+    # expansion (the factored identity deg(p) = Σ_o m(sz−m) needs only
+    # the O(|rows|) occurrence table) pass ``deg`` — columns (src,
+    # _wsum) — and skip aggregating the O(|E|) pair projection here.
+    if deg is None:
+        deg = edges.groupBy(src).agg(F.sum(weight).alias("_wsum"))
+    deg = track_persist(deg, StorageLevel.MEMORY_AND_DISK)
     if check_dangling:
         dangling = (
             edges.select(F.col(dst).alias("_n"))
@@ -291,11 +295,30 @@ def copurchase_pagerank(
             .filter(F.col("src") != F.col("dst"))
             .select("src", "dst", F.lit(1.0).alias("w"))
         )
+        # degree via the factored identity deg(p) = Σ_o m·(sz−m): three
+        # aggregates over the O(|rows|) occurrence table instead of one
+        # over the O(Σ len²) pair expansion (r9 — the pair-side deg agg
+        # was the single most expensive stage of the small path)
+        occ = lineitem.groupBy(ok, pk).agg(F.count(F.lit(1)).alias("_m"))
+        sz = occ.groupBy(ok).agg(F.sum("_m").alias("_sz"))
+        deg = (
+            occ.join(sz.hint("shuffle_hash"), ok)
+            .groupBy(pk)
+            .agg(
+                F.sum(
+                    F.col("_m").cast("double")
+                    * (F.col("_sz") - F.col("_m"))
+                ).alias("_wsum")
+            )
+            .filter(F.col("_wsum") > 0)  # parts alone in 1-part orders
+            .select(F.col(pk).alias("src"), "_wsum")
+        )
         return pagerank(
             edges,
             iterations=iterations,
             damping=damping,
             check_dangling=False,  # symmetric by construction
+            deg=deg,
         )
     _persisted: list[DataFrame] = []
     with sized_shuffle(spark, nrows, rows_per_task) as p_n, _unpersist_after(
