@@ -3,10 +3,12 @@
 Closes the VERDICT r3 "pixel decode stubbed" gap for JPEG: a real
 codec — DCT/quant/zigzag/Huffman per ITU-T T.81 with the Annex K example
 tables. Supported profile (grown r8/r9): 8-bit precision, 1 or 3
-components, baseline sequential AND progressive Huffman, 4:4:4 / 4:2:2 /
-4:2:0 interleaved-MCU chroma subsampling, restart intervals (DRI/RSTn).
-Still outside (raises NotImplementedError) — non-interleaved baseline
-scans, 12-bit precision, hierarchical, arithmetic coding — so
+components, baseline sequential (interleaved AND per-component
+non-interleaved scans) plus progressive Huffman, 4:4:4 / 4:2:2 / 4:2:0
+chroma subsampling, restart intervals (DRI/RSTn), EXIF orientation
+(APP1 0x0112, both TIFF byte orders — pixels oriented upright, dims
+swapped for 5..8). Still outside (raises NotImplementedError) — 12-bit
+precision, hierarchical, arithmetic coding — so
 `decode_media` can
 detect-and-degrade to the SOF header walk (`codecs.jpeg_info`) exactly as
 before; malformed bytes raise ValueError so the quarantine channel keeps
@@ -251,6 +253,8 @@ def encode_jpeg(
     progressive: bool = False,
     subsampling: str = "444",
     restart_interval: int = 0,
+    interleave: bool = True,
+    exif_orientation: int = 0,
 ) -> bytes:
     """Sequential-baseline (SOF0) or progressive (SOF2, spectral
     selection only: one interleaved DC scan then one full-band AC scan
@@ -265,14 +269,25 @@ def encode_jpeg(
 
     r9 (VERDICT r8 #2): ``restart_interval`` > 0 emits a DRI segment
     and RSTm markers every that-many MCUs (blocks, for non-interleaved
-    progressive AC scans) per T.81 E.2.4 — DC predictors reset, marker
-    index cycles 0-7, no marker after a scan's last MCU — so the test
-    corpus can synthesize the restart-carrying profile most camera/CDN
-    JPEGs use."""
+    scans) per T.81 E.2.4 — DC predictors reset, marker index cycles
+    0-7, no marker after a scan's last MCU — so the test corpus can
+    synthesize the restart-carrying profile most camera/CDN JPEGs use.
+
+    ``interleave=False`` (baseline only) emits one FULL-BAND scan per
+    component over its own extent grid (T.81 A.2.2) instead of the
+    single interleaved-MCU scan — the non-interleaved baseline layout
+    some encoders produce for 3-component images, closing the last
+    baseline decode-profile hole (r9).
+
+    ``exif_orientation`` ∈ 1..8 writes an APP1 Exif segment (big-endian
+    TIFF, IFD0 with the single 0x0112 SHORT tag) so the corpus can
+    synthesize camera-style rotated payloads; 0 writes no APP1."""
     if channels not in (1, 3):
         raise NotImplementedError("encode_jpeg supports 1 or 3 channels")
     if restart_interval < 0 or restart_interval > 0xFFFF:
         raise ValueError("restart_interval must be in [0, 65535]")
+    if exif_orientation not in range(0, 9):
+        raise ValueError("exif_orientation must be 0 (none) or 1..8")
     if subsampling not in _SUBSAMPLING:
         raise NotImplementedError(f"unsupported subsampling {subsampling!r}")
     if subsampling != "444" and channels != 3:
@@ -325,6 +340,18 @@ def encode_jpeg(
 
     out = b"\xff\xd8"  # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    if exif_orientation:
+        # APP1 Exif: "Exif\0\0" + big-endian TIFF header + IFD0 holding
+        # exactly the 0x0112 SHORT orientation tag (value left-justified
+        # in the 4-byte field per TIFF 6.0), next-IFD offset 0
+        tiff = (
+            b"MM\x00\x2a" + struct.pack(">I", 8)
+            + struct.pack(">H", 1)
+            + struct.pack(">HHI", 0x0112, 3, 1)
+            + struct.pack(">HH", exif_orientation, 0)
+            + struct.pack(">I", 0)
+        )
+        out += seg(0xE1, b"Exif\x00\x00" + tiff)
     out += dqt(0, QUANT_LUMA)
     if channels == 3:
         out += dqt(1, QUANT_CHROMA)
@@ -339,6 +366,33 @@ def encode_jpeg(
         out += seg(0xDD, struct.pack(">H", ri))
 
     bh, bw = ph // 8, pw // 8
+    if not progressive and not interleave:
+        # one full-band scan per component over its OWN extent grid
+        # (T.81 A.2.2) — the non-interleaved baseline layout
+        for ci in range(channels):
+            tsel = 0 if ci == 0 else 1
+            hi, vi = samp[ci]
+            nbh = -(-(-(-(height * vi) // vmax)) // 8)
+            nbw = -(-(-(-(width * hi) // hmax)) // 8)
+            sos_body = bytes([1, ci + 1, (tsel << 4) | tsel])
+            sos_body += bytes([0, 63, 0])
+            writer = _BitWriter()
+            prev = 0
+            done, total, rst = 0, nbh * nbw, 0
+            for by in range(nbh):
+                for bx in range(nbw):
+                    seq = qseq[ci][by, bx]
+                    _encode_dc(writer, _ENC_DC[tsel], int(seq[0]) - prev)
+                    prev = int(seq[0])
+                    _encode_ac_band(writer, _ENC_AC[tsel], seq, 1, 63)
+                    done += 1
+                    if ri and done % ri == 0 and done < total:
+                        writer.restart(rst)
+                        rst = (rst + 1) & 7
+                        prev = 0
+            out += seg(0xDA, sos_body) + writer.flush()
+        out += b"\xff\xd9"  # EOI
+        return out
     if not progressive:
         sos_body = bytes([channels])
         for ci in range(channels):
@@ -519,6 +573,91 @@ def _extend(v: int, s: int) -> int:
     return v - ((1 << s) - 1) if v < (1 << (s - 1)) else v
 
 
+def _exif_orientation(app1_body: bytes) -> int:
+    """Orientation (1..8) from an APP1 Exif body, or 0 when absent /
+    unparseable. Walks IFD0 of the TIFF stream (both byte orders) for
+    the 0x0112 SHORT tag; a malformed Exif blob is metadata, not image
+    corruption — degrade to 0 rather than raising (the pixels decode
+    fine without it)."""
+    try:
+        if not app1_body.startswith(b"Exif\x00\x00"):
+            return 0
+        t = app1_body[6:]
+        if t[:2] == b"MM":
+            end = ">"
+        elif t[:2] == b"II":
+            end = "<"
+        else:
+            return 0
+        if struct.unpack(end + "H", t[2:4])[0] != 0x2A:
+            return 0
+        ifd = struct.unpack(end + "I", t[4:8])[0]
+        n = struct.unpack(end + "H", t[ifd : ifd + 2])[0]
+        for k in range(n):
+            e = t[ifd + 2 + 12 * k : ifd + 14 + 12 * k]
+            tag, typ, cnt = struct.unpack(end + "HHI", e[:8])
+            if tag == 0x0112 and typ == 3 and cnt == 1:
+                v = struct.unpack(end + "H", e[8:10])[0]
+                return v if 1 <= v <= 8 else 0
+        return 0
+    except (struct.error, IndexError):
+        return 0
+
+
+def _apply_orientation(img: dict, orientation: int) -> dict:
+    """Rotate/flip decoded pixels upright per the EXIF orientation tag
+    (1 = as stored). Dims swap for 5..8; mean intensity is invariant."""
+    if orientation in (0, 1):
+        return img
+    h, w, c = img["height"], img["width"], img["channels"]
+    a = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(h, w, c)
+    if orientation == 2:
+        a = a[:, ::-1]
+    elif orientation == 3:
+        a = a[::-1, ::-1]
+    elif orientation == 4:
+        a = a[::-1, :]
+    elif orientation == 5:  # transpose (main diagonal)
+        a = a.transpose(1, 0, 2)
+    elif orientation == 6:  # rotate 90° CW to display upright
+        a = np.rot90(a, k=-1, axes=(0, 1))
+    elif orientation == 7:  # transverse (anti-diagonal)
+        a = a.transpose(1, 0, 2)[::-1, ::-1]
+    elif orientation == 8:  # rotate 90° CCW
+        a = np.rot90(a, k=1, axes=(0, 1))
+    a = np.ascontiguousarray(a)
+    out = dict(img)
+    out["height"], out["width"] = a.shape[0], a.shape[1]
+    out["pixels"] = a.tobytes()
+    return out
+
+
+def _decode_block_seq(
+    reader: _BitReader, dc_tab: dict, ac_tab: dict, seq, prev_dc: int
+) -> int:
+    """Full-band sequential block decode (DC diff + RLE AC) into the
+    zigzag-order store ``seq``; returns the updated DC predictor."""
+    s = _read_symbol(reader, dc_tab)
+    diff = _extend(reader.bits(s), s) if s else 0
+    prev_dc += diff
+    seq[0] = prev_dc
+    k = 1
+    while k < 64:
+        rs = _read_symbol(reader, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("malformed JPEG: AC index overrun")
+        seq[k] = _extend(reader.bits(s), s)
+        k += 1
+    return prev_dc
+
+
 def _skip_entropy(buf: bytes, pos: int) -> int:
     """Advance past entropy-coded data to the next real marker (skipping
     stuffed 0xFF00 and restart markers)."""
@@ -532,6 +671,41 @@ def _skip_entropy(buf: bytes, pos: int) -> int:
             return pos
         pos += 1
     return n
+
+
+def _idct_to_image(
+    coef: list[np.ndarray],
+    comps: list[tuple],
+    quant: dict[int, np.ndarray],
+    h: int,
+    w: int,
+    hmax: int,
+    vmax: int,
+) -> dict:
+    """Shared reconstruction tail: zigzag→natural reorder, dequantize,
+    batched-einsum IDCT, crop each component to its true extent
+    (ceil(dim·factor/max)), bilinear-upsample subsampled planes to frame
+    size, color-transform. ``coef`` holds per-component zigzag-order
+    stores on the full MCU-padded block grid."""
+    planes = []
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        if tq not in quant:
+            raise ValueError("malformed JPEG: missing quant table")
+        gh, gw = coef[ci].shape[:2]
+        natural = np.zeros((gh, gw, 64), dtype=np.float64)
+        natural[..., _INV_ZIGZAG] = coef[ci]
+        blk = natural.reshape(gh, gw, 8, 8) * quant[tq]
+        px = np.einsum("km,ijkl,ln->ijmn", _C, blk, _C) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+        ch = -(-(h * vi) // vmax)
+        cw = -(-(w * hi) // hmax)
+        plane = plane[:ch, :cw]
+        if (ch, cw) != (h, w):
+            from .phash import bilinear_resize  # shared resample kernel
+
+            plane = bilinear_resize(plane, h, w)
+        planes.append(plane)
+    return _to_image(planes, h, w)
 
 
 def _to_image(planes: list[np.ndarray], h: int, w: int) -> dict:
@@ -727,24 +901,97 @@ def _decode_progressive(
                             reader.bits(s), s
                         ) << al
                         k += 1
-    planes = []
-    for ci, (cid, hi, vi, tq) in enumerate(comps):
-        if tq not in quant:
-            raise ValueError("malformed JPEG: missing quant table")
-        gh, gw = full_grid[ci]
-        natural = np.zeros((gh, gw, 64), dtype=np.float64)
-        natural[..., _INV_ZIGZAG] = coef[ci]
-        blk = natural.reshape(gh, gw, 8, 8) * quant[tq]
-        px = np.einsum("km,ijkl,ln->ijmn", _C, blk, _C) + 128.0
-        plane = px.transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
-        ch, cw = extent[ci]
-        plane = plane[:ch, :cw]
-        if (ch, cw) != (h, w):
-            from .phash import bilinear_resize
+    return _idct_to_image(
+        [c.astype(np.float64) for c in coef], comps, quant, h, w, hmax, vmax
+    )
 
-            plane = bilinear_resize(plane, h, w)
-        planes.append(plane)
-    return _to_image(planes, h, w)
+
+def _decode_baseline_scans(
+    payload: bytes,
+    frame: tuple,
+    quant: dict[int, np.ndarray],
+    scans: list[tuple],
+) -> dict:
+    """Multi-scan SEQUENTIAL (SOF0) decode — r9, the last baseline
+    profile hole: T.81 allows a baseline frame to split its components
+    across several full-band scans (ns=1 non-interleaved scans raster
+    the component's OWN extent grid per A.2.2; ns>1 subsets interleave
+    by MCU). Every scan must be full-band (Ss=0, Se=63, Ah=Al=0) and
+    each component scanned exactly once — anything else is malformed,
+    raised loudly."""
+    h, w, comps = frame
+    hmax = max(hi for _cid, hi, _vi, _tq in comps)
+    vmax = max(vi for _cid, _hi, vi, _tq in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    comp_idx = {cid: k for k, (cid, _hi, _vi, _tq) in enumerate(comps)}
+    samp_of = {cid: (hi, vi) for cid, hi, vi, _tq in comps}
+    sub_grid = []
+    for _cid, hi, vi, _tq in comps:
+        ch = -(-(h * vi) // vmax)
+        cw = -(-(w * hi) // hmax)
+        sub_grid.append((-(-ch // 8), -(-cw // 8)))
+    coef = [
+        np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.float64)
+        for _cid, hi, vi, _tq in comps
+    ]
+    covered: set[int] = set()
+    for scomps, ss, se, ah, al, start, dc_tabs, ac_tabs, ri in scans:
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError(
+                "malformed JPEG: baseline scan must be full-band"
+            )
+        for cid, td, ta in scomps:
+            if td not in dc_tabs or ta not in ac_tabs:
+                raise ValueError("malformed JPEG: missing table for scan")
+            if cid in covered:
+                raise ValueError(
+                    "malformed JPEG: component scanned twice in baseline"
+                )
+            covered.add(cid)
+        reader = _BitReader(payload, start)
+        rst = 0
+        if len(scomps) > 1:  # interleaved subset: MCU order
+            prev = [0] * len(scomps)
+            done = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if ri and done and done % ri == 0:
+                        reader.restart_align(rst)
+                        rst = (rst + 1) & 7
+                        prev = [0] * len(scomps)
+                    done += 1
+                    for k, (cid, td, ta) in enumerate(scomps):
+                        ci = comp_idx[cid]
+                        hi, vi = samp_of[cid]
+                        for byy in range(vi):
+                            for bxx in range(hi):
+                                prev[k] = _decode_block_seq(
+                                    reader, dc_tabs[td], ac_tabs[ta],
+                                    coef[ci][my * vi + byy, mx * hi + bxx],
+                                    prev[k],
+                                )
+        else:  # non-interleaved: raster over the component's sub-grid
+            cid, td, ta = scomps[0]
+            ci = comp_idx[cid]
+            nbh, nbw = sub_grid[ci]
+            prev0 = 0
+            done = 0
+            for by in range(nbh):
+                for bx in range(nbw):
+                    if ri and done and done % ri == 0:
+                        reader.restart_align(rst)
+                        rst = (rst + 1) & 7
+                        prev0 = 0
+                    done += 1
+                    prev0 = _decode_block_seq(
+                        reader, dc_tabs[td], ac_tabs[ta],
+                        coef[ci][by, bx], prev0,
+                    )
+    if covered != set(comp_idx):
+        raise ValueError(
+            "malformed JPEG: baseline scans do not cover every component"
+        )
+    return _idct_to_image(coef, comps, quant, h, w, hmax, vmax)
 
 
 def decode_jpeg(payload: bytes) -> dict:
@@ -759,12 +1006,16 @@ def decode_jpeg(payload: bytes) -> dict:
     raise loudly rather than resync). Progressive decodes DC
     first/refinement scans plus spectral-selection AC scans (Ah=0)
     exactly; AC successive-approximation refinement scans are skipped,
-    degrading to a coarser (never wrong-layout) image. Returns {width,
-    height, channels, pixels (bytes, RGB/gray row-major),
-    mean_intensity}. ValueError on malformed bytes; NotImplementedError
-    on valid-but-unsupported profiles (non-interleaved baseline,
-    12-bit, hierarchical, arithmetic coding) so callers degrade to the
-    header walk."""
+    degrading to a coarser (never wrong-layout) image. Baseline frames
+    may split their components across full-band scans (non-interleaved
+    per T.81 A.2.2 — r9); EXIF orientation is parsed from APP1 and
+    applied so pixels come back upright with dims swapped for
+    orientations 5..8 (r9; malformed Exif degrades to unrotated — the
+    tag is metadata, not image corruption). Returns {width, height,
+    channels, pixels (bytes, RGB/gray row-major), mean_intensity}.
+    ValueError on malformed bytes; NotImplementedError on
+    valid-but-unsupported profiles (12-bit, hierarchical, arithmetic
+    coding) so callers degrade to the header walk."""
     if payload is None or not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG payload (bad SOI marker)")
     quant: dict[int, np.ndarray] = {}
@@ -773,6 +1024,7 @@ def decode_jpeg(payload: bytes) -> dict:
     frame = None  # (h, w, [(cid, hi, vi, tq)])
     progressive = False
     scan_comps = None
+    orientation = 0  # EXIF 0x0112 from APP1, 0 = none/unparseable
     restart_interval = 0  # DRI in effect (0 = none); per-scan snapshot
     # progressive scans:
     # (comps, Ss, Se, Ah, Al, data_start, dc_tabs, ac_tabs, ri)
@@ -806,6 +1058,10 @@ def decode_jpeg(payload: bytes) -> dict:
             if len(body) < 2:
                 raise ValueError("malformed JPEG: truncated DRI segment")
             restart_interval = struct.unpack(">H", body[:2])[0]
+            i += 2 + seg_len
+            continue
+        if marker == 0xE1 and not orientation:
+            orientation = _exif_orientation(body)
             i += 2 + seg_len
             continue
         if marker == 0xDB:
@@ -870,9 +1126,12 @@ def decode_jpeg(payload: bytes) -> dict:
                         "malformed JPEG: scan component id not in frame"
                     )
                 scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
-            if not progressive:
+            if not progressive and len(scan_comps) == len(frame[2]):
                 i = i + 2 + seg_len
-                break  # entropy-coded data follows
+                break  # single interleaved scan — the classic fast path
+            # multi-scan file: progressive, OR a baseline frame whose
+            # components split across full-band scans (r9) — collect
+            # every scan, then dispatch below
             if len(body) < 1 + 2 * ns + 3:
                 raise ValueError("malformed JPEG: truncated SOS params")
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
@@ -889,7 +1148,13 @@ def decode_jpeg(payload: bytes) -> dict:
     if progressive:
         if not scans:
             raise NoScanData("JPEG has headers but no scan data")
-        return _decode_progressive(payload, frame, quant, scans)
+        return _apply_orientation(
+            _decode_progressive(payload, frame, quant, scans), orientation
+        )
+    if scans:  # baseline split across full-band scans (r9)
+        return _apply_orientation(
+            _decode_baseline_scans(payload, frame, quant, scans), orientation
+        )
     if scan_comps is None:
         if frame is not None:
             raise NoScanData("JPEG has headers but no scan data")
@@ -901,10 +1166,6 @@ def decode_jpeg(payload: bytes) -> dict:
     # per component; subsampled chroma planes are bilinearly upsampled
     # to frame size before the color transform.
     h, w, comps = frame
-    if len(scan_comps) != len(comps):
-        raise NotImplementedError(
-            "non-interleaved baseline scan not supported"
-        )
     hmax = max(hi for _cid, hi, _vi, _tq in comps)
     vmax = max(vi for _cid, _hi, vi, _tq in comps)
     mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
@@ -933,42 +1194,11 @@ def decode_jpeg(payload: bytes) -> dict:
                     raise ValueError("malformed JPEG: missing table for scan")
                 for byy in range(vi):
                     for bxx in range(hi):
-                        seq = coef[ci][my * vi + byy, mx * hi + bxx]
-                        s = _read_symbol(reader, huff_dc[td])
-                        diff = _extend(reader.bits(s), s) if s else 0
-                        prev_dc[ci] += diff
-                        seq[0] = prev_dc[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _read_symbol(reader, huff_ac[ta])
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError(
-                                    "malformed JPEG: AC index overrun"
-                                )
-                            seq[k] = _extend(reader.bits(s), s)
-                            k += 1
-    planes = []
-    for ci, (cid, hi, vi, tq) in enumerate(comps):
-        natural = np.zeros_like(coef[ci])
-        natural[..., _INV_ZIGZAG] = coef[ci]
-        bh_i, bw_i = natural.shape[:2]
-        blk = natural.reshape(bh_i, bw_i, 8, 8) * quant[tq]
-        px = np.einsum("km,ijkl,ln->ijmn", _C, blk, _C) + 128.0
-        plane = px.transpose(0, 2, 1, 3).reshape(bh_i * 8, bw_i * 8)
-        # component's true extent, then upsample to frame size
-        ch = -(-(h * vi) // vmax)
-        cw = -(-(w * hi) // hmax)
-        plane = plane[:ch, :cw]
-        if (ch, cw) != (h, w):
-            from .phash import bilinear_resize  # shared resample kernel
-
-            plane = bilinear_resize(plane, h, w)
-        planes.append(plane)
-    return _to_image(planes, h, w)
+                        prev_dc[ci] = _decode_block_seq(
+                            reader, huff_dc[td], huff_ac[ta],
+                            coef[ci][my * vi + byy, mx * hi + bxx],
+                            prev_dc[ci],
+                        )
+    return _apply_orientation(
+        _idct_to_image(coef, comps, quant, h, w, hmax, vmax), orientation
+    )

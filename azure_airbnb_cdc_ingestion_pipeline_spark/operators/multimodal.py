@@ -111,14 +111,15 @@ def decode_media(payload: bytes, mime: str, fake: bool = False) -> dict[str, Any
             "duration_ms": au["duration_ms"],
         }
     if mime in ("image/jpeg", "image/jpg"):
-        # full pixel decode for the supported profile (baseline AND
-        # progressive Huffman, 4:4:4/4:2:2/4:2:0 interleaved-MCU
-        # subsampling, restart intervals — functions/jpeg_codec.py);
+        # full pixel decode for the supported profile (baseline —
+        # interleaved AND non-interleaved scans — plus progressive
+        # Huffman, 4:4:4/4:2:2/4:2:0 subsampling, restart intervals,
+        # EXIF orientation — functions/jpeg_codec.py);
         # detect-and-degrade to the SOF header walk for header-only
-        # artifacts and the still-unsupported profiles (non-interleaved
-        # baseline scans, 12-bit, hierarchical, arithmetic coding).
-        # Genuinely corrupt bytes still raise ValueError so the
-        # quarantine channel keeps routing them.
+        # artifacts and the still-unsupported profiles (12-bit,
+        # hierarchical, arithmetic coding). Genuinely corrupt bytes
+        # still raise ValueError so the quarantine channel keeps
+        # routing them.
         from ..functions import jpeg_codec
 
         try:

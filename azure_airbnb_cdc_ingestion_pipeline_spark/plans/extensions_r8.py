@@ -93,6 +93,9 @@ def q_multimodal_jpeg420_roundtrip(
                         # every image is small, so both values produce
                         # many RSTn boundaries incl. partial-MCU edges)
                         restart_interval=(0, 1, 2)[did % 3],
+                        # r9: a fifth of the BASELINE images use the
+                        # non-interleaved per-component scan layout
+                        interleave=not (did % 4 < 2 and did % 5 == 4),
                     )
                 )
             yield pd.DataFrame(

@@ -479,3 +479,4 @@ from . import extensions_r5  # noqa: E402,F401
 from . import extensions_r6  # noqa: E402,F401
 from . import extensions_r7  # noqa: E402,F401
 from . import extensions_r8  # noqa: E402,F401
+from . import extensions_r9  # noqa: E402,F401
