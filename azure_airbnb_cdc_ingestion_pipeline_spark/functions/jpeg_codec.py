@@ -23,6 +23,7 @@ this belongs to the charter's multimodal-column extension
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -235,7 +236,10 @@ def _quantized_zigzag(
     h, w = plane.shape
     padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
     blocks = _blocks_of(padded) - 128.0
-    coef = np.einsum("km,ijmn,ln->ijkl", _C, blocks, _C)
+    # forward DCT as two broadcast BLAS matmuls, C @ blk @ C.T — the
+    # generic 4-index einsum contraction was the decoder-side profile's
+    # top cost (r9); matmul broadcasts over the (bh, bw) leading dims
+    coef = _C @ blocks @ _C.T
     qb = np.round(coef / quant).astype(np.int64)
     return qb.reshape(bh, bw, 64)[..., _INV_ZIGZAG]
 
@@ -518,7 +522,10 @@ class _BitReader:
                 )
             else:
                 raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
-        self.acc = (self.acc << 8) | byte
+        # mask consumed bits away BEFORE shifting (r9): without it acc
+        # accumulates every byte ever read as an ever-growing bigint and
+        # the per-fill shift turns quadratic in scan length
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | byte
         self.nbits += 8
 
     def bit(self) -> int:
@@ -528,10 +535,32 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        # batch extraction (r9): one shift/mask instead of n bit() calls;
+        # _fill keeps the exact marker/truncation error semantics
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def try_fill16(self) -> None:
+        """Best-effort fill to ≥ 16 buffered bits for the LUT fast path
+        — NON-consuming at boundaries: stops (instead of raising) at a
+        marker or end-of-buffer so the caller can fall back to the
+        bit-by-bit reader, which preserves the exact error semantics."""
+        b, n = self.buf, len(self.buf)
+        while self.nbits < 16:
+            p = self.pos
+            if p >= n:
+                return
+            byte = b[p]
+            if byte == 0xFF:
+                if p + 1 >= n or b[p + 1] != 0x00:
+                    return  # marker / truncation — slow path decides
+                self.pos = p + 2
+            else:
+                self.pos = p + 1
+            self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | byte
+            self.nbits += 8
 
     def restart_align(self, expect: int) -> None:
         """Consume an RSTm at a restart boundary (T.81 E.2.4): discard
@@ -554,16 +583,44 @@ class _BitReader:
         self.pos += 2
 
 
-def _decode_tables(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    return {v: k for k, v in _canonical_codes(bits, vals).items()}
+@functools.lru_cache(maxsize=64)
+def _tables_cached(bits_b: bytes, vals_b: bytes):
+    """(prefix dict, 16-bit LUT) for one Huffman spec. The LUT maps every
+    16-bit lookahead to (symbol, code length) — ONE probe per symbol vs
+    up to 16 bit-by-bit dict probes (r9: the symbol loop dominated the
+    Python decode wall). Cached by spec bytes: a corpus re-using the
+    Annex K tables builds each LUT once per process."""
+    codes = _canonical_codes(list(bits_b), list(vals_b))
+    dec = {v: k for k, v in codes.items()}
+    lut: list = [None] * 65536
+    for sym, (code, ln) in codes.items():
+        base = code << (16 - ln)
+        span = 1 << (16 - ln)
+        lut[base : base + span] = [(sym, ln)] * span
+    return dec, lut
 
 
-def _read_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+def _decode_tables(bits: list[int], vals: list[int]):
+    return _tables_cached(bytes(bits), bytes(vals))
+
+
+def _read_symbol(reader: _BitReader, table) -> int:
+    dec, lut = table
+    if reader.nbits < 16:
+        reader.try_fill16()
+    if reader.nbits >= 16:
+        ent = lut[(reader.acc >> (reader.nbits - 16)) & 0xFFFF]
+        if ent is None:
+            raise ValueError("invalid Huffman code in JPEG scan")
+        reader.nbits -= ent[1]
+        return ent[0]
+    # near a marker / end of buffer: bit-by-bit keeps the exact
+    # truncation error semantics (try_fill16 never consumes boundaries)
     code, length = 0, 0
     while length < 17:
         code = (code << 1) | reader.bit()
         length += 1
-        sym = table.get((code, length))
+        sym = dec.get((code, length))
         if sym is not None:
             return sym
     raise ValueError("invalid Huffman code in JPEG scan")
@@ -695,7 +752,8 @@ def _idct_to_image(
         natural = np.zeros((gh, gw, 64), dtype=np.float64)
         natural[..., _INV_ZIGZAG] = coef[ci]
         blk = natural.reshape(gh, gw, 8, 8) * quant[tq]
-        px = np.einsum("km,ijkl,ln->ijmn", _C, blk, _C) + 128.0
+        # inverse DCT: C.T @ blk @ C as broadcast matmuls (see encoder)
+        px = _C.T @ blk @ _C + 128.0
         plane = px.transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
         ch = -(-(h * vi) // vmax)
         cw = -(-(w * hi) // hmax)
