@@ -130,15 +130,17 @@ def track_persist(df, storage_level=None):
     return df
 
 
-def release_persisted() -> int:
-    """Unpersist every tracked frame (async); returns how many were freed.
+def release_persisted(blocking: bool = False) -> int:
+    """Unpersist every tracked frame; returns how many were freed.
     Safe to call at any time — consuming plans already executed hold their
-    results, and a re-run simply recomputes."""
+    results, and a re-run simply recomputes. ``blocking=True`` waits for
+    the block removal — benchmark loops use it so one query's eviction
+    work can't bleed into the NEXT query's measured wall (r9)."""
     n = 0
     while _PERSISTED:
         df = _PERSISTED.pop()
         try:
-            df.unpersist(blocking=False)
+            df.unpersist(blocking=blocking)
             n += 1
         except Exception:  # session already stopped — nothing to free
             pass

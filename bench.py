@@ -158,7 +158,17 @@ def main() -> None:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = round(time.perf_counter() - t0, 3)
-        release_persisted()  # free operator-persisted frames between queries
+        # Between-query hygiene (r9), all OUTSIDE the timers: blocking
+        # unpersist + one forced JVM GC — the JMH pattern. Measured: a
+        # query after 8 heavy predecessors read 7.8s vs 5.9s after a
+        # GC on the same session; without this, each wall charges the
+        # query for its predecessors' garbage, and the per-query
+        # regression gate compares heap-state noise, not code.
+        release_persisted(blocking=True)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         return dt
 
     cum = _cumulative_stage_bytes(spark)
