@@ -550,3 +550,267 @@ def decode_y4m(payload: bytes, sample_every: int = 1) -> dict:
         "duration_ms": int(n_frames * 1000 * fps_den / fps_num),
         "mean_intensity": luma_sum / luma_n if luma_n else None,
     }
+
+
+# ---------------------------------------------------------------------------
+# GIF (r10, VERDICT r9 #7): web corpora carry GIF heavily — without a
+# decoder the perceptual-dedup family was blind to the third major web
+# image format. Implemented from the public GIF89a specification
+# (CompuServe, 1990; also W3C's copy) — header + logical screen
+# descriptor, global/local color tables, extension-block skip, and the
+# variable-width LSB-first GIF-LZW entropy coder, including interlace
+# and the 12-bit table cap / clear-code reset. First image descriptor
+# only (animation frames beyond the first do not change near-dup
+# identity for poster-frame hashing; n_frames is counted for metadata).
+# ---------------------------------------------------------------------------
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+_GIF_MAX_CODE = 4096  # 12-bit LZW table cap (GIF spec appendix F)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, npix: int) -> bytearray:
+    """GIF-variant LZW: variable width starting min_code_size+1, LSB-first
+    bit packing, clear/end codes, width bump when the table reaches
+    2^width, hard 4096-entry cap. Decodes exactly ``npix`` indices (a
+    conforming stream may end with an explicit end code or simply run
+    out — both accepted; overrun raises)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    # whole-buffer little-endian int: (big >> bitpos) & mask IS the
+    # LSB-first bit reader — no per-bit Python loop
+    big = int.from_bytes(data, "little")
+    nbits = len(data) * 8
+    bitpos = 0
+    width = min_code_size + 1
+    table = list(base)
+    prev: bytes | None = None
+    out = bytearray()
+    while len(out) < npix:
+        if bitpos + width > nbits:
+            break  # stream exhausted without end code — accept if npix met
+        code = (big >> bitpos) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+            if not entry:
+                raise ValueError("malformed GIF: reference to reserved code")
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("malformed GIF: LZW code out of range")
+        out += entry
+        if prev is not None and len(table) < _GIF_MAX_CODE:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < npix:
+        raise ValueError("malformed GIF: LZW stream short of pixel count")
+    return out[:npix]
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Real LZW compression (not the clear-code-spam trick) with the
+    width/reset schedule mirroring ``_gif_lzw_decode`` exactly: width
+    bumps when next_code reaches 2^width; a clear code is emitted (and
+    the table reset) when the table would exceed 4096 entries."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out_bits = bytearray()
+    acc = 0
+    accbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, accbits
+        acc |= code << accbits
+        accbits += width
+        while accbits >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, width)
+    buf = b""
+    for b in indices:
+        cand = buf + bytes([b])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        if next_code < _GIF_MAX_CODE:
+            table[cand] = next_code
+            next_code += 1
+            # parity with the decoder's `len(table) == 1 << width` bump
+            # (the decoder's table runs one entry behind next_code — the
+            # classic delayed-KwKwK offset — hence the +1 here; verified
+            # against giflib's RunningCode/MaxCode1 schedule)
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        buf = bytes([b])
+    if buf:
+        emit(table[buf], width)
+    emit(end, width)
+    if accbits:
+        out_bits.append(acc & 0xFF)
+    return bytes(out_bits)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace(idx: bytearray, w: int, h: int) -> bytearray:
+    out = bytearray(len(idx))
+    src = 0
+    for start, step in _GIF_INTERLACE_PASSES:
+        for y in range(start, h, step):
+            out[y * w : (y + 1) * w] = idx[src : src + w]
+            src += w
+    return out
+
+
+def gif_info(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, gct_entries) from the logical screen descriptor."""
+    if payload is None or payload[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF payload (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("malformed GIF: truncated screen descriptor")
+    w, h, packed = struct.unpack("<HHB", payload[6:11])
+    gct = (2 << (packed & 0x07)) if packed & 0x80 else 0
+    return w, h, gct
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Full first-frame decode → the decode_png contract: {width, height,
+    channels, pixels (row-major interleaved), mean_intensity} plus
+    n_frames. channels is 1 when the effective palette is pure gray
+    (r==g==b for every USED entry — the common grayscale-GIF case this
+    corpus synthesizes), else 3 via palette lookup. Frames after the
+    first are length-walked (not LZW-decoded) to count n_frames."""
+    w, h, gct_n = gif_info(payload)
+    pos = 13
+    gct = payload[pos : pos + 3 * gct_n]
+    pos += 3 * gct_n
+    frame = None
+    n_frames = 0
+    fw = fh = 0
+    palette = gct
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"malformed GIF: unknown block 0x{b:02x}")
+        if pos + 10 > len(payload):
+            raise ValueError("malformed GIF: truncated image descriptor")
+        _l, _t, iw, ih, ipk = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+        pos += 10
+        lct_n = (2 << (ipk & 0x07)) if ipk & 0x80 else 0
+        lct = payload[pos : pos + 3 * lct_n]
+        pos += 3 * lct_n
+        if pos >= len(payload):
+            raise ValueError("malformed GIF: missing LZW data")
+        mcs = payload[pos]
+        pos += 1
+        chunks = []
+        while pos < len(payload) and payload[pos]:
+            n = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + n])
+            pos += 1 + n
+        pos += 1  # block terminator
+        if frame is None:
+            if not (2 <= mcs <= 11):
+                raise ValueError("malformed GIF: bad LZW min code size")
+            idx = _gif_lzw_decode(b"".join(chunks), mcs, iw * ih)
+            if ipk & 0x40:
+                idx = _deinterlace(idx, iw, ih)
+            frame, fw, fh = idx, iw, ih
+            palette = lct or gct
+            if not palette:
+                raise ValueError("malformed GIF: no color table")
+        n_frames += 1
+    if frame is None:
+        raise ValueError("malformed GIF: no image descriptor")
+    import numpy as np
+
+    pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+    ids = np.frombuffer(bytes(frame), dtype=np.uint8)
+    if ids.max(initial=0) >= len(pal):
+        raise ValueError("malformed GIF: pixel index outside color table")
+    used = pal[np.unique(ids)]
+    if (used[:, 0] == used[:, 1]).all() and (used[:, 1] == used[:, 2]).all():
+        px = pal[ids, 0]  # pure-gray palette → 1 channel
+        channels = 1
+    else:
+        px = pal[ids].reshape(-1)
+        channels = 3
+    return {
+        "width": fw,
+        "height": fh,
+        "channels": channels,
+        "pixels": bytearray(px.tobytes()),
+        "mean_intensity": float(px.mean()) / 255.0 if len(px) else 0.0,
+        "n_frames": n_frames,
+    }
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    interlace: bool = False,
+) -> bytes:
+    """GIF89a encoder for 8-bit GRAYSCALE planes (channels must be 1 —
+    the identity 256-gray global color table makes every pixel value its
+    own palette index, so encode∘decode is bit-exact; color GIF would
+    need a quantizer this corpus has no use for). Real LZW compression;
+    optional interlace for decoder coverage."""
+    if channels != 1:
+        raise NotImplementedError("encode_gif: grayscale (channels=1) only")
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | 0x70 | 0x07, 0, 0)
+    for v in range(256):  # identity gray GCT
+        out += bytes((v, v, v))
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
+    )
+    idx = bytes(pixels)
+    if interlace:
+        rows = [idx[y * width : (y + 1) * width] for y in range(height)]
+        order = [
+            y for start, step in _GIF_INTERLACE_PASSES
+            for y in range(start, height, step)
+        ]
+        idx = b"".join(rows[y] for y in order)
+    out.append(8)  # min code size: 256-entry palette
+    lzw = _gif_lzw_encode(idx, 8)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -108,8 +108,12 @@ def decode_gray(payload: bytes) -> np.ndarray:
         from .jpeg_codec import decode_jpeg
 
         img = decode_jpeg(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .codecs import decode_gif
+
+        img = decode_gif(payload)  # r10: GIF joins the dedup family
     else:
-        raise ValueError("not a pixel-decodable payload (PNG/JPEG)")
+        raise ValueError("not a pixel-decodable payload (PNG/JPEG/GIF)")
     px = np.frombuffer(bytes(img["pixels"]), dtype=np.uint8).reshape(
         img["height"], img["width"], img["channels"]
     )

@@ -108,6 +108,7 @@ def pagerank(
     damping: float = 0.85,
     check_dangling: bool = True,
     deg: DataFrame | None = None,
+    e_rows: int | None = None,
 ) -> DataFrame:
     """Weighted PageRank over an edge list with no dangling nodes
     (every node has at least one out-edge — true for symmetrized
@@ -146,8 +147,20 @@ def pagerank(
     # expansion (the factored identity deg(p) = Σ_o m(sz−m) needs only
     # the O(|rows|) occurrence table) pass ``deg`` — columns (src,
     # _wsum) — and skip aggregating the O(|E|) pair projection here.
-    if deg is None:
-        deg = edges.groupBy(src).agg(F.sum(weight).alias("_wsum"))
+    # r10 advisor: the checkpoint-hygiene gate needs |E| as a ROW count,
+    # not a weight sum (generic weighted callers would gate a weight sum
+    # against an edge-count threshold — hygiene wrongly on/off). When we
+    # aggregate deg ourselves, count rows in the SAME shuffle (free);
+    # callers that pass a precomputed ``deg`` should pass ``e_rows`` too,
+    # else the gate falls back to sum(_wsum) — exact only when that deg
+    # is row-count-equivalent (unit weights / the factored copurchase
+    # deg, where Σ_wsum == occurrence-pair row count by construction).
+    _own_deg = deg is None
+    if _own_deg:
+        deg = edges.groupBy(src).agg(
+            F.sum(weight).alias("_wsum"),
+            F.count(F.lit(1)).alias("_ecnt"),
+        )
     deg = track_persist(deg, StorageLevel.MEMORY_AND_DISK)
     if check_dangling:
         dangling = (
@@ -187,10 +200,12 @@ def pagerank(
     # a norm.count() that would serially materialize the edge layout —
     # gates the checkpoint+GC cadence below (r9: hygiene off at small
     # |E|, where it was pure fixed overhead).
-    e_rows = int(
-        deg.agg(F.coalesce(F.sum("_wsum"), F.lit(0.0)).alias("e"))
-        .collect()[0]["e"]
-    )
+    if e_rows is None:
+        _gate_col = "_ecnt" if _own_deg else "_wsum"
+        e_rows = int(
+            deg.agg(F.coalesce(F.sum(_gate_col), F.lit(0.0)).alias("e"))
+            .collect()[0]["e"]
+        )
     hygiene = e_rows > _CHECKPOINT_MIN_EDGES
     ranks = deg.select(F.col(src).alias("node"), F.lit(1.0 / n).alias("r"))
     for it in range(iterations):

@@ -141,6 +141,17 @@ def decode_media(payload: bytes, mime: str, fake: bool = False) -> dict[str, Any
             "mean_intensity": None,
             "duration_ms": None,
         }
+    if mime == "image/gif":
+        # full first-frame decode (palette + GIF-LZW, functions/codecs.py
+        # r10); animation frames beyond the first are length-walked only
+        img = codecs.decode_gif(payload)
+        return {
+            "width": img["width"],
+            "height": img["height"],
+            "channels": img["channels"],
+            "mean_intensity": img["mean_intensity"],
+            "duration_ms": None,
+        }
     if mime in ("audio/mpeg", "audio/mp3"):
         # frame-header walk: real channels/duration, no entropy decode
         au = codecs.mp3_info(payload)

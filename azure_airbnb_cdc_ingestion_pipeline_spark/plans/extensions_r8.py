@@ -129,10 +129,16 @@ def _mixed_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     PNG, 5 = RESTART-INTERVAL (DRI=8) JPEG-4:2:0 re-encode of the
     down-up-resample variant (r9, VERDICT r8 #2 — 256 MCUs per image ⇒
     31 RSTn boundaries each; a broken predictor reset shifts every
-    post-restart DC level and splits the family). Synthesis is a
-    map-only Arrow pass; payloads are born and hashed inside their
-    partition, never shuffled."""
-    from ..functions.codecs import encode_png
+    post-restart DC level and splits the family), 6 = GIF89a re-encode
+    of base (r10, VERDICT r9 #7 — the identity gray palette + GIF-LZW
+    round trip is bit-exact, so a correct decoder hashes it 0 bits from
+    the base PNG, while a wrong LZW width schedule garbles the plane
+    globally), 7 = INTERLACED GIF of the brightness variant (the 4-pass
+    row shuffle must be undone — a missing deinterlace scrambles rows
+    and splits the family). Synthesis is a map-only Arrow pass;
+    payloads are born and hashed inside their partition, never
+    shuffled."""
+    from ..functions.codecs import encode_gif, encode_png
     from ..functions.jpeg_codec import encode_jpeg
     from ..session import fan_out
     from .extensions_r7 import _IMG, _synth_family
@@ -166,6 +172,9 @@ def _mixed_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _jpeg(fam[4], "420", progressive=True),
                     encode_png(_IMG, _IMG, 1, fam[2].tobytes()),
                     _jpeg(fam[3], "420", ri=8),
+                    encode_gif(_IMG, _IMG, 1, fam[0].tobytes()),
+                    encode_gif(_IMG, _IMG, 1, fam[1].tobytes(),
+                               interlace=True),
                 ]
                 for v, payload in enumerate(variants):
                     ids.append(int(did) * 10 + v)
@@ -182,7 +191,7 @@ def _mixed_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pixels that now cross the PNG/JPEG-420/JPEG-422 format boundary.
     oracle="""
     SELECT doc_id * 10 + v AS media_id, doc_id * 10 AS canonical_id
-    FROM documents, (SELECT unnest([0, 1, 2, 3, 4, 5]) AS v)
+    FROM documents, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS v)
     WHERE doc_id % 10 = 0
     """,
 )
@@ -190,10 +199,11 @@ def q_multimodal_phash_dedup_mixed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Perceptual near-dup dedup over a mixed-format corpus (VERDICT r7
-    #1 done-condition): format-sniffed decode (PNG codec or the r8
-    subsampled JPEG decode) → pHash → pigeonhole-banded Hamming-≤6 pair
-    join → min-label connected components — the same plan as
-    `multimodal_phash_dedup`, now provably format-blind. A wrong MCU
+    #1 done-condition): format-sniffed decode (PNG codec, the r8
+    subsampled JPEG decode, or the r10 GIF-LZW decode) → pHash →
+    pigeonhole-banded Hamming-≤6 pair join → min-label connected
+    components — the same plan as `multimodal_phash_dedup`, now
+    provably format-blind across all three major web image formats. A wrong MCU
     raster order / chroma geometry would perturb the decoded plane
     globally (≥ the cross-family 22-bit floor) and split every family
     containing a JPEG member; likewise a wrong DC-predictor reset at a

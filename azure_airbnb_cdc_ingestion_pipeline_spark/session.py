@@ -34,12 +34,22 @@ def _default_max_result(driver_mem: str) -> str:
     The LSH broadcast-verify gate sizes its collect against this limit,
     so it must never EQUAL the heap (r8 advisor: a flat 4g limit inside
     a 4g heap on an 8 GiB host left no headroom for the collect plus its
-    broadcast copy). Falls back to 2g if the heap string is exotic."""
+    broadcast copy). r10 advisor: parse m/t suffixes too, and keep the
+    never-equal invariant at tiny heaps (1g heap -> 512m limit, not 1g);
+    an unparseable string falls back to 1g (safe under any heap >= 2g,
+    and conservative rather than over-sized under smaller ones)."""
+    s = str(driver_mem).strip().lower()
     try:
-        gb = int(str(driver_mem).lower().rstrip("gb"))
-        return f"{max(1, min(4, gb // 2))}g"
+        if s.endswith("t"):
+            mb = int(float(s[:-1]) * 1024 * 1024)
+        elif s.endswith("m"):
+            mb = int(float(s[:-1]))
+        else:  # bare number or g/gb suffix = GiB
+            mb = int(float(s.rstrip("gb")) * 1024)
     except ValueError:
-        return "2g"
+        return "1g"
+    half_mb = max(256, mb // 2)  # floor: Spark rejects 0; 256m min useful
+    return f"{min(4096, half_mb)}m"
 
 
 def get_spark(

@@ -283,11 +283,22 @@ class ParquetTable:
         if not dirs:
             return None
         df = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+        # Anchor to the _delta parent so a /dNNNNNN/ segment elsewhere in
+        # the table path (e.g. a root under /data/d000042/...) can never
+        # mis-tag rows (r10 advisor). raise_error on a non-match instead
+        # of letting ''.cast(int) silently become NULL and corrupt
+        # arrival-wins resolution.
+        seq_str = F.regexp_extract(
+            F.input_file_name(), "/" + self._DELTA + "/d([0-9]{6})/", 1
+        )
         return df.withColumn(
             "__seq",
-            F.regexp_extract(
-                F.input_file_name(), "/d([0-9]{6})/", 1
-            ).cast("int"),
+            F.when(seq_str == "", F.raise_error(
+                F.concat(
+                    F.lit("delta seq parse failed for "),
+                    F.input_file_name(),
+                )
+            ).cast("int")).otherwise(seq_str.cast("int")),
         )
 
     # -- concurrency ---------------------------------------------------------
@@ -693,9 +704,13 @@ class ParquetTable:
             # trigger. One multi-path scan for the pending deltas (r9);
             # the incoming batch outranks every on-disk delta (seq is
             # strictly increasing).
-            allf = self._delta_stack(cur_dir).unionByName(
-                src.withColumn("__seq", F.lit(seq)),
-                allowMissingColumns=True,
+            # fold_after=1 folds on every batch, so zero delta dirs may be
+            # pending at trigger time — the stack is None then (r10 advisor).
+            stack = self._delta_stack(cur_dir)
+            tagged = src.withColumn("__seq", F.lit(seq))
+            allf = (
+                tagged if stack is None
+                else stack.unionByName(tagged, allowMissingColumns=True)
             )
             resolved_src = _mor_resolve_tagged(allf, spec).select(*src.columns)
             base = self.spark.read.parquet(cur_dir)  # _delta is hidden

@@ -1,0 +1,98 @@
+"""GIF codec (r10, VERDICT r9 #7): GIF-LZW round trips, interlace,
+real-world decoder compatibility, and the phash format-sniff path."""
+
+import numpy as np
+import pytest
+
+from azure_airbnb_cdc_ingestion_pipeline_spark.functions.codecs import (
+    _gif_lzw_decode,
+    _gif_lzw_encode,
+    decode_gif,
+    encode_gif,
+    gif_info,
+)
+from azure_airbnb_cdc_ingestion_pipeline_spark.functions.phash import (
+    decode_gray,
+    phash64,
+)
+
+
+def _round_trip(px: np.ndarray, interlace: bool = False) -> np.ndarray:
+    h, w = px.shape
+    payload = encode_gif(w, h, 1, px.tobytes(), interlace=interlace)
+    d = decode_gif(payload)
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 1)
+    return np.frombuffer(bytes(d["pixels"]), dtype=np.uint8).reshape(h, w)
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_round_trip_shapes(interlace):
+    rng = np.random.default_rng(11)
+    for w, h in [(1, 1), (7, 3), (33, 1), (64, 64), (65, 63)]:
+        px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        assert (_round_trip(px, interlace) == px).all()
+
+
+def test_round_trip_12bit_table_and_clear():
+    # 400x400 noise forces the LZW table to 4096 entries and the
+    # clear-code reset path on both sides
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (400, 400), dtype=np.uint8)
+    assert (_round_trip(px) == px).all()
+
+
+def test_lzw_kwkwk_case():
+    # 'aaaa...' exercises code == len(table) (the KwKwK case) immediately
+    data = bytes([5]) * 50
+    enc = _gif_lzw_encode(data, 8)
+    assert bytes(_gif_lzw_decode(enc, 8, 50)) == data
+    # and compresses: run-length input beats 1 byte/pixel
+    assert len(enc) < 50
+
+
+def test_gif_info_and_malformed():
+    g = encode_gif(4, 2, 1, bytes(8))
+    assert gif_info(g) == (4, 2, 256)
+    with pytest.raises(ValueError):
+        gif_info(b"NOTGIF" + bytes(20))
+    with pytest.raises(ValueError):
+        decode_gif(g[:20])  # truncated: no image descriptor / short LZW
+    with pytest.raises(NotImplementedError):
+        encode_gif(2, 2, 3, bytes(12))  # color encode unsupported, loudly
+
+
+def test_real_world_gifs_decode():
+    """Cross-validate the LZW width schedule against GIFs written by
+    real encoders (the tk/IDLE icon set shipped with CPython)."""
+    import glob
+
+    paths = sorted(
+        glob.glob(
+            "/mnt/sandboxing/model_tools_env/v1/python/install/"
+            "lib/python3.11/idlelib/Icons/*.gif"
+        )
+    )
+    if not paths:
+        pytest.skip("no real-world GIF fixtures on this host")
+    for p in paths[:6]:
+        d = decode_gif(open(p, "rb").read())
+        assert d["width"] > 0 and d["height"] > 0
+        assert len(d["pixels"]) == d["width"] * d["height"] * d["channels"]
+        assert 0.0 <= d["mean_intensity"] <= 1.0
+
+
+def test_phash_format_blind_gif():
+    # identical pixels through PNG vs GIF must hash identically (both
+    # round-trip bit-exactly), interlaced GIF too
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.codecs import (
+        encode_png,
+    )
+
+    rng = np.random.default_rng(21)
+    px = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    h_png = phash64(decode_gray(encode_png(64, 64, 1, px.tobytes())))
+    h_gif = phash64(decode_gray(encode_gif(64, 64, 1, px.tobytes())))
+    h_gil = phash64(
+        decode_gray(encode_gif(64, 64, 1, px.tobytes(), interlace=True))
+    )
+    assert h_png == h_gif == h_gil
