@@ -229,3 +229,50 @@ def repetition_ratios(toks: Column, n: int = 3) -> dict[str, Column]:
             1.0 - F.size(F.array_distinct(ngr)).cast("double") / n_ngr
         ),
     }
+
+
+# -- HTML → main-content text (r10, VERDICT r9 #6) --------------------------
+
+# Block-level containers that are boilerplate BY ROLE on the modern web
+# (navigation, chrome, sidebars) — stripped wholesale, content included.
+_HTML_CHROME = "script|style|nav|header|footer|aside"
+# closers that imply a line break in the rendered text
+_HTML_BREAKS = r"(?i)<(?:br|hr)\s*/?>|</(?:p|div|li|h[1-6]|tr|ul|ol|table|blockquote|section|article)\s*>"
+
+
+def html_extract_text(col: str | Column, min_line_chars: int = 30) -> Column:
+    """Main-content text from raw HTML — the trafilatura/jusText shape
+    reduced to what pure JVM built-ins can express (VERDICT r9 #6: web
+    corpora arrive as markup; `text_boilerplate_ratio`/`quality_score`
+    assumed clean text):
+
+    1. drop chrome containers wholesale (`script/style/nav/header/
+       footer/aside`, tag-balanced via backreference) and comments;
+    2. map block-level closers to newlines (layout → line structure);
+    3. strip remaining tags; decode the six dominant entities
+       (``&amp;`` LAST so escaped text round-trips exactly);
+    4. line-level boilerplate gate: trim each line, keep lines with
+       ≥ ``min_line_chars`` chars — the jusText "short block =
+       boilerplate" heuristic (nav crumbs, share buttons, copyright
+       lines die here even outside chrome containers).
+
+    Pure `regexp_replace`/`split`/`filter`/`array_join` — whole-stage
+    codegen, no Python in the path, scale-indifferent. NOT a browser:
+    no JS, no CSS visibility, no encoding sniff (bytes must already be
+    decoded). Deterministic, DuckDB-expressible (the oracle gate in
+    plans/extensions_r10.py)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(
+        c, f"(?is)<({_HTML_CHROME})\\b[^>]*>.*?</\\1\\s*>", ""
+    )
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", "")
+    c = F.regexp_replace(c, _HTML_BREAKS, "\n")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", "")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    lines = F.transform(F.split(c, "\n"), lambda x: F.trim(x))
+    kept = F.filter(lines, lambda x: F.length(x) >= min_line_chars)
+    return F.array_join(kept, "\n")
