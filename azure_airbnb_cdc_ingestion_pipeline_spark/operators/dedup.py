@@ -195,7 +195,11 @@ def minhash_lsh_pairs(
     """
     from ..session import fan_out, track_persist
 
-    df = fan_out(df)  # tiny-file guard: the shingle+fold kernel is CPU-bound
+    # tiny-file guard + derived-width sizing (r10): the persisted frame
+    # carries the shingle-hash ARRAYS (~10× the scanned text bytes), so
+    # partition count follows the row count, not the scan split count —
+    # at sf100 the scan-sized cache held ~92 MB tasks (TASK_AUDIT_r09).
+    df = fan_out(df, rows=df.count())
     rows = num_hashes // bands
     # ONE shingle pass, persisted: the signature build AND the
     # exact-Jaccard verification both read this frame — tokenizing the
@@ -785,7 +789,8 @@ def incremental_minhash_pairs(
     rows = num_hashes // bands
 
     def _bucketize(df: DataFrame, side: str) -> tuple[DataFrame, DataFrame]:
-        df = fan_out(df)
+        # derived-width sizing, as in minhash_lsh_pairs (r10 task #8)
+        df = fan_out(df, rows=df.count())
         sh_df = track_persist(
             df.select(
                 F.col(id_col).alias(f"{side}_id"),

@@ -366,11 +366,25 @@ def copurchase_pagerank(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         _persisted.append(li_o)
-        # per-node statics in one pass over the cached layout:
+        # r10 (verdict task #3): ONE _p-clustered exchange funds BOTH
+        # per-node statics and the _p-partitioned iteration layout. The
+        # r9 build paid two full O(rows) exchanges here — the stats
+        # partial-agg (near-unique (_p, task) partials, ~12 % map-side
+        # reduction at sf100) and the li_p attach join's re-key of li_o
+        # — where one repartition carries the same bytes once; stats
+        # then aggregates cache-locally and the attach join is
+        # co-partitioned on both sides. li_byp is a build-scoped cache
+        # (compressed columnar, ~1/3 the raw bytes) and is dropped
+        # before the iterations start.
+        li_byp = li_o.repartition(p_n, "_p").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        li_byp.count()  # one pass materializes li_o AND li_byp
+        # per-node statics, exchange-free over the _p-clustered cache:
         # deg = Σ_o m(sz−m) (weighted out-degree), c2 = Σ_o m²/deg (the
         # static coefficient of the self-exclusion term — see loop)
         stats = (
-            li_o.groupBy("_p")
+            li_byp.groupBy("_p")
             .agg(
                 F.sum(F.col("_mm") * (F.col("_sz") - F.col("_mm"))).alias("_deg"),
                 F.sum(F.col("_mm") * F.col("_mm")).alias("_sq"),
@@ -386,19 +400,21 @@ def copurchase_pagerank(
         _persisted.append(stats)
         n = stats.count()
         if n == 0:
+            li_byp.unpersist(blocking=False)
             return lineitem.select(
                 F.col(pk).alias("node"), F.lit(0.0).alias("pagerank")
             ).limit(0)
-        # second cached layout, partitioned by part key, carrying
+        # second iteration layout, partitioned by part key, carrying
         # md = m/deg premultiplied: the rank join each round is then
         # co-partitioned probe + O(|V|/p_n) build, no degree join
         li_p = (
-            li_o.join(stats.hint("shuffle_hash"), "_p")
+            li_byp.join(stats.hint("shuffle_hash"), "_p")
             .select("_o", "_p", (F.col("_mm") / F.col("_deg")).alias("_md"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         _persisted.append(li_p)
         li_p.count()  # materialize so iterations read cache, not lineage
+        li_byp.unpersist(blocking=False)  # build-scoped; loop reads li_o/li_p
         # ranks carries the static c2 along so the whole loop is free of
         # O(|V|) side joins beyond the final combine
         ranks = stats.select(

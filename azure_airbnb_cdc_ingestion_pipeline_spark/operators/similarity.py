@@ -478,14 +478,21 @@ def cosine_pairs_lsh(
     except Exception:
         pass  # unparseable → trust the env budget
     if n * dim * 8 <= budget_mb * (1 << 20):
-        # r8 (second sf100 post-mortem): the skinny self-join must be a
-        # SHUFFLED HASH join on an explicitly sized exchange. The default
-        # sort-merge join SORTS both 24 B-row sides — n·T rows each
-        # (346M at the 2M-vector/160-table grid) — and the sorter spill
-        # alone (~2 × 25 GB of UnsafeRow scratch) dwarfed the compressed
-        # exchange (~5 GB). Hash join builds a per-task map instead
-        # (nothing sorts); partition count scales with n·T so the build
-        # side stays ~1.5M rows/task at any corpus size.
+        # r10 (verdict task #2): the candidate JOIN is gone. The r8 plan
+        # shuffled the skinny rows once, then materialized every
+        # candidate pair as a JVM row (~1.4 B at the 2 M-vector /
+        # 160-table grid), fed them through Arrow into the verify
+        # kernel, and paid per-pair gather+einsum — join-probe output,
+        # row materialization, and Arrow transfer of the candidate
+        # stream dominated the sf100 wall (330 s, TASK_AUDIT_r09). Pair
+        # formation is now fused INTO the partition kernel: the one
+        # skinny exchange clusters each (tbl, bucket) into a partition,
+        # and a mapInPandas pass groups rows by bucket in numpy and
+        # forms each bucket's pairs as a blocked Gram matrix (X Xᵀ)
+        # against the broadcast unit matrix — candidates never exist as
+        # rows anywhere; only verified true pairs are emitted. Same
+        # hash family, same exact verify, same HALF_UP rounding ⇒ same
+        # pair set as the join formulation.
         n_skinny = n * num_tables
         p_skinny = int(min(2048, max(32, n_skinny // 1_500_000)))
         skinny = (
@@ -498,24 +505,6 @@ def cosine_pairs_lsh(
             )
             .repartition(p_skinny, "tbl", "bucket")
         )
-        sa, sb = skinny.alias("A").hint("shuffle_hash"), skinny.alias("B")
-        # r8 (sf100 post-mortem): dedup moved AFTER verification. The r7
-        # order — dropDuplicates on the raw candidate stream, then dot —
-        # saved dot products (cheap numpy: ~1.4B × 64 flops ≈ seconds)
-        # by paying a pair-keyed SHUFFLE of every pre-dedup candidate
-        # row (~1.4B rows at the 160-table/2M-vector grid — >50 GB of
-        # sorter scratch; filled the box twice). The candidate join's
-        # output feeds the Arrow verify NARROWLY (no exchange), the
-        # exact-cos filter kills non-pairs in place, and the dedup
-        # shuffle then carries only true pairs × table duplication.
-        # Duplicate pairs verify to IDENTICAL cos (same kernel, same
-        # inputs), so dedup-after-verify emits the same rows.
-        cand = sa.join(
-            sb,
-            (F.col("A.tbl") == F.col("B.tbl"))
-            & (F.col("A.bucket") == F.col("B.bucket"))
-            & (F.col("A.id") < F.col("B.id")),
-        ).select(F.col("A.id").alias("a_id"), F.col("B.id").alias("b_id"))
         # driver materialization is bounded by the budget gate above
         tbl = src.toArrow()
         ids = np.asarray(tbl.column("id").combine_chunks(), dtype=np.int64)
@@ -526,32 +515,106 @@ def cosine_pairs_lsh(
             (ids[order], unit_rows(V)[order])
         )
         thr = threshold
+        # per-class GEMM tiles are capped so the gathered (nb, c, dim)
+        # stack and its (nb, c, c) Gram block stay ~tens of MB per call
+        gemm_budget = 8 << 20  # doubles per tile ≈ 64 MB
 
-        def _verify(batches):
+        def _pair_gemm(batches):
             ids_s, Um = bc.value
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                ai = np.searchsorted(ids_s, pdf["a_id"].to_numpy())
-                bi = np.searchsorted(ids_s, pdf["b_id"].to_numpy())
-                raw = np.einsum("ij,ij->i", Um[ai], Um[bi])
-                # r8 (advisor): HALF_UP to 4dp — the SAME convention as
-                # the inline fallback path's F.round, so the two
-                # env-gated plans are bit-identical when a cos lands
-                # exactly on a 5e-5 boundary (np.round is half-to-even).
+            d = Um.shape[1]
+            # Buffer the whole partition: the repartition clusters every
+            # (tbl, bucket) group into exactly one partition, but Arrow
+            # batch boundaries split groups mid-bucket — pair formation
+            # needs the full group. ~1.5 M skinny rows ≈ 40 MB buffered.
+            parts = [p for p in batches if len(p)]
+            if not parts:
+                return
+            rid = np.concatenate([p["id"].to_numpy() for p in parts])
+            tb = np.concatenate(
+                [p["tbl"].to_numpy().astype(np.int64) for p in parts]
+            )
+            bk = np.concatenate([p["bucket"].to_numpy() for p in parts])
+            o = np.lexsort((rid, bk, tb))
+            rid, tb, bk = rid[o], tb[o], bk[o]
+            m = len(rid)
+            change = np.empty(m, dtype=bool)
+            change[0] = True
+            change[1:] = (tb[1:] != tb[:-1]) | (bk[1:] != bk[:-1])
+            starts = np.flatnonzero(change)
+            counts = np.diff(np.append(starts, m))
+            row_of = np.searchsorted(ids_s, rid)  # one gather index/row
+            out_a: list = []
+            out_b: list = []
+            out_c: list = []
+
+            def _emit(A, B, raw):
+                # HALF_UP to 4dp — the SAME convention as the inline
+                # fallback path's F.round, so the env-gated plans stay
+                # bit-identical on 5e-5 boundaries (np.round is
+                # half-to-even).
                 cos = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
                 keep = cos >= thr
                 if keep.any():
-                    yield pd.DataFrame(
-                        {
-                            "a_id": pdf["a_id"].to_numpy()[keep],
-                            "b_id": pdf["b_id"].to_numpy()[keep],
-                            "cos": cos[keep],
-                        }
-                    )
+                    A, B, cos = A[keep], B[keep], cos[keep]
+                    lo = np.minimum(A, B)
+                    hi = np.maximum(A, B)
+                    out_a.append(lo)
+                    out_b.append(hi)
+                    out_c.append(cos)
 
-        return cand.mapInPandas(
-            _verify, "a_id long, b_id long, cos double"
+            # group the groups by occupancy in one argsort (a per-class
+            # `counts == c` scan would be O(groups × classes))
+            by_c = np.argsort(counts, kind="stable")
+            sc = counts[by_c]
+            cls = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+            for k0, k1 in zip(cls, np.append(cls[1:], len(sc))):
+                c = int(sc[k0])
+                if c < 2:
+                    continue
+                sel = starts[by_c[k0:k1]]
+                if c <= 2048:
+                    # occupancy-class batching: all buckets of size c as
+                    # one (nb, c, dim) stack → batched Gram, upper
+                    # triangle only; nb chunked to the tile budget
+                    iu, ju = np.triu_indices(c, 1)
+                    step = max(1, int(gemm_budget // (c * d + c * c)))
+                    for s0 in range(0, len(sel), step):
+                        mem = sel[s0 : s0 + step, None] + np.arange(c)
+                        X = Um[row_of[mem]]
+                        G = np.matmul(X, X.transpose(0, 2, 1))
+                        _emit(
+                            rid[mem[:, iu]].ravel(),
+                            rid[mem[:, ju]].ravel(),
+                            G[:, iu, ju].ravel(),
+                        )
+                else:
+                    # rare giant bucket (planted-family pile-ups): tiled
+                    # triangular GEMM, rows i only against columns > i
+                    for s in sel:
+                        bidx = row_of[s : s + c]
+                        bids = rid[s : s + c]
+                        Xb = Um[bidx]
+                        tile = max(1, int(gemm_budget // c))
+                        for i0 in range(0, c - 1, tile):
+                            i1 = min(i0 + tile, c)
+                            G = Xb[i0:i1] @ Xb.T
+                            li, lj = np.nonzero(
+                                np.arange(c)[None, :]
+                                > np.arange(i0, i1)[:, None]
+                            )
+                            _emit(bids[i0 + li], bids[lj], G[li, lj])
+
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "a_id": np.concatenate(out_a),
+                        "b_id": np.concatenate(out_b),
+                        "cos": np.concatenate(out_c),
+                    }
+                )
+
+        return skinny.mapInPandas(
+            _pair_gemm, "a_id long, b_id long, cos double"
         ).dropDuplicates(["a_id", "b_id"])
 
     buckets = bucketed.select(

@@ -657,20 +657,25 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Triangle counting over the co-purchase graph
 # ---------------------------------------------------------------------------
 
-def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oriented (s < d) distinct co-purchase edges over parts."""
+def _copurchase_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented (s < d) co-purchase pair STREAM over parts — one row per
+    co-occurrence, duplicates included. Callers that can filter
+    deterministically on (s, d) should do so on this frame BEFORE
+    deduplicating: the distinct's exchange is the dominant cost (near-
+    unique keys → no map-side reduction), and a map-side predicate
+    shrinks it by the keep rate for an identical deduped result."""
     li = _t(spark, sf_dir, "lineitem")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("d"))
-    return (
-        a.join(b, "ok")
-        .filter(F.col("s") < F.col("d"))
-        .select("s", "d")
-        .distinct()
-    )
+    return a.join(b, "ok").filter(F.col("s") < F.col("d")).select("s", "d")
 
 
-def _triangles_per_edge(pairs: DataFrame) -> DataFrame:
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented (s < d) distinct co-purchase edges over parts."""
+    return _copurchase_pairs_raw(spark, sf_dir).distinct()
+
+
+def _triangles_per_edge(pairs: DataFrame, compact_ids: bool = False) -> DataFrame:
     """(s, d, tri) where tri = |F(s) ∩ F(d)| and F(x) = {y > x : edge} —
     each triangle x<y<z counted exactly once at its smallest edge (x,y).
 
@@ -698,8 +703,15 @@ def _triangles_per_edge(pairs: DataFrame) -> DataFrame:
     |V|-row adjacency partition — a hash join streams the exploded
     payload without sorting it). Measured at sf10: 101 s → 41 s for
     the join phase, and the scaling ratio drops back under the
-    superlinear flag line. Same exact result, same oracle."""
-    adj = pairs.groupBy("s").agg(F.sort_array(F.collect_list("d")).alias("nb"))
+    superlinear flag line. Same exact result, same oracle.
+
+    ``compact_ids`` stores the neighbor arrays as int32 (r10, shared
+    with the chunked kernel): the arrays are the streamed payload, so
+    half-width elements halve the attach-join volume; intersection
+    counts are type-agnostic. Only valid when the caller proves the id
+    domain fits int32 — the s/d key columns stay long either way."""
+    nb_elem = F.col("d").cast("int") if compact_ids else F.col("d")
+    adj = pairs.groupBy("s").agg(F.sort_array(F.collect_list(nb_elem)).alias("nb"))
     by_d = pairs.groupBy("d").agg(F.collect_list("s").alias("__ss"))
     node = by_d.join(
         adj.select(F.col("s").alias("d"), F.col("nb").alias("nb_d")), "d"

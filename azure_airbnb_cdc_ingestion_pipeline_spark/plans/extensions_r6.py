@@ -83,10 +83,19 @@ def q_graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     so sampled work is p² of exact with the same spill-safe plan."""
     from ..functions.sketches import md5_hash52
     from ..operators.graph import sized_shuffle
-    from .extensions_r5 import _copurchase_pairs, _triangles_per_edge
+    from .extensions_r5 import _copurchase_pairs_raw, _triangles_per_edge
 
-    pairs = _copurchase_pairs(spark, sf_dir)
-    sampled = pairs.filter(
+    # r10 (verdict task #4): the md5 coin is a pure function of (s, d),
+    # so sampling commutes with the pair dedup — filter the RAW pair
+    # stream map-side, BEFORE the distinct. The distinct's exchange is
+    # the query's dominant cost at scale (near-unique keys, zero
+    # map-side reduction, ~1.2 B rows at sf100); moving the coin in
+    # front of it cuts that exchange to p of its volume for the exact
+    # same sampled edge set (dedup-of-filtered ≡ filter-of-deduped for
+    # a deterministic row predicate). Oracle unchanged — it samples the
+    # deduped set, which is the same set.
+    pairs_raw = _copurchase_pairs_raw(spark, sf_dir)
+    sampled = pairs_raw.filter(
         F.pmod(
             md5_hash52(
                 F.concat(
@@ -98,8 +107,14 @@ def q_graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1000),
         )
         < _TRI_KEEP
+    ).distinct()
+    # int32 neighbor packing (shared with the exact kernel): the
+    # adjacency arrays are the streamed payload of the intersect join —
+    # half-width elements halve that shuffle when the id domain allows.
+    max_pk = (
+        _t(spark, sf_dir, "lineitem").agg(F.max("l_partkey")).first()[0] or 0
     )
-    per_edge = _triangles_per_edge(sampled)
+    per_edge = _triangles_per_edge(sampled, compact_ids=max_pk < 2**31)
     scale = 1000.0**3 / float(_TRI_KEEP) ** 3
     out = per_edge.agg(
         F.floor(F.sum("tri") * F.lit(scale) + F.lit(0.5))

@@ -165,15 +165,26 @@ def release_persisted(blocking: bool = False) -> int:
 _fanout_probe_cache: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
-def fan_out(df, min_factor: int = 2):
+def fan_out(df, min_factor: int = 2, rows: int | None = None,
+            rows_per_task: int = 40_000):
     """Spread a compute-heavy frame across the session's parallelism when
     the scan yielded too few partitions (tiny file / single parquet row
     group) — otherwise a per-row kernel (shingle hashing, minhash folds,
     cosine arithmetic) serializes on one or two cores. No-op when the
     input already has enough partitions, which is the 100 TB case: real
     tables scan as many splits, so this guards exactly the small-input
-    edge where the shuffle it introduces is by construction cheap."""
+    edge where the shuffle it introduces is by construction cheap.
+
+    ``rows`` (r10, verdict task #8): callers that DERIVE and persist a
+    much-wider column per row (shingle-hash arrays are ~10× the scanned
+    text bytes) pass the row count, and the target scales to
+    rows/rows_per_task — sizing the cached partitions to the DERIVED
+    width, not the scan width. At sf100 the minhash family's 32
+    scan-sized cache partitions carried ~92 MB tasks; 40 k rows/task
+    keeps every cached partition (~800 B/row of shingles) near 32 MB."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if rows is not None:
+        target = max(target, -(-rows // rows_per_task))
     n = _fanout_probe_cache.get(df)
     if n is None:
         n = df.rdd.getNumPartitions()
