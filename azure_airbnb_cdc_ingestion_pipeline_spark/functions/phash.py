@@ -112,8 +112,16 @@ def decode_gray(payload: bytes) -> np.ndarray:
         from .codecs import decode_gif
 
         img = decode_gif(payload)  # r10: GIF joins the dedup family
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp_codec import decode_webp
+
+        # r10: lossless WebP (VP8L) joins the dedup family; lossy VP8
+        # raises NotImplementedError inside → degrade, per contract
+        img = decode_webp(payload)
     else:
-        raise ValueError("not a pixel-decodable payload (PNG/JPEG/GIF)")
+        raise ValueError(
+            "not a pixel-decodable payload (PNG/JPEG/GIF/WebP)"
+        )
     px = np.frombuffer(bytes(img["pixels"]), dtype=np.uint8).reshape(
         img["height"], img["width"], img["channels"]
     )

@@ -152,6 +152,32 @@ def decode_media(payload: bytes, mime: str, fake: bool = False) -> dict[str, Any
             "mean_intensity": img["mean_intensity"],
             "duration_ms": None,
         }
+    if mime == "image/webp":
+        # full VP8L lossless decode (functions/webp_codec.py, r10);
+        # lossy VP8 raises NotImplementedError inside decode_webp →
+        # degrade to the container-header walk (dims only), same
+        # two-tier contract as unsupported JPEG profiles.
+        from ..functions import webp_codec
+
+        try:
+            img = webp_codec.decode_webp(payload)
+            return {
+                "width": img["width"],
+                "height": img["height"],
+                "channels": img["channels"],
+                "mean_intensity": img["mean_intensity"],
+                "duration_ms": None,
+            }
+        except NotImplementedError:
+            pass
+        info = webp_codec.webp_info(payload)
+        return {
+            "width": info["width"],
+            "height": info["height"],
+            "channels": None,
+            "mean_intensity": None,
+            "duration_ms": None,
+        }
     if mime in ("audio/mpeg", "audio/mp3"):
         # frame-header walk: real channels/duration, no entropy decode
         au = codecs.mp3_info(payload)

@@ -135,11 +135,18 @@ def _mixed_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the base PNG, while a wrong LZW width schedule garbles the plane
     globally), 7 = INTERLACED GIF of the brightness variant (the 4-pass
     row shuffle must be undone — a missing deinterlace scrambles rows
-    and splits the family). Synthesis is a map-only Arrow pass;
+    and splits the family), 8 = lossless WebP (VP8L) of base with
+    subtract-green + all-14-mode predictor transform + color cache +
+    LZ77 (r10, VERDICT r9 residual 3 — VP8L is bit-exact, so a correct
+    decoder hashes it 0 bits from the base PNG; a wrong
+    predictor-inverse or cache hash garbles the plane globally), 9 =
+    palette-mode WebP of the gamma variant (the color-indexing inverse
+    on the web-graphics path). Synthesis is a map-only Arrow pass;
     payloads are born and hashed inside their partition, never
     shuffled."""
     from ..functions.codecs import encode_gif, encode_png
     from ..functions.jpeg_codec import encode_jpeg
+    from ..functions.webp_codec import encode_webp
     from ..session import fan_out
     from .extensions_r7 import _IMG, _synth_family
 
@@ -175,6 +182,13 @@ def _mixed_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     encode_gif(_IMG, _IMG, 1, fam[0].tobytes()),
                     encode_gif(_IMG, _IMG, 1, fam[1].tobytes(),
                                interlace=True),
+                    encode_webp(_IMG, _IMG, 1, fam[0].tobytes(),
+                                subtract_green=True, predictor=True,
+                                cache_bits=6),
+                    # a gray plane has <= 256 distinct colors by
+                    # construction, so palette mode is always legal
+                    encode_webp(_IMG, _IMG, 1, fam[2].tobytes(),
+                                palette=True),
                 ]
                 for v, payload in enumerate(variants):
                     ids.append(int(did) * 10 + v)
@@ -191,7 +205,7 @@ def _mixed_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pixels that now cross the PNG/JPEG-420/JPEG-422 format boundary.
     oracle="""
     SELECT doc_id * 10 + v AS media_id, doc_id * 10 AS canonical_id
-    FROM documents, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS v)
+    FROM documents, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7, 8, 9]) AS v)
     WHERE doc_id % 10 = 0
     """,
 )
@@ -200,10 +214,11 @@ def q_multimodal_phash_dedup_mixed(
 ) -> DataFrame:
     """Perceptual near-dup dedup over a mixed-format corpus (VERDICT r7
     #1 done-condition): format-sniffed decode (PNG codec, the r8
-    subsampled JPEG decode, or the r10 GIF-LZW decode) → pHash →
+    subsampled JPEG decode, the r10 GIF-LZW decode, or the r10 VP8L
+    WebP decode) → pHash →
     pigeonhole-banded Hamming-≤6 pair join → min-label connected
     components — the same plan as `multimodal_phash_dedup`, now
-    provably format-blind across all three major web image formats. A wrong MCU
+    provably format-blind across all four major web image formats. A wrong MCU
     raster order / chroma geometry would perturb the decoded plane
     globally (≥ the cross-family 22-bit floor) and split every family
     containing a JPEG member; likewise a wrong DC-predictor reset at a

@@ -452,8 +452,9 @@ _REG_FLOOR_SEC = 0.3
 _REBASED: dict[str, str] = {
     "multimodal_phash_dedup_mixed": (
         "r10: the mixed-format dedup corpus gained plain + interlaced "
-        "GIF variants (8 variants/family, was 6) — a new codec family "
-        "decodes per row, more work by contract"
+        "GIF variants and two lossless-WebP (VP8L) variants (10 "
+        "variants/family, was 6) — two new codec families decode per "
+        "row, more work by contract"
     ),
 }
 

@@ -1,0 +1,353 @@
+"""WebP VP8L codec (r10, VERDICT r9 residual 3): transform round trips,
+prefix-code forms (simple / normal / 16-17-18 repeats / max_symbol),
+color cache, LZ77 distance mapping, meta prefix codes, container
+handling, and the phash format-sniff path."""
+
+import itertools
+import struct
+
+import numpy as np
+import pytest
+
+from azure_airbnb_cdc_ingestion_pipeline_spark.functions.webp_codec import (
+    _BitReader,
+    _BitWriter,
+    _HTree,
+    _write_prefix_code,
+    decode_webp,
+    encode_webp,
+    webp_info,
+)
+from azure_airbnb_cdc_ingestion_pipeline_spark.functions.phash import (
+    decode_gray,
+    phash64,
+)
+
+
+def _round_trip(px: np.ndarray, channels: int, **kw) -> np.ndarray:
+    h, w = px.shape[:2]
+    payload = encode_webp(w, h, channels, px.tobytes(), **kw)
+    d = decode_webp(payload)
+    assert (d["width"], d["height"]) == (w, h)
+    got = np.frombuffer(bytes(d["pixels"]), dtype=np.uint8).reshape(
+        h, w, d["channels"]
+    )
+    # canonicalize: gray may round-trip as 1 channel, RGB as 3
+    if channels == 1 and d["channels"] == 1:
+        return got[:, :, 0].reshape(h, w)
+    if channels == 1:
+        assert (got[:, :, 0] == got[:, :, 1]).all()
+        return got[:, :, 0]
+    return got
+
+
+@pytest.mark.parametrize(
+    "sg,pred,ct,cb,lz",
+    [
+        (False, False, False, 0, False),  # plain literals
+        (True, False, False, 0, False),   # subtract-green
+        (False, True, False, 0, False),   # predictor
+        (False, False, True, 0, False),   # color transform
+        (True, True, True, 0, False),     # all pixel-domain transforms
+        (False, False, False, 6, False),  # color cache
+        (False, False, False, 0, True),   # LZ77
+        (True, True, True, 8, True),      # everything at once
+    ],
+)
+def test_round_trip_feature_matrix(sg, pred, ct, cb, lz):
+    rng = np.random.default_rng(11)
+    for w, h, c in [(64, 64, 1), (48, 40, 3), (20, 24, 4), (37, 13, 1)]:
+        px = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        got = _round_trip(
+            px[:, :, 0] if c == 1 else px,
+            c,
+            subtract_green=sg,
+            predictor=pred,
+            color_transform=ct,
+            cache_bits=cb,
+            use_lz77=lz,
+        )
+        want = px[:, :, 0] if c == 1 else px
+        if c == 4 and (px[:, :, 3] == 255).all():
+            want = px[:, :, :3]
+        assert got.shape == want.shape and (got == want).all()
+
+
+def test_all_14_predictor_modes():
+    # 256 px wide with 16-px predictor blocks -> bx spans 0..15, so the
+    # encoder's (bx + 7*by) % 14 block-mode cycle hits every mode
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (32, 256), dtype=np.uint8)
+    assert (_round_trip(px, 1, predictor=True) == px).all()
+
+
+@pytest.mark.parametrize("n_colors", [2, 4, 16, 200])
+def test_palette_bundling_widths(n_colors):
+    # 2/4/16 colors exercise the three sub-byte bundling widths; 200
+    # the unbundled byte path. Odd width forces the partial last bundle.
+    rng = np.random.default_rng(n_colors)
+    vals = (np.arange(n_colors) * 251 % 256).astype(np.uint8)
+    idx = rng.integers(0, n_colors, (23, 41))
+    px = np.stack([vals[idx], vals[idx] // 2, vals[idx] // 3], axis=2)
+    got = _round_trip(px, 3, palette=True)
+    assert (got == px).all()
+
+
+def test_lz77_distance_paths():
+    # vertical runs make distance == xsize the winning backref:
+    # xsize=8 resolves through the 120-entry neighborhood map,
+    # xsize=200 through the large-distance (code > 120) path
+    for w in (8, 200):
+        col = (np.arange(w) * 37 % 256).astype(np.uint8)
+        px = np.tile(col, (50, 1))
+        assert (_round_trip(px, 1, use_lz77=True) == px).all()
+
+
+def test_color_cache_compresses_repeats():
+    # a 4-color noise image with a cache: cache-hit symbols replace
+    # full literals, so the payload must shrink vs the cacheless encode
+    rng = np.random.default_rng(7)
+    vals = np.array([3, 60, 130, 250], dtype=np.uint8)
+    px = vals[rng.integers(0, 4, (64, 64))]
+    plain = encode_webp(64, 64, 1, px.tobytes(), use_lz77=False)
+    cached = encode_webp(
+        64, 64, 1, px.tobytes(), cache_bits=4, use_lz77=False
+    )
+    assert len(cached) < len(plain)
+    assert (
+        np.frombuffer(
+            bytes(decode_webp(cached)["pixels"]), dtype=np.uint8
+        ).reshape(64, 64)
+        == px
+    ).all()
+
+
+def _simple_tree(bw, symbol, one_bit=False):
+    bw.write(1, 1)  # simple
+    bw.write(0, 1)  # one symbol
+    if one_bit:
+        bw.write(0, 1)
+        bw.write(symbol, 1)
+    else:
+        bw.write(1, 1)
+        bw.write(symbol, 8)
+
+
+def test_hand_built_repeat16_stream():
+    """The encoder never emits the 16 (repeat-previous) code-length
+    token; hand-build a stream that does, to pin the decoder's
+    prev_len semantics: green lengths [2,2,2,2] via one literal '2'
+    and one 16-repeat of 3."""
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(3, 14)  # width 4
+    bw.write(0, 14)  # height 1
+    bw.write(0, 1)   # alpha hint
+    bw.write(0, 3)   # version
+    bw.write(0, 1)   # no transforms
+    bw.write(0, 1)   # no color cache
+    bw.write(0, 1)   # no meta prefix codes
+    # green tree, normal form. code-length-code: symbols {2:1bit, 16:1bit}
+    bw.write(0, 1)   # not simple
+    # order = 17,18,0,1,2,3,4,5,16,...  -> need positions up to 16 (idx 8)
+    bw.write(9 - 4, 4)  # num_code_lengths = 9
+    for pos in range(9):
+        sym = (17, 18, 0, 1, 2, 3, 4, 5, 16)[pos]
+        bw.write(1 if sym in (2, 16) else 0, 3)
+    bw.write(1, 1)            # use max_symbol
+    bw.write(0, 3)            # length_nbits = 2
+    bw.write(0, 2)            # max_symbol = 2 (two tokens)
+    # canonical: symbol 2 -> code 0, symbol 16 -> code 1 (both len 1)
+    bw.write(0, 1)            # token 1: literal length 2 (for green sym 0)
+    bw.write(1, 1)            # token 2: repeat-16
+    bw.write(0, 2)            # repeat 3 -> green syms 1,2,3 get len 2
+    _simple_tree(bw, 7)       # red = 7
+    _simple_tree(bw, 9)       # blue = 9
+    _simple_tree(bw, 255)     # alpha
+    _simple_tree(bw, 0, one_bit=True)  # distance (unused)
+    # pixels: greens 0,1,2,3 -> canonical 2-bit codes 00,01,10,11 MSB-first
+    for g in range(4):
+        bw.write((g >> 1) & 1, 1)
+        bw.write(g & 1, 1)
+    payload = bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    d = decode_webp(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    px = np.frombuffer(bytes(d["pixels"]), dtype=np.uint8).reshape(1, 4, 3)
+    assert (px[0, :, 1] == [0, 1, 2, 3]).all()  # greens
+    assert (px[0, :, 0] == 7).all() and (px[0, :, 2] == 9).all()
+
+
+def test_hand_built_meta_prefix_stream():
+    """Two prefix-code groups selected by an entropy image: left 4-px
+    block decodes through group 0, right block through group 1."""
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(7, 14)  # width 8
+    bw.write(0, 14)  # height 1
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)   # no transforms
+    bw.write(0, 1)   # no color cache
+    bw.write(1, 1)   # meta prefix codes present
+    bw.write(0, 3)   # huffman_bits = 2 -> blocks of 4 px -> meta is 2x1
+    # meta entropy image (level0=False): 2 pixels, greens 0 and 1
+    bw.write(0, 1)   # meta image: no cache
+    # meta green tree: simple 2-symbol code {0, 1}
+    bw.write(1, 1)
+    bw.write(1, 1)   # two symbols
+    bw.write(0, 1)   # first symbol 1-bit
+    bw.write(0, 1)   # symbol 0
+    bw.write(1, 8)   # symbol 1
+    _simple_tree(bw, 0)            # meta red = 0 (group idx high byte)
+    _simple_tree(bw, 0)            # meta blue
+    _simple_tree(bw, 255)          # meta alpha
+    _simple_tree(bw, 0, one_bit=True)  # meta distance
+    bw.write(0, 1)   # meta pixel 0: green sym 0 (code 0)
+    bw.write(1, 1)   # meta pixel 1: green sym 1 (code 1)
+    # group 0: all-simple, green 100
+    _simple_tree(bw, 100)
+    _simple_tree(bw, 1)
+    _simple_tree(bw, 2)
+    _simple_tree(bw, 255)
+    _simple_tree(bw, 0, one_bit=True)
+    # group 1: all-simple, green 200
+    _simple_tree(bw, 200)
+    _simple_tree(bw, 3)
+    _simple_tree(bw, 4)
+    _simple_tree(bw, 255)
+    _simple_tree(bw, 0, one_bit=True)
+    # 8 pixels: all zero-bit simple codes -> no data bits at all
+    payload = bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    d = decode_webp(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    px = np.frombuffer(bytes(d["pixels"]), dtype=np.uint8).reshape(1, 8, 3)
+    assert (px[0, :4, 1] == 100).all() and (px[0, 4:, 1] == 200).all()
+    assert (px[0, :4, 0] == 1).all() and (px[0, 4:, 0] == 3).all()
+
+
+def test_container_vp8x_and_lossy():
+    # VP8L nested under VP8X decodes; lossy VP8 raises loudly
+    base = encode_webp(4, 2, 1, bytes(8))
+    vp8l_chunk = base[12:]
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes([0x00, 0, 0, 0]) + (
+        (3).to_bytes(3, "little") + (1).to_bytes(3, "little")
+    )
+    riff = b"WEBP" + vp8x + vp8l_chunk
+    wrapped = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    d = decode_webp(wrapped)
+    assert (d["width"], d["height"]) == (4, 2)
+    info = webp_info(wrapped)
+    assert info["format"] == "VP8L"
+    # synthesize a lossy header: frame tag + start code + dims
+    vp8 = b"VP8 " + struct.pack("<I", 10) + b"\x00\x00\x00\x9d\x01\x2a" + (
+        struct.pack("<HH", 64, 48)
+    )
+    riff = b"WEBP" + vp8
+    lossy = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    assert webp_info(lossy) == {
+        "format": "VP8", "width": 64, "height": 48, "has_alpha": False,
+    }
+    with pytest.raises(NotImplementedError):
+        decode_webp(lossy)
+
+
+def test_malformed():
+    good = encode_webp(4, 2, 1, bytes(8))
+    with pytest.raises(ValueError):
+        decode_webp(b"JUNK" + good[4:])
+    with pytest.raises(ValueError):
+        decode_webp(good[:16])  # truncated chunk
+    # flip the VP8L signature byte
+    bad = bytearray(good)
+    bad[20] ^= 0xFF
+    with pytest.raises(ValueError):
+        webp_info(bytes(bad))
+    with pytest.raises(ValueError):
+        encode_webp(2, 2, 1, bytes(3))  # wrong buffer size
+    with pytest.raises(NotImplementedError):
+        encode_webp(2, 2, 2, bytes(8))  # 2-channel unsupported
+
+
+def test_bitreader_exhaustion_is_loud():
+    br = _BitReader(b"\xAB")
+    assert br.read(8) == 0xAB
+    with pytest.raises(ValueError):
+        br.read(1)
+
+
+def test_write_prefix_code_round_trip_random_lengths():
+    # fuzz the stored-code path: random sparse histograms -> stream ->
+    # decode side rebuilds the same canonical code
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.webp_codec import (
+        _huffman_lengths,
+        _read_prefix_code,
+    )
+
+    rng = np.random.default_rng(17)
+    for trial in range(20):
+        alphabet = int(rng.integers(10, 300))
+        nsym = int(rng.integers(3, min(40, alphabet)))
+        syms = rng.choice(alphabet, size=nsym, replace=False)
+        freqs = {int(s): int(rng.integers(1, 1000)) for s in syms}
+        lengths = _huffman_lengths(freqs, alphabet)
+        bw = _BitWriter()
+        codes = _write_prefix_code(bw, lengths, alphabet)
+        tree = _read_prefix_code(_BitReader(bw.bytes() + b"\x00" * 8),
+                                 alphabet)
+        # decode every symbol's code back through the tree
+        for sym, (code, ln) in codes.items():
+            b2 = _BitWriter()
+            for bit in range(ln - 1, -1, -1):
+                b2.write((code >> bit) & 1, 1)
+            b2.write(0, 7)
+            assert tree.decode(_BitReader(b2.bytes() + b"\x00" * 4)) == sym
+
+
+def test_phash_sniff_and_format_blindness():
+    # the same plane through PNG and WebP must hash identically
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions.codecs import (
+        encode_png,
+    )
+
+    rng = np.random.default_rng(23)
+    px = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    png = encode_png(64, 64, 1, px.tobytes())
+    webp = encode_webp(
+        64, 64, 1, px.tobytes(),
+        subtract_green=True, predictor=True, cache_bits=6,
+    )
+    g1, g2 = decode_gray(png), decode_gray(webp)
+    assert (g1 == g2).all()
+    assert phash64(g1) == phash64(g2)
+
+
+def test_real_world_webps_decode():
+    """Cross-validate against WebPs written by real encoders, when any
+    exist on the host (same opportunistic posture as the GIF suite)."""
+    import glob
+
+    paths = sorted(
+        itertools.chain.from_iterable(
+            glob.glob(p)
+            for p in (
+                "/usr/share/**/*.webp",
+                "/opt/**/*.webp",
+            )
+        )
+    )
+    if not paths:
+        pytest.skip("no real-world WebP fixtures on this host")
+    for p in paths[:6]:
+        payload = open(p, "rb").read()
+        try:
+            d = decode_webp(payload)
+        except NotImplementedError:
+            continue  # lossy fixtures: info-only by contract
+        assert d["width"] > 0 and d["height"] > 0
+        assert len(d["pixels"]) == d["width"] * d["height"] * d["channels"]
