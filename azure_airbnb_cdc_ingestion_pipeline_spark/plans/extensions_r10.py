@@ -203,3 +203,153 @@ def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         html_extract_text(html).alias("main_text"),
     )
+
+
+@query(
+    "text_nb_classifier",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN length(text) >= 180 THEN 1 ELSE 0 END AS label,
+             doc_id % 10 < 8 AS is_train
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, label, is_train, t.term
+      FROM base, unnest(string_split(lower(text), ' ')) AS t(term)
+      WHERE t.term <> ''
+    ),
+    counts AS (
+      SELECT term,
+             sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS c0
+      FROM tok WHERE is_train GROUP BY term HAVING count(*) >= 5
+    ),
+    tot AS (
+      SELECT sum(c1) AS n1, sum(c0) AS n0, count(*) AS v FROM counts
+    ),
+    weights AS (
+      SELECT term,
+             round(ln((c1 + 1.0) / (tot.n1 + tot.v))
+                   - ln((c0 + 1.0) / (tot.n0 + tot.v)), 6) AS w
+      FROM counts CROSS JOIN tot
+    ),
+    prior AS (
+      SELECT round(ln((sum(label) + 1.0)
+                    / (count(*) - sum(label) + 1.0)), 6) AS p
+      FROM base WHERE is_train
+    ),
+    tf AS (
+      SELECT doc_id, label, term, count(*) AS tf
+      FROM tok WHERE NOT is_train GROUP BY doc_id, label, term
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.label,
+             sum(tf.tf * weights.w) AS lik
+      FROM tf JOIN weights USING (term)
+      GROUP BY tf.doc_id, tf.label
+    )
+    SELECT base.doc_id,
+           base.label,
+           round(prior.p + coalesce(scored.lik, 0.0), 4) AS nb_score,
+           CASE WHEN prior.p + coalesce(scored.lik, 0.0) > 0
+                THEN 1 ELSE 0 END AS pred
+    FROM base CROSS JOIN prior
+    LEFT JOIN scored ON scored.doc_id = base.doc_id
+    WHERE NOT base.is_train
+    """,
+)
+def q_text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed multinomial Naive-Bayes quality classifier — the
+    model-based filtering step of modern LLM curation (fastText-style
+    classifiers in the GPT-3 / CCNet recipes): TRAIN on an 80% split
+    against a deterministic weak label (doc length >= 180 chars), then
+    SCORE the 20% held-out split with Laplace-smoothed log-likelihood
+    ratios. Both phases are pure DataFrame aggregation — training a
+    text classifier at 100 TB without leaving the JVM.
+
+    Scale posture: training reduces to one (term,label)-keyed count of
+    the train split (the only wide exchange over the big side); the
+    model itself is the vocab-capped weight table (HAVING count>=5 —
+    bounded rows) broadcast to the scoring join; totals/prior are
+    1-row broadcast cross joins. Scoring shuffles only (doc,term)
+    pairs of the 20% split. Weights are rounded to 6 dp on both
+    engines before the dot product so the 4-dp score hash is
+    FP-order-proof."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.when(F.length("text") >= 180, F.lit(1)).otherwise(0).alias(
+            "label"
+        ),
+        (F.col("doc_id") % 10 < 8).alias("is_train"),
+    )
+    tok = docs.select(
+        "doc_id",
+        "label",
+        "is_train",
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = (
+        tok.filter("is_train")
+        .groupBy("term")
+        .agg(
+            F.sum(F.col("label")).alias("c1"),
+            F.sum(1 - F.col("label")).alias("c0"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+    tot = counts.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c0").alias("n0"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    weights = counts.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(
+            F.log((F.col("c1") + 1.0) / (F.col("n1") + F.col("v")))
+            - F.log((F.col("c0") + 1.0) / (F.col("n0") + F.col("v"))),
+            6,
+        ).alias("w"),
+    )
+    prior = (
+        docs.filter("is_train")
+        .agg(
+            F.round(
+                F.log(
+                    (F.sum("label") + 1.0)
+                    / (F.count(F.lit(1)) - F.sum("label") + 1.0)
+                ),
+                6,
+            ).alias("p")
+        )
+    )
+    tf = (
+        tok.filter(~F.col("is_train"))
+        .groupBy("doc_id", "label", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        tf.join(F.broadcast(weights), "term")
+        .groupBy("doc_id", "label")
+        .agg(F.sum(F.col("tf") * F.col("w")).alias("lik"))
+    )
+    held = docs.filter(~F.col("is_train")).select("doc_id", "label")
+    return (
+        held.crossJoin(F.broadcast(prior))
+        .join(scored.select("doc_id", "lik"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "label",
+            F.round(
+                F.col("p") + F.coalesce(F.col("lik"), F.lit(0.0)), 4
+            ).alias("nb_score"),
+            F.when(
+                F.col("p") + F.coalesce(F.col("lik"), F.lit(0.0)) > 0,
+                F.lit(1),
+            )
+            .otherwise(0)
+            .alias("pred"),
+        )
+    )
