@@ -124,6 +124,9 @@ HEADLINE = [
     # r10: web-corpus front door — WARC/WET ingestion + HTML extraction
     "source_warc_read",
     "text_html_extract",
+    # r10: model-based quality filtering + Z-order layout pruning
+    "text_nb_classifier",
+    "zorder_layout",
 ]
 
 
