@@ -351,3 +351,26 @@ def test_real_world_webps_decode():
             continue  # lossy fixtures: info-only by contract
         assert d["width"] > 0 and d["height"] > 0
         assert len(d["pixels"]) == d["width"] * d["height"] * d["channels"]
+
+
+def test_decode_media_lossy_degrade():
+    """operators.multimodal routes lossy WebP to the header-walk degrade
+    (dims only), same two-tier contract as unsupported JPEG profiles."""
+    import struct as _s
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    lossless = encode_webp(6, 3, 1, bytes(18))
+    d = decode_media(lossless, "image/webp")
+    assert (d["width"], d["height"], d["channels"]) == (6, 3, 1)
+    assert d["mean_intensity"] == 0.0
+    vp8 = b"VP8 " + _s.pack("<I", 10) + b"\x00\x00\x00\x9d\x01\x2a" + (
+        _s.pack("<HH", 64, 48)
+    )
+    riff = b"WEBP" + vp8
+    lossy = b"RIFF" + _s.pack("<I", len(riff)) + riff
+    d = decode_media(lossy, "image/webp")
+    assert (d["width"], d["height"]) == (64, 48)
+    assert d["channels"] is None and d["mean_intensity"] is None
