@@ -354,101 +354,3 @@ def q_text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-def _interleave_sql(xcol: str, ycol: str, bits: int = 16) -> str:
-    """Morton (Z-order) bit interleave as a pure-arithmetic SQL
-    expression both engines evaluate identically on BIGINTs."""
-    terms = []
-    for i in range(bits):
-        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
-    return " + ".join(terms)
-
-
-@query(
-    "zorder_layout",
-    oracle=f"""
-    WITH ext AS (
-      SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
-             min(l_suppkey) AS smin, max(l_suppkey) AS smax
-      FROM lineitem
-    ),
-    keyed AS (
-      SELECT l_partkey, l_suppkey,
-             ((l_partkey - ext.pmin) * 65535) // (ext.pmax - ext.pmin)
-               AS px,
-             ((l_suppkey - ext.smin) * 65535) // (ext.smax - ext.smin)
-               AS sx
-      FROM lineitem CROSS JOIN ext
-    ),
-    z AS (
-      SELECT l_partkey, l_suppkey,
-             ({_interleave_sql('px', 'sx')}) AS zval
-      FROM keyed
-    )
-    SELECT zval >> 24 AS bucket,
-           count(*) AS n_rows,
-           min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
-           min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
-    FROM z GROUP BY bucket
-    """,
-)
-def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton-curve) data layout for multi-column scan
-    pruning — the lakehouse ``OPTIMIZE ZORDER BY (l_partkey,
-    l_suppkey)`` primitive. Rows are assigned to files by the top 8
-    bits of the interleaved key (256 deterministic buckets standing in
-    for files), and the returned per-bucket min/max statistics ARE the
-    file-skipping index a 100 TB scan consults: because both
-    dimensions' high bits prefix the Z-value, every bucket is tight in
-    BOTH columns at once — a predicate on either column prunes ~15/16
-    of the files, where a single-column sort prunes only its own
-    column.
-
-    Scale posture: the min/max extent is a 1-row broadcast; the Z-key
-    is a chain of shift/and/add JVM expressions (whole-stage codegen,
-    no UDF); the only exchange is the final bucket-keyed aggregation
-    (256 groups, map-side combined). The real writer would
-    ``repartitionByRange(zval).sortWithinPartitions(zval)`` and emit
-    one parquet file per range — same key, same statistics."""
-    ext = _t(spark, sf_dir, "lineitem").agg(
-        F.min("l_partkey").alias("pmin"),
-        F.max("l_partkey").alias("pmax"),
-        F.min("l_suppkey").alias("smin"),
-        F.max("l_suppkey").alias("smax"),
-    )
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .crossJoin(F.broadcast(ext))
-    )
-    px = F.floor(
-        ((F.col("l_partkey") - F.col("pmin")) * 65535)
-        / (F.col("pmax") - F.col("pmin"))
-    ).cast("long")
-    sx = F.floor(
-        ((F.col("l_suppkey") - F.col("smin")) * 65535)
-        / (F.col("smax") - F.col("smin"))
-    ).cast("long")
-    zval = None
-    for i in range(16):
-        xbit = F.shiftleft(
-            F.shiftrightunsigned(px, i).bitwiseAND(F.lit(1)), 2 * i
-        )
-        ybit = F.shiftleft(
-            F.shiftrightunsigned(sx, i).bitwiseAND(F.lit(1)), 2 * i + 1
-        )
-        zval = xbit + ybit if zval is None else zval + xbit + ybit
-    return (
-        li.select("l_partkey", "l_suppkey", zval.alias("zval"))
-        .groupBy(
-            F.shiftrightunsigned(F.col("zval"), 24).alias("bucket")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("l_partkey").alias("min_pk"),
-            F.max("l_partkey").alias("max_pk"),
-            F.min("l_suppkey").alias("min_sk"),
-            F.max("l_suppkey").alias("max_sk"),
-        )
-    )

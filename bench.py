@@ -124,9 +124,8 @@ HEADLINE = [
     # r10: web-corpus front door — WARC/WET ingestion + HTML extraction
     "source_warc_read",
     "text_html_extract",
-    # r10: model-based quality filtering + Z-order layout pruning
+    # r10: model-based quality filtering
     "text_nb_classifier",
-    "zorder_layout",
 ]
 
 
