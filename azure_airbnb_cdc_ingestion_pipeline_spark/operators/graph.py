@@ -341,22 +341,29 @@ def copurchase_pagerank(
     ):
         # ONE raw exchange funds the whole build: repartitioning the
         # two-column projection by order key satisfies the clustering
-        # requirement of BOTH the (order, part) multiplicity aggregate
-        # and the order-size aggregate (same-order rows are co-located),
-        # so occ, sz, and their join all plan exchange-free on top of
-        # it. (The first cut of this build recomputed the occ→sz→join
-        # chain once per consumer — 162 s of the 343 s sf30 wall.)
+        # requirement of the (order, part) multiplicity aggregate AND
+        # the order-size window, so everything below plans exchange-free
+        # on top of it. r10 (verdict task #3): the r9 build read that
+        # exchange TWICE (occ agg + the separate order-size agg, 27 s of
+        # the 150 s sf30 wall) and then paid a join to glue them; the
+        # whole-partition window computes _sz in the same pass as occ.
         #
         # occurrence multiplicity m: a part CAN repeat within an order;
         # pairs between its own occurrences are src==dst and excluded,
         # pairs to others multiply — m carries that exactly.
+        #
+        # Rows with _sz == _mm (the part IS the whole order) carry no
+        # cross-edges: their inflow term m·(T(o) − m·x) and their own
+        # T-contribution cancel exactly, and they add 0 to deg — so
+        # they are dropped from the iteration layout AND from the _sq
+        # stat together (the fixed point is unchanged; parity-tested).
+        from pyspark.sql.window import Window
+
         rows = lineitem.select(ok, pk).repartition(p_n, ok)
         occ = rows.groupBy(ok, pk).agg(F.count(F.lit(1)).alias("_m"))
-        sz = occ.groupBy(ok).agg(F.sum("_m").alias("_sz"))
-        # shuffle_hash: sz (O(#orders)) builds, occ streams through
-        # unsorted; both sides are already ok-clustered so no exchange
         li_o = (
-            occ.join(sz.hint("shuffle_hash"), ok)
+            occ.withColumn("_sz", F.sum("_m").over(Window.partitionBy(ok)))
+            .filter(F.col("_sz") > F.col("_m"))
             .select(
                 F.col(ok).alias("_o"),
                 F.col(pk).alias("_p"),
@@ -366,30 +373,16 @@ def copurchase_pagerank(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         _persisted.append(li_o)
-        # r10 (verdict task #3): ONE _p-clustered exchange funds BOTH
-        # per-node statics and the _p-partitioned iteration layout. The
-        # r9 build paid two full O(rows) exchanges here — the stats
-        # partial-agg (near-unique (_p, task) partials, ~12 % map-side
-        # reduction at sf100) and the li_p attach join's re-key of li_o
-        # — where one repartition carries the same bytes once; stats
-        # then aggregates cache-locally and the attach join is
-        # co-partitioned on both sides. li_byp is a build-scoped cache
-        # (compressed columnar, ~1/3 the raw bytes) and is dropped
-        # before the iterations start.
-        li_byp = li_o.repartition(p_n, "_p").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        li_byp.count()  # one pass materializes li_o AND li_byp
-        # per-node statics, exchange-free over the _p-clustered cache:
+        # per-node statics — the build's only O(rows) shuffle:
         # deg = Σ_o m(sz−m) (weighted out-degree), c2 = Σ_o m²/deg (the
-        # static coefficient of the self-exclusion term — see loop)
+        # static coefficient of the self-exclusion term — see loop).
+        # Every kept row has sz > m, so _deg > 0 by construction.
         stats = (
-            li_byp.groupBy("_p")
+            li_o.groupBy("_p")
             .agg(
                 F.sum(F.col("_mm") * (F.col("_sz") - F.col("_mm"))).alias("_deg"),
                 F.sum(F.col("_mm") * F.col("_mm")).alias("_sq"),
             )
-            .filter(F.col("_deg") > 0)  # parts alone in 1-part orders have no edges
             .select(
                 "_p",
                 "_deg",
@@ -400,35 +393,107 @@ def copurchase_pagerank(
         _persisted.append(stats)
         n = stats.count()
         if n == 0:
-            li_byp.unpersist(blocking=False)
             return lineitem.select(
                 F.col(pk).alias("node"), F.lit(0.0).alias("pagerank")
             ).limit(0)
-        # second iteration layout, partitioned by part key, carrying
-        # md = m/deg premultiplied: the rank join each round is then
-        # co-partitioned probe + O(|V|/p_n) build, no degree join
+        # ranks carries deg and the static c2 along so the loop is free
+        # of O(|V|) side joins beyond the final combine; it stays
+        # _p-hash-partitioned at p_n through every round (groupBy(_p)
+        # output → alias-preserving project → checkpoint), so the
+        # combine join is exchange-free.
+        ranks = stats.select(
+            F.col("_p").alias("node"),
+            F.lit(1.0 / n).alias("r"),
+            "_deg",
+            "_c2",
+        ).localCheckpoint(eager=True)
+
+        # Loop dispatch (r10, verdict task #3): broadcasting the rank
+        # VECTOR (node, x) — O(|V|), 16 B/row — lets T(o) aggregate
+        # directly on the _o-clustered cache with NO exchange, cutting
+        # the per-iteration data movement in HALF (the r9 loop paid two
+        # O(rows) skinny exchanges per round: md·r re-keyed by order,
+        # then mm·T by part) and retiring the second (_p-clustered)
+        # iteration layout entirely. Gated at ~80 % of the session's
+        # maxResultSize (the broadcast rides one driver collect — same
+        # budget contract as the LSH broadcast-verify gate); past the
+        # gate (|V| ≳ 10⁸ at the default 4 g) the two-layout shuffle
+        # loop below keeps the operator unbounded-scale-safe.
+        budget_mb = 2048.0
+        try:
+            from pyspark.util import _parse_memory
+
+            mrs = spark.conf.get("spark.driver.maxResultSize", "1g")
+            if mrs not in ("0", "0b"):
+                budget_mb = min(budget_mb, 0.8 * _parse_memory(mrs))
+        except Exception:
+            pass
+        if n * 16 <= budget_mb * (1 << 20):
+            for _it in range(iterations):
+                # x = r/deg; T(o) = Σ_{q∈o} m_q·x(q) — broadcast-join +
+                # complete-mode agg over the ok-clustered cache, no
+                # exchange. contrib(p) = Σ_o m_p·T(o) − r_p·c2(p): the
+                # T join is co-partitioned with li_o (both _o at p_n),
+                # so the ONLY exchange per round is the partial-agged
+                # mm·T partials keyed by part.
+                bx = F.broadcast(
+                    ranks.select(
+                        F.col("node").alias("_bn"),
+                        (F.col("r") / F.col("_deg")).alias("_x"),
+                    )
+                )
+                t = (
+                    li_o.join(bx, li_o["_p"] == bx["_bn"])
+                    .groupBy("_o")
+                    .agg(F.sum(F.col("_mm") * F.col("_x")).alias("_t"))
+                )
+                term1 = (
+                    li_o.join(t.hint("shuffle_hash"), "_o")
+                    .select("_p", (F.col("_mm") * F.col("_t")).alias("_c"))
+                    .groupBy("_p")
+                    .agg(F.sum("_c").alias("_s1"))
+                )
+                ranks = (
+                    term1.join(
+                        ranks.hint("shuffle_hash"), term1["_p"] == ranks["node"]
+                    )
+                    .select(
+                        F.col("_p").alias("node"),
+                        (
+                            F.lit((1.0 - damping) / n)
+                            + damping
+                            * (F.col("_s1") - F.col("r") * F.col("_c2"))
+                        ).alias("r"),
+                        "_deg",
+                        "_c2",
+                    )
+                )
+                # checkpoint every round: re-roots the lineage AND cuts
+                # the only live reference to the previous round's
+                # shuffle files; the forced GC lets ContextCleaner
+                # reclaim them so peak scratch disk holds ~one round's
+                # generation (the sf100 pair-path run filled the disk
+                # without this). Small inputs never reach here — the
+                # dispatch above owns them.
+                ranks = ranks.localCheckpoint(eager=True)
+                sc._jvm.System.gc()
+            return ranks.select("node", F.col("r").alias("pagerank"))
+
+        # over-budget fallback: second iteration layout partitioned by
+        # part key carrying md = m/deg premultiplied — the rank join
+        # each round is co-partitioned probe + O(|V|/p_n) build
         li_p = (
-            li_byp.join(stats.hint("shuffle_hash"), "_p")
+            li_o.repartition(p_n, "_p")
+            .join(stats.hint("shuffle_hash"), "_p")
             .select("_o", "_p", (F.col("_mm") / F.col("_deg")).alias("_md"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         _persisted.append(li_p)
         li_p.count()  # materialize so iterations read cache, not lineage
-        li_byp.unpersist(blocking=False)  # build-scoped; loop reads li_o/li_p
-        # ranks carries the static c2 along so the whole loop is free of
-        # O(|V|) side joins beyond the final combine
-        ranks = stats.select(
-            F.col("_p").alias("node"), F.lit(1.0 / n).alias("r"), "_c2"
-        )
         for _it in range(iterations):
-            # T(o) = Σ_{q∈o} m_q·x(q), x = r/deg (md·r per row).
-            # Split-term inflow: contrib(p) = Σ_o m_p·T(o) − r_p·c2(p);
-            # the first term joins T back on the ORDER-partitioned
-            # layout (co-partitioned with T's aggregate output → no
-            # exchange), the second is a per-node scalar. Per round the
-            # only data movement is two partial-aggregated skinny
-            # exchanges (md·r by order; mm·T by part), each at p_n so
-            # per-task maps fit execution memory.
+            # per round: two partial-aggregated skinny exchanges (md·r
+            # by order; mm·T by part), each at p_n so per-task maps fit
+            # execution memory.
             t = (
                 li_p.join(ranks.hint("shuffle_hash"), li_p["_p"] == ranks["node"])
                 .groupBy("_o")
@@ -449,15 +514,10 @@ def copurchase_pagerank(
                         + damping
                         * (F.col("_s1") - F.col("r") * F.col("_c2"))
                     ).alias("r"),
+                    "_deg",
                     "_c2",
                 )
             )
-            # checkpoint every round: re-roots the lineage AND cuts the
-            # only live reference to the previous round's shuffle files;
-            # the forced GC lets ContextCleaner reclaim them so peak
-            # scratch disk holds ~one round's generation (the sf100
-            # pair-path run filled the disk without this). Small inputs
-            # never reach here — the dispatch above owns them.
             ranks = ranks.localCheckpoint(eager=True)
             sc._jvm.System.gc()
         return ranks.select("node", F.col("r").alias("pagerank"))
