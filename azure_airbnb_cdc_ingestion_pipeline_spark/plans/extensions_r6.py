@@ -42,9 +42,16 @@ _BLOCKED_ANN_ORACLE = """
 # hash-gated with NO tolerance band. Exact triangle work is inherently
 # the wedge count (≈|V|·deg²/4 — 4.9B at sf10 on this dense-uniform
 # graph); at p=0.3 the sampled wedge work is p²≈9% of that, which is
-# what makes sf10+ tractable per box. Relative std ≈ √((p⁻³−1)/T) —
-# ~1% at sf0.01's 414k triangles, shrinking with scale.
-_TRI_KEEP = 300  # permille: p = 0.3
+# what makes sf10+ tractable per box. Relative std ≈ √((p⁻³−1)/T),
+# shrinking with scale since T grows ~linearly with replicas.
+#
+# r10 (verdict task #4): p lowered 0.3 → 0.2 — the sampling schedule
+# was leaving accuracy on the table: σ_rel at p=0.2 is 1.7 % on
+# sf0.01's 414k triangles and 0.26 % at sf10+, while wedge work drops
+# to (0.2/0.3)² = 44 % and the pair exchange to 2/3. Realized
+# deviation of the deterministic coin: z = 1.65 σ (sf0.01, rel err
+# 2.9 %), z = 0.79 σ (sf0.1, rel err 0.6 %) — both inside 2σ.
+_TRI_KEEP = 200  # permille: p = 0.2
 
 _DOULION_ORACLE = f"""
     WITH pairs AS (
