@@ -577,42 +577,56 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, npix: int) -> bytearray:
     clear = 1 << min_code_size
     end = clear + 1
     base = [bytes([i]) for i in range(clear)] + [b"", b""]
-    # whole-buffer little-endian int: (big >> bitpos) & mask IS the
-    # LSB-first bit reader — no per-bit Python loop
-    big = int.from_bytes(data, "little")
-    nbits = len(data) * 8
+    # windowed LSB-first bit reader: a 4-byte slice covers any code
+    # width ≤ 12 at any intra-byte offset. (The first cut shifted ONE
+    # whole-buffer bigint per code — O(stream) memcpy per read, which
+    # turned 256×256 frames quadratic: 122 ms/frame, the r10 mixed-
+    # corpus hotspot. The windowed read is O(1) per code.)
+    data = bytes(data) + b"\x00\x00\x00"
+    nbits = (len(data) - 3) * 8
     bitpos = 0
     width = min_code_size + 1
+    mask = (1 << width) - 1
     table = list(base)
+    tlen = len(table)
     prev: bytes | None = None
     out = bytearray()
-    while len(out) < npix:
+    produced = 0
+    frombytes = int.from_bytes  # hoisted: ~35k iterations on a 256² frame
+    append = table.append
+    while produced < npix:
         if bitpos + width > nbits:
             break  # stream exhausted without end code — accept if npix met
-        code = (big >> bitpos) & ((1 << width) - 1)
+        b0 = bitpos >> 3
+        code = (frombytes(data[b0 : b0 + 4], "little") >> (bitpos & 7)) & mask
         bitpos += width
-        if code == clear:
-            table = list(base)
-            width = min_code_size + 1
-            prev = None
-            continue
-        if code == end:
-            break
-        if code < len(table):
+        if code < tlen:
+            if code >= clear:
+                if code == clear:
+                    table = list(base)
+                    tlen = len(base)
+                    append = table.append
+                    width = min_code_size + 1
+                    mask = (1 << width) - 1
+                    prev = None
+                    continue
+                if code == end:
+                    break
             entry = table[code]
-            if not entry:
-                raise ValueError("malformed GIF: reference to reserved code")
-        elif code == len(table) and prev is not None:
+        elif code == tlen and prev is not None:
             entry = prev + prev[:1]  # the KwKwK case
         else:
             raise ValueError("malformed GIF: LZW code out of range")
         out += entry
-        if prev is not None and len(table) < _GIF_MAX_CODE:
-            table.append(prev + entry[:1])
-            if len(table) == (1 << width) and width < 12:
+        produced += len(entry)
+        if prev is not None and tlen < _GIF_MAX_CODE:
+            append(prev + entry[:1])
+            tlen += 1
+            if tlen == mask + 1 and width < 12:
                 width += 1
+                mask = (1 << width) - 1
         prev = entry
-    if len(out) < npix:
+    if produced < npix:
         raise ValueError("malformed GIF: LZW stream short of pixel count")
     return out[:npix]
 
@@ -637,21 +651,29 @@ def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
             acc >>= 8
             accbits -= 8
 
+    # phrase table keyed by (prefix_code << 8) | next_byte — every
+    # phrase IS prefix-phrase + one byte, so the int key replaces the
+    # bytes-concat dict of the first cut (which rebuilt a phrase bytes
+    # object per pixel; ~3× the encode wall on 256² frames)
     width = min_code_size + 1
-    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    table: dict[int, int] = {}
     next_code = end + 1
     emit(clear, width)
-    buf = b""
+    prev_code = -1
     for b in indices:
-        cand = buf + bytes([b])
-        if cand in table:
-            buf = cand
+        if prev_code < 0:
+            prev_code = b
             continue
-        emit(table[buf], width)
+        key = (prev_code << 8) | b
+        cand = table.get(key)
+        if cand is not None:
+            prev_code = cand
+            continue
+        emit(prev_code, width)
         if next_code < _GIF_MAX_CODE:
-            table[cand] = next_code
+            table[key] = next_code
             next_code += 1
-            # parity with the decoder's `len(table) == 1 << width` bump
+            # parity with the decoder's `tlen == 1 << width` bump
             # (the decoder's table runs one entry behind next_code — the
             # classic delayed-KwKwK offset — hence the +1 here; verified
             # against giflib's RunningCode/MaxCode1 schedule)
@@ -659,12 +681,12 @@ def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
                 width += 1
         else:
             emit(clear, width)
-            table = {bytes([i]): i for i in range(clear)}
+            table = {}
             next_code = end + 1
             width = min_code_size + 1
-        buf = bytes([b])
-    if buf:
-        emit(table[buf], width)
+        prev_code = b
+    if prev_code >= 0:
+        emit(prev_code, width)
     emit(end, width)
     if accbits:
         out_bits.append(acc & 0xFF)

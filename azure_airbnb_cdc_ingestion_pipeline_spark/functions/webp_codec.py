@@ -136,6 +136,21 @@ class _BitWriter:
             self.acc >>= 8
             self.accbits -= 8
 
+    def write_big(self, value: int, k: int) -> None:
+        """Append ``k`` bits held in one (arbitrarily large) int — one
+        bigint shift instead of a per-unit Python loop."""
+        if k == 0:
+            return
+        self.acc |= value << self.accbits
+        self.accbits += k
+        full = self.accbits >> 3
+        if full:
+            self.out += (self.acc & ((1 << (full * 8)) - 1)).to_bytes(
+                full, "little"
+            )
+            self.acc >>= full * 8
+            self.accbits &= 7
+
     def bytes(self) -> bytes:
         if self.accbits:
             self.out.append(self.acc & 0xFF)
@@ -166,18 +181,30 @@ def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
     return codes
 
 
+#: byte -> bit-reversed byte. A flat 8-bit canonical code assigns symbol
+#: s the code s itself, and VP8L streams code bits MSB-first into an
+#: LSB-first byte stream — so one coded pixel IS one bit-reversed byte.
+_BITREV = np.array(
+    [int(f"{b:08b}"[::-1], 2) for b in range(256)], dtype=np.uint8
+)
+
+
 class _HTree:
     """Decode-side prefix code: flat LUT keyed by the next ``maxlen``
     stream bits (LSB-first peek == bit-reversed canonical code — the
     layout libwebp's table decoder uses). ``single`` short-circuits the
-    zero-bit one-symbol code."""
+    zero-bit one-symbol code; ``flat8`` marks the exactly-256-symbols-
+    all-length-8 code whose pixel stream is byte-wise vectorizable."""
 
-    __slots__ = ("lut", "maxlen", "mask", "single")
+    __slots__ = ("lut", "maxlen", "mask", "single", "flat8")
 
     def __init__(self, lengths: list[int]):
         nz = [(s, l) for s, l in enumerate(lengths) if l > 0]
         if not nz:
             raise ValueError("malformed VP8L: empty prefix code")
+        self.flat8 = len(nz) == 256 and all(
+            s < 256 and l == 8 for s, l in nz
+        )
         if len(nz) == 1:
             self.single = nz[0][0]
             self.lut = None
@@ -329,6 +356,38 @@ def _decode_entropy_image(
         for _ in range(ngroups)
     ]
     n = w * h
+    # Vectorized literal fast path: a flat 8-bit green code has no
+    # length/cache symbols (so every token is a literal), and when the
+    # other three channel codes are zero-bit single-symbol codes each
+    # pixel consumes EXACTLY one bit-reversed byte of green — the whole
+    # body is one bigint shift + a numpy byte reverse, no per-pixel
+    # loop. This is the profile the repo's own encoder emits for
+    # gray/palette fixtures; arbitrary real-world streams fall through
+    # to the general loop below, bit-identical (parity-tested).
+    if n and meta_idx is None:
+        g_t0, r_t0, b_t0, a_t0, _ = groups[0]
+        if (
+            g_t0.flat8
+            and r_t0.single >= 0
+            and b_t0.single >= 0
+            and a_t0.single >= 0
+        ):
+            p0 = br.pos
+            if p0 + 8 * n > br.nbits:
+                raise ValueError("malformed VP8L: bitstream exhausted")
+            b0 = p0 >> 3
+            nbytes = (8 * n + (p0 & 7) + 7) >> 3
+            body = (
+                int.from_bytes(br.d[b0 : b0 + nbytes + 1], "little")
+                >> (p0 & 7)
+            ) & ((1 << (8 * n)) - 1)
+            br.pos = p0 + 8 * n
+            raw = np.frombuffer(body.to_bytes(n, "little"), dtype=np.uint8)
+            greens = _BITREV[raw].astype(np.uint32)
+            const = (
+                (a_t0.single << 24) | (r_t0.single << 16) | b_t0.single
+            )
+            return (np.uint32(const) | (greens << 8)).reshape(h, w)
     out = [0] * n
     cache = [0] * cache_size if cache_size else None
     shift = 32 - cache_bits if cache_bits else 0
@@ -879,8 +938,7 @@ def _encode_image_body(
     use_lz77: bool = False,
 ) -> None:
     h, w = img.shape
-    flat = img.flatten().tolist()
-    n = len(flat)
+    n = img.size
     if cache_bits:
         bw.write(1, 1)
         bw.write(cache_bits, 4)
@@ -888,6 +946,34 @@ def _encode_image_body(
         bw.write(0, 1)
     if level0:
         bw.write(0, 1)  # no meta prefix codes
+    # Vectorized literal fast path (the encode twin of the decoder's
+    # flat8 branch): when red/blue/alpha are constant and no
+    # cache/LZ77 was requested, emit zero-bit single-symbol codes for
+    # the three constant channels and a FLAT 8-bit green code — the
+    # body is then exactly one bit-reversed byte per pixel, appended
+    # as one bigint shift. No per-pixel Python anywhere.
+    if not use_lz77 and not cache_bits and n:
+        a, r, g, b = _channels(img)
+        if (
+            bool((r == r.flat[0]).all())
+            and bool((b == b.flat[0]).all())
+            and bool((a == a.flat[0]).all())
+        ):
+            galpha = 256 + 24
+            _write_prefix_code(
+                bw, [8] * 256 + [0] * (galpha - 256), galpha
+            )
+            for const in (int(r.flat[0]), int(b.flat[0]), int(a.flat[0])):
+                lens = [0] * 256
+                lens[const] = 1
+                _write_prefix_code(bw, lens, 256)
+            dlens = [0] * 40
+            dlens[0] = 1
+            _write_prefix_code(bw, dlens, 40)
+            rev = _BITREV[g.astype(np.uint8).reshape(-1)]
+            bw.write_big(int.from_bytes(rev.tobytes(), "little"), 8 * n)
+            return
+    flat = img.flatten().tolist()
     cache_size = (1 << cache_bits) if cache_bits else 0
     shift = 32 - cache_bits if cache_bits else 0
 
@@ -1138,7 +1224,8 @@ def encode_webp(
             3 if n_colors <= 2 else 2 if n_colors <= 4
             else 1 if n_colors <= 16 else 0
         )
-        idx = np.vectorize(index_of.get, otypes=[np.uint32])(img)
+        pal_sorted = np.array(colors, dtype=np.uint32)
+        idx = np.searchsorted(pal_sorted, img).astype(np.uint32)
         if width_bits:
             bpp = 8 >> width_bits
             ppb = 1 << width_bits

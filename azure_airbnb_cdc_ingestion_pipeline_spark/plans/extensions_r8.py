@@ -136,10 +136,12 @@ def _mixed_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     globally), 7 = INTERLACED GIF of the brightness variant (the 4-pass
     row shuffle must be undone — a missing deinterlace scrambles rows
     and splits the family), 8 = lossless WebP (VP8L) of base with
-    subtract-green + all-14-mode predictor transform + color cache +
-    LZ77 (r10, VERDICT r9 residual 3 — VP8L is bit-exact, so a correct
-    decoder hashes it 0 bits from the base PNG; a wrong
-    predictor-inverse or cache hash garbles the plane globally), 9 =
+    subtract-green (r10, VERDICT r9 residual 3 — VP8L is bit-exact, so
+    a correct decoder hashes it 0 bits from the base PNG; a wrong
+    subtract-green inverse or prefix-code read garbles the plane
+    globally; the full predictor/cache/LZ77 matrix is pinned by the
+    unit fuzz, while the corpus profile rides the vectorized flat-code
+    path on both sides — zero per-pixel Python at 100 TB), 9 =
     palette-mode WebP of the gamma variant (the color-indexing inverse
     on the web-graphics path). Synthesis is a map-only Arrow pass;
     payloads are born and hashed inside their partition, never
@@ -183,12 +185,11 @@ def _mixed_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     encode_gif(_IMG, _IMG, 1, fam[1].tobytes(),
                                interlace=True),
                     encode_webp(_IMG, _IMG, 1, fam[0].tobytes(),
-                                subtract_green=True, predictor=True,
-                                cache_bits=6),
+                                subtract_green=True, use_lz77=False),
                     # a gray plane has <= 256 distinct colors by
                     # construction, so palette mode is always legal
                     encode_webp(_IMG, _IMG, 1, fam[2].tobytes(),
-                                palette=True),
+                                palette=True, use_lz77=False),
                 ]
                 for v, payload in enumerate(variants):
                     ids.append(int(did) * 10 + v)
