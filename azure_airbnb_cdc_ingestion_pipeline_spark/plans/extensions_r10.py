@@ -230,13 +230,15 @@ def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     weights AS (
       SELECT term,
-             round(ln((c1 + 1.0) / (tot.n1 + tot.v))
-                   - ln((c0 + 1.0) / (tot.n0 + tot.v)), 6) AS w
+             CAST(round((ln((c1 + 1.0) / (tot.n1 + tot.v))
+                   - ln((c0 + 1.0) / (tot.n0 + tot.v))) * 10000) AS BIGINT)
+               AS w
       FROM counts CROSS JOIN tot
     ),
     prior AS (
-      SELECT round(ln((sum(label) + 1.0)
-                    / (count(*) - sum(label) + 1.0)), 6) AS p
+      SELECT CAST(round(ln((sum(label) + 1.0)
+                    / (count(*) - sum(label) + 1.0)) * 10000) AS BIGINT)
+               AS p
       FROM base WHERE is_train
     ),
     tf AS (
@@ -251,8 +253,8 @@ def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT base.doc_id,
            base.label,
-           round(prior.p + coalesce(scored.lik, 0.0), 4) AS nb_score,
-           CASE WHEN prior.p + coalesce(scored.lik, 0.0) > 0
+           CAST(prior.p + coalesce(scored.lik, 0) AS BIGINT) AS nb_score_1e4,
+           CASE WHEN prior.p + coalesce(scored.lik, 0) > 0
                 THEN 1 ELSE 0 END AS pred
     FROM base CROSS JOIN prior
     LEFT JOIN scored ON scored.doc_id = base.doc_id
@@ -273,9 +275,12 @@ def q_text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     model itself is the vocab-capped weight table (HAVING count>=5 —
     bounded rows) broadcast to the scoring join; totals/prior are
     1-row broadcast cross joins. Scoring shuffles only (doc,term)
-    pairs of the 20% split. Weights are rounded to 6 dp on both
-    engines before the dot product so the 4-dp score hash is
-    FP-order-proof."""
+    pairs of the 20% split. Weights are quantized to integer 1e-4 units
+    (BIGINT) on both engines before the dot product, so the score is
+    an EXACT integer sum — immune to FP summation order, which the
+    first cut (4-dp rounded double sum) was not: one held-out doc
+    landed within 1 ulp of a rounding boundary and hashed differently
+    across sessions."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "text",
@@ -308,10 +313,14 @@ def q_text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = counts.crossJoin(F.broadcast(tot)).select(
         "term",
         F.round(
-            F.log((F.col("c1") + 1.0) / (F.col("n1") + F.col("v")))
-            - F.log((F.col("c0") + 1.0) / (F.col("n0") + F.col("v"))),
-            6,
-        ).alias("w"),
+            (
+                F.log((F.col("c1") + 1.0) / (F.col("n1") + F.col("v")))
+                - F.log((F.col("c0") + 1.0) / (F.col("n0") + F.col("v")))
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("w"),
     )
     prior = (
         docs.filter("is_train")
@@ -320,9 +329,11 @@ def q_text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.log(
                     (F.sum("label") + 1.0)
                     / (F.count(F.lit(1)) - F.sum("label") + 1.0)
-                ),
-                6,
-            ).alias("p")
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("p")
         )
     )
     tf = (
@@ -342,11 +353,11 @@ def q_text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "label",
-            F.round(
-                F.col("p") + F.coalesce(F.col("lik"), F.lit(0.0)), 4
-            ).alias("nb_score"),
+            (F.col("p") + F.coalesce(F.col("lik"), F.lit(0))).alias(
+                "nb_score_1e4"
+            ),
             F.when(
-                F.col("p") + F.coalesce(F.col("lik"), F.lit(0.0)) > 0,
+                F.col("p") + F.coalesce(F.col("lik"), F.lit(0)) > 0,
                 F.lit(1),
             )
             .otherwise(0)
