@@ -568,12 +568,162 @@ GIF_MAGICS = (b"GIF87a", b"GIF89a")
 _GIF_MAX_CODE = 4096  # 12-bit LZW table cap (GIF spec appendix F)
 
 
+def _gif_lzw_decode_flat(
+    data: bytes, min_code_size: int, npix: int
+) -> bytearray | None:
+    """Vectorized fast path for LITERAL-ONLY LZW streams (every code is
+    a root/clear/end code — what `_gif_lzw_encode_flat` emits, and what
+    low-compression encoders produce). Code widths between clear codes
+    follow the deterministic table-growth schedule, so whole fixed-width
+    runs extract as one numpy gather instead of a per-code Python loop
+    (r10 optimization: 22→1 ms on a 256² frame). Returns None on the
+    first dictionary code — the caller falls back to the general scalar
+    decoder — so compressed streams decode exactly as before."""
+    import numpy as np
+
+    clear = 1 << min_code_size
+    end = clear + 1
+    buf = np.frombuffer(bytes(data) + b"\x00\x00\x00", dtype=np.uint8).astype(
+        np.int64
+    )
+    nbits = (len(buf) - 3) * 8
+    bitpos = 0
+    width = min_code_size + 1
+    tlen = end + 1
+    first = True  # right after (implicit) clear: next code adds no entry
+    out = np.empty(npix, dtype=np.uint8)
+    produced = 0
+    while produced < npix:
+        # codes readable at this width before the table-growth bump:
+        # appends start at the SECOND code after a clear, and stop at
+        # the 4096-entry cap (width then stays 12 indefinitely)
+        if width < 12:
+            room = (1 << width) - tlen + (1 if first else 0)
+        else:
+            # width is terminal past the cap, but chunk the extraction:
+            # flat encoders emit a clear at the cap (≤ 2048 codes after
+            # reaching width 12), and extracting the whole remainder
+            # just to discard everything past that clear made the loop
+            # quadratic on 256² frames
+            room = 4096
+        avail = (nbits - bitpos) // width
+        n = min(room, avail, npix - produced)
+        if n <= 0:
+            if avail <= 0:
+                return None  # stream exhausted short — let scalar raise
+            # room == 0 without `first` can't happen (bump keeps room>0)
+            return None
+        p = bitpos + np.arange(n, dtype=np.int64) * width
+        b0 = p >> 3
+        u = (
+            buf[b0]
+            | (buf[b0 + 1] << 8)
+            | (buf[b0 + 2] << 16)
+            | (buf[b0 + 3] << 24)
+        )
+        codes = (u >> (p & 7)) & ((1 << width) - 1)
+        nonlit = np.nonzero(codes >= clear)[0]
+        j = int(nonlit[0]) if nonlit.size else n
+        if j:
+            out[produced : produced + j] = codes[:j]
+            produced += j
+            tlen += j - (1 if first else 0)
+            first = False
+            bitpos += j * width
+            if width < 12 and tlen == (1 << width):
+                width += 1
+        if j < n:
+            c = int(codes[j])
+            bitpos += width
+            if c == end:
+                break
+            if c == clear:
+                width = min_code_size + 1
+                tlen = end + 1
+                first = True
+                continue
+            return None  # real dictionary code — general decoder owns it
+    if produced < npix:
+        return None
+    return bytearray(out.tobytes())
+
+
+def _gif_lzw_encode_flat(indices: bytes, min_code_size: int) -> bytes:
+    """Emit every pixel as its own LITERAL code (no dictionary matching)
+    — a conforming LZW stream any decoder accepts, with the clear code
+    emitted exactly where the table hits the 4096-entry cap (the same
+    reset point the dictionary encoder uses), so the width-bump/reset
+    schedule is still fully exercised. Fully vectorized: the code and
+    width arrays are pure functions of position-since-clear, and the
+    LSB-first bit packing is three disjoint-bit bincount layers. ~20×
+    faster than dictionary matching on a 256² frame; the payload is
+    larger (no compression), which only matters to in-partition bytes
+    that are decoded immediately."""
+    import numpy as np
+
+    clear = 1 << min_code_size
+    end = clear + 1
+    arr = np.frombuffer(indices, dtype=np.uint8).astype(np.int64)
+    n = arr.size
+    w0 = min_code_size + 1
+    # literals per clear-group: the decoder's table grows by 1 from the
+    # 2nd literal on, hitting the 4096 cap after  4096 - (end+1) + 1
+    group = _GIF_MAX_CODE - (end + 1) + 1
+    # width of literal i within its group: bumps when the table reaches
+    # 2^w, i.e. at group offsets  2^w - (end+1) + 1
+    bumps = np.asarray(
+        [(1 << w) - (end + 1) + 1 for w in range(w0, 12)], dtype=np.int64
+    )
+
+    def lit_width(ig: np.ndarray) -> np.ndarray:
+        return w0 + np.searchsorted(bumps, ig, side="right")
+
+    ig = np.arange(n, dtype=np.int64) % group
+    lw = lit_width(ig)
+    # assemble (code, width) streams: clear at every group start (read
+    # at the width in effect — w0 initially, the previous group's
+    # terminal width mid-stream), literals, then one end code
+    code_parts: list[np.ndarray] = []
+    width_parts: list[np.ndarray] = []
+    cur_w = w0
+    for s in range(0, max(n, 1), group):
+        e = min(s + group, n)
+        code_parts.append(np.asarray([clear], dtype=np.int64))
+        width_parts.append(np.asarray([cur_w], dtype=np.int64))
+        code_parts.append(arr[s:e])
+        width_parts.append(lw[s:e])
+        cur_w = int(lw[e - 1]) if e > s else w0
+    code_parts.append(np.asarray([end], dtype=np.int64))
+    width_parts.append(np.asarray([cur_w], dtype=np.int64))
+    codes = np.concatenate(code_parts)
+    widths = np.concatenate(width_parts)
+    ends = np.cumsum(widths)
+    offs = ends - widths
+    nbytes = (int(ends[-1]) + 7) // 8
+    byte0 = offs >> 3
+    val = codes << (offs & 7)  # ≤ 12 + 7 = 19 bits → 3 byte layers
+    out = np.zeros(nbytes + 3, dtype=np.int64)
+    for layer in range(3):
+        # disjoint bit positions per byte ⇒ sum == bitwise OR; add.at
+        # handles two codes landing contributions in the same byte
+        np.add.at(out, byte0 + layer, (val >> (8 * layer)) & 0xFF)
+    return out[:nbytes].astype(np.uint8).tobytes()
+
+
 def _gif_lzw_decode(data: bytes, min_code_size: int, npix: int) -> bytearray:
     """GIF-variant LZW: variable width starting min_code_size+1, LSB-first
     bit packing, clear/end codes, width bump when the table reaches
     2^width, hard 4096-entry cap. Decodes exactly ``npix`` indices (a
     conforming stream may end with an explicit end code or simply run
-    out — both accepted; overrun raises)."""
+    out — both accepted; overrun raises).
+
+    Literal-only streams (no dictionary codes) take the vectorized
+    numpy fast path (`_gif_lzw_decode_flat`); anything else — including
+    a long literal prefix before the first dictionary code — falls back
+    to this general scalar loop, unchanged."""
+    fast = _gif_lzw_decode_flat(data, min_code_size, npix)
+    if fast is not None:
+        return fast
     clear = 1 << min_code_size
     end = clear + 1
     base = [bytes([i]) for i in range(clear)] + [b"", b""]
@@ -780,7 +930,9 @@ def decode_gif(payload: bytes) -> dict:
     ids = np.frombuffer(bytes(frame), dtype=np.uint8)
     if ids.max(initial=0) >= len(pal):
         raise ValueError("malformed GIF: pixel index outside color table")
-    used = pal[np.unique(ids)]
+    # bincount occupancy instead of np.unique: O(n) with no sort (the
+    # sort was ~20 % of flat-stream decode wall on 256² frames)
+    used = pal[np.bincount(ids, minlength=len(pal)) > 0]
     if (used[:, 0] == used[:, 1]).all() and (used[:, 1] == used[:, 2]).all():
         px = pal[ids, 0]  # pure-gray palette → 1 channel
         channels = 1
@@ -803,12 +955,22 @@ def encode_gif(
     channels: int,
     pixels: bytes,
     interlace: bool = False,
+    compress: bool = True,
 ) -> bytes:
     """GIF89a encoder for 8-bit GRAYSCALE planes (channels must be 1 —
     the identity 256-gray global color table makes every pixel value its
     own palette index, so encode∘decode is bit-exact; color GIF would
-    need a quantizer this corpus has no use for). Real LZW compression;
-    optional interlace for decoder coverage."""
+    need a quantizer this corpus has no use for). Real LZW compression
+    by default; optional interlace for decoder coverage.
+
+    ``compress=False`` emits the literal-only (flat-code) LZW stream —
+    still a conforming GIF that any decoder accepts, with the full
+    width-bump/clear-reset schedule exercised, but built vectorized
+    (numpy) instead of via per-pixel dictionary matching, and decoded
+    by the vectorized literal fast path. ~40× faster on both sides for
+    a 256² frame; the payload is larger (no compression), which is the
+    right trade for synth-and-hash pipelines where the bytes never
+    leave the partition."""
     if channels != 1:
         raise NotImplementedError("encode_gif: grayscale (channels=1) only")
     if len(pixels) != width * height:
@@ -829,7 +991,7 @@ def encode_gif(
         ]
         idx = b"".join(rows[y] for y in order)
     out.append(8)  # min code size: 256-entry palette
-    lzw = _gif_lzw_encode(idx, 8)
+    lzw = _gif_lzw_encode(idx, 8) if compress else _gif_lzw_encode_flat(idx, 8)
     for i in range(0, len(lzw), 255):
         chunk = lzw[i : i + 255]
         out.append(len(chunk))

@@ -252,6 +252,184 @@ _SUBSAMPLING = {
 }
 
 
+# ---------------------------------------------------------------------------
+# vectorized entropy coder (r10 optimization)
+# ---------------------------------------------------------------------------
+# The per-block Python loops (_encode_dc/_encode_ac_band over a _BitWriter)
+# were the encode-side profile's top cost: ~20 ms per 256² 4:2:0 frame,
+# dominating the mixed-image corpus synthesis. The kernel below emits the
+# BIT-IDENTICAL stream (parity-pinned in tests/test_jpeg_vec.py) from numpy
+# arrays: symbol assembly, MSB-first bit packing, byte stuffing and restart
+# markers are all whole-scan array ops. The scalar helpers above stay as the
+# executable spec the parity test checks against.
+
+def _enc_table_arrays() -> tuple:
+    dc_code = np.zeros((2, 17), dtype=np.int64)
+    dc_len = np.zeros((2, 17), dtype=np.int64)
+    ac_code = np.zeros((2, 256), dtype=np.int64)
+    ac_len = np.zeros((2, 256), dtype=np.int64)
+    for t in (0, 1):
+        for s, (c, ln) in _ENC_DC[t].items():
+            dc_code[t, s], dc_len[t, s] = c, ln
+        for s, (c, ln) in _ENC_AC[t].items():
+            ac_code[t, s], ac_len[t, s] = c, ln
+    return dc_code, dc_len, ac_code, ac_len
+
+
+_VDC_CODE, _VDC_LEN, _VAC_CODE, _VAC_LEN = _enc_table_arrays()
+_POW2_17 = (1 << np.arange(17)).astype(np.int64)
+
+
+def _cat_vec(v: np.ndarray) -> np.ndarray:
+    """Vectorized T.81 magnitude category: bit_length(|v|)."""
+    return np.searchsorted(_POW2_17, np.abs(v), side="right").astype(np.int64)
+
+
+def _pack_msb(vals: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """MSB-first pack of (value, bit-length) pairs into bytes, final
+    partial byte padded with 1-bits (T.81 F.1.2.3). Values must already
+    fit their lengths. Returns uint8 array (unstuffed)."""
+    total = int(lens.sum())
+    pad = (-total) % 8
+    if pad:
+        vals = np.append(vals, (1 << pad) - 1)
+        lens = np.append(lens, pad)
+    ends = np.cumsum(lens)
+    offs = ends - lens
+    nbytes = (total + pad) // 8
+    b0 = offs >> 3
+    # ≤ 16-bit code at intra-byte offset ≤ 7 fits a 24-bit window
+    w = vals << (24 - (offs & 7) - lens)
+    acc = np.zeros(nbytes + 3, dtype=np.int64)
+    np.add.at(acc, b0, (w >> 16) & 0xFF)
+    np.add.at(acc, b0 + 1, (w >> 8) & 0xFF)
+    np.add.at(acc, b0 + 2, w & 0xFF)
+    return acc[:nbytes].astype(np.uint8)
+
+
+def _stuff_ff(buf: np.ndarray) -> bytes:
+    """0xFF → 0xFF 0x00 byte stuffing, vectorized."""
+    ff = np.flatnonzero(buf == 0xFF)
+    if ff.size:
+        buf = np.insert(buf, ff + 1, 0)
+    return buf.tobytes()
+
+
+def _entropy_scan_vec(
+    seqs: np.ndarray,
+    tsel: np.ndarray,
+    comp: np.ndarray,
+    unit: np.ndarray,
+    ri: int,
+    emit_dc: bool,
+    lo: int,
+    hi: int,
+) -> bytes:
+    """Entropy-code one scan: blocks in scan order as (N, 64) zigzag
+    rows, per-block Huffman-table selector / component id / restart-unit
+    index. Emits DC diffs (predictors reset per restart segment), the
+    AC band [lo, hi] with ZRL/EOB exactly as `_encode_ac_band`, restart
+    markers every ``ri`` units, per-segment 1-bit padding and byte
+    stuffing — bit-identical to the scalar writer path."""
+    n = seqs.shape[0]
+    if n == 0:
+        return b""
+    blk_parts: list[np.ndarray] = []
+    key_parts: list[np.ndarray] = []
+    val_parts: list[np.ndarray] = []
+    len_parts: list[np.ndarray] = []
+    seg = (unit // ri) if ri else np.zeros(n, dtype=np.int64)
+    if emit_dc:
+        dc = seqs[:, 0].astype(np.int64)
+        diff = np.empty(n, dtype=np.int64)
+        for c in np.unique(comp):
+            idx = np.flatnonzero(comp == c)
+            d = dc[idx]
+            prev = np.concatenate([[0], d[:-1]])
+            if ri:
+                s_ = seg[idx]
+                prev[np.concatenate([[True], s_[1:] != s_[:-1]])] = 0
+            diff[idx] = d - prev
+        s = _cat_vec(diff)
+        blk_parts.append(np.arange(n, dtype=np.int64))
+        key_parts.append(np.zeros(n, dtype=np.int64))
+        val_parts.append(_VDC_CODE[tsel, s])
+        len_parts.append(_VDC_LEN[tsel, s])
+        nz = np.flatnonzero(s)
+        blk_parts.append(nz)
+        key_parts.append(np.ones(nz.size, dtype=np.int64))
+        dnz, snz = diff[nz], s[nz]
+        val_parts.append(np.where(dnz > 0, dnz, dnz + _POW2_17[snz] - 1))
+        len_parts.append(snz)
+    if hi >= lo:
+        band = seqs[:, lo : hi + 1]
+        r, cl = np.nonzero(band)  # row-major: scan order within block
+        if r.size:
+            v = band[r, cl].astype(np.int64)
+            firstb = np.concatenate([[True], r[1:] != r[:-1]])
+            prevc = np.where(
+                firstb, -1, np.concatenate([[0], cl[:-1]])
+            )
+            run = cl - prevc - 1
+            z, rem = run >> 4, run & 15
+            sv = _cat_vec(v)
+            sym = (rem.astype(np.int64) << 4) | sv
+            abs_c = (cl + lo).astype(np.int64)
+            zi = np.flatnonzero(z)
+            if zi.size:
+                rep = z[zi]
+                owner = np.repeat(zi, rep)
+                k = np.arange(owner.size, dtype=np.int64) - np.repeat(
+                    np.cumsum(rep) - rep, rep
+                )
+                blk_parts.append(r[owner])
+                key_parts.append(abs_c[owner] * 8 + 2 + k)
+                tz = tsel[r[owner]]
+                val_parts.append(_VAC_CODE[tz, 0xF0])
+                len_parts.append(_VAC_LEN[tz, 0xF0])
+            tr = tsel[r]
+            blk_parts.append(r)
+            key_parts.append(abs_c * 8 + 6)
+            val_parts.append(_VAC_CODE[tr, sym])
+            len_parts.append(_VAC_LEN[tr, sym])
+            blk_parts.append(r)
+            key_parts.append(abs_c * 8 + 7)
+            val_parts.append(np.where(v > 0, v, v + _POW2_17[sv] - 1))
+            len_parts.append(sv)
+        lastc = np.full(n, -1, dtype=np.int64)
+        if r.size:
+            lastc[r] = cl  # later rows overwrite: keeps the LAST col
+        eob = np.flatnonzero(lastc < hi - lo)
+        if eob.size:
+            te = tsel[eob]
+            blk_parts.append(eob)
+            key_parts.append(np.full(eob.size, 8 * 64 + 8, dtype=np.int64))
+            val_parts.append(_VAC_CODE[te, 0x00])
+            len_parts.append(_VAC_LEN[te, 0x00])
+    blk = np.concatenate(blk_parts)
+    key = np.concatenate(key_parts)
+    val = np.concatenate(val_parts)
+    ln = np.concatenate(len_parts)
+    if np.any((ln == 0) & (key % 8 != 1) & (key != 1)):
+        raise ValueError("JPEG symbol outside the Annex K Huffman tables")
+    order = np.lexsort((key, blk))
+    val, ln, blk = val[order], ln[order], blk[order]
+    keep = ln > 0  # zero-length value fields (category 0) emit nothing
+    val, ln, blk = val[keep], ln[keep], blk[keep]
+    eseg = seg[blk]
+    nseg = int(seg[-1]) + 1 if ri else 1
+    out = bytearray()
+    rst = 0
+    bounds = np.searchsorted(eseg, np.arange(nseg + 1))
+    for si in range(nseg):
+        a, b = bounds[si], bounds[si + 1]
+        out += _stuff_ff(_pack_msb(val[a:b], ln[a:b]))
+        if si < nseg - 1:
+            out += bytes((0xFF, 0xD0 + (rst & 7)))
+            rst = (rst + 1) & 7
+    return bytes(out)
+
+
 def encode_jpeg(
     width: int, height: int, channels: int, pixels: bytes,
     progressive: bool = False,
@@ -380,53 +558,52 @@ def encode_jpeg(
             nbw = -(-(-(-(width * hi) // hmax)) // 8)
             sos_body = bytes([1, ci + 1, (tsel << 4) | tsel])
             sos_body += bytes([0, 63, 0])
-            writer = _BitWriter()
-            prev = 0
-            done, total, rst = 0, nbh * nbw, 0
-            for by in range(nbh):
-                for bx in range(nbw):
-                    seq = qseq[ci][by, bx]
-                    _encode_dc(writer, _ENC_DC[tsel], int(seq[0]) - prev)
-                    prev = int(seq[0])
-                    _encode_ac_band(writer, _ENC_AC[tsel], seq, 1, 63)
-                    done += 1
-                    if ri and done % ri == 0 and done < total:
-                        writer.restart(rst)
-                        rst = (rst + 1) & 7
-                        prev = 0
-            out += seg(0xDA, sos_body) + writer.flush()
+            nb = nbh * nbw
+            out += seg(0xDA, sos_body) + _entropy_scan_vec(
+                qseq[ci][:nbh, :nbw].reshape(nb, 64),
+                np.full(nb, tsel, dtype=np.int64),
+                np.zeros(nb, dtype=np.int64),
+                np.arange(nb, dtype=np.int64),  # restart unit = block
+                ri,
+                True,
+                1,
+                63,
+            )
         out += b"\xff\xd9"  # EOI
         return out
+    # interleaved MCU scan order (T.81 A.2.3): per MCU, each component
+    # contributes its h×v blocks raster-ordered; built as arrays once
+    # and fed to the vectorized entropy coder
+    def _interleaved_arrays():
+        sp, tp, cp, mp, kp = [], [], [], [], []
+        for ci in range(channels):
+            hi, vi = samp[ci]
+            my, byy, mx, bxx = np.indices((mcuy, vi, mcux, hi))
+            rows = (my * vi + byy).ravel()
+            cols = (mx * hi + bxx).ravel()
+            sp.append(qseq[ci][rows, cols])
+            tp.append(np.full(rows.size, 0 if ci == 0 else 1, dtype=np.int64))
+            cp.append(np.full(rows.size, ci, dtype=np.int64))
+            mp.append((my * mcux + mx).ravel().astype(np.int64))
+            kp.append((byy * hi + bxx).ravel().astype(np.int64))
+        seqs = np.concatenate(sp)
+        tsel = np.concatenate(tp)
+        comp = np.concatenate(cp)
+        mcu = np.concatenate(mp)
+        sub = np.concatenate(kp)
+        o = np.lexsort((sub, comp, mcu))
+        return seqs[o], tsel[o], comp[o], mcu[o]
+
     if not progressive:
         sos_body = bytes([channels])
         for ci in range(channels):
             tq = 0 if ci == 0 else 1
             sos_body += bytes([ci + 1, (tq << 4) | tq])
         sos_body += bytes([0, 63, 0])
-        writer = _BitWriter()
-        prev_dc = [0] * channels
-        # interleaved MCU scan order (T.81 A.2.3): per MCU, each
-        # component contributes its h×v blocks raster-ordered. At 4:4:4
-        # this is exactly the old per-block interleave.
-        done, total, rst = 0, mcuy * mcux, 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for ci in range(channels):
-                    tsel = 0 if ci == 0 else 1
-                    hi, vi = samp[ci]
-                    for byy in range(vi):
-                        for bxx in range(hi):
-                            seq = qseq[ci][my * vi + byy, mx * hi + bxx]
-                            diff = int(seq[0]) - prev_dc[ci]
-                            prev_dc[ci] = int(seq[0])
-                            _encode_dc(writer, _ENC_DC[tsel], diff)
-                            _encode_ac_band(writer, _ENC_AC[tsel], seq, 1, 63)
-                done += 1
-                if ri and done % ri == 0 and done < total:
-                    writer.restart(rst)
-                    rst = (rst + 1) & 7
-                    prev_dc = [0] * channels
-        out += seg(0xDA, sos_body) + writer.flush()
+        seqs, tsel, comp, mcu = _interleaved_arrays()
+        out += seg(0xDA, sos_body) + _entropy_scan_vec(
+            seqs, tsel, comp, mcu, ri, True, 1, 63
+        )
     else:
         # scan 1: interleaved DC-only (Ss=0, Se=0, Ah=0, Al=0) in MCU
         # order — h×v blocks per component per MCU (r8: subsumes the
@@ -437,25 +614,10 @@ def encode_jpeg(
             tsel = 0 if ci == 0 else 1
             sos_body += bytes([ci + 1, tsel << 4])
         sos_body += bytes([0, 0, 0])
-        writer = _BitWriter()
-        prev_dc = [0] * channels
-        done, total, rst = 0, mcuy * mcux, 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for ci in range(channels):
-                    tsel = 0 if ci == 0 else 1
-                    hi, vi = samp[ci]
-                    for byy in range(vi):
-                        for bxx in range(hi):
-                            dc = int(qseq[ci][my * vi + byy, mx * hi + bxx, 0])
-                            _encode_dc(writer, _ENC_DC[tsel], dc - prev_dc[ci])
-                            prev_dc[ci] = dc
-                done += 1
-                if ri and done % ri == 0 and done < total:
-                    writer.restart(rst)
-                    rst = (rst + 1) & 7
-                    prev_dc = [0] * channels
-        out += seg(0xDA, sos_body) + writer.flush()
+        seqs, tsel, comp, mcu = _interleaved_arrays()
+        out += seg(0xDA, sos_body) + _entropy_scan_vec(
+            seqs, tsel, comp, mcu, ri, True, 1, 0  # DC only: empty band
+        )
         # one spectral-selection AC scan per component (Ss=1, Se=63):
         # per-block EOB0 keeps the stream baseline-shaped. Single-
         # component scans cover only the component's OWN extent grid
@@ -466,19 +628,18 @@ def encode_jpeg(
             nbh = -(-(-(-(height * vi) // vmax)) // 8)
             nbw = -(-(-(-(width * hi) // hmax)) // 8)
             sos_body = bytes([1, ci + 1, tsel]) + bytes([1, 63, 0])
-            writer = _BitWriter()
+            nb = nbh * nbw
             # non-interleaved scan: the restart unit is one BLOCK
-            done, total, rst = 0, nbh * nbw, 0
-            for by in range(nbh):
-                for bx in range(nbw):
-                    _encode_ac_band(
-                        writer, _ENC_AC[tsel], qseq[ci][by, bx], 1, 63
-                    )
-                    done += 1
-                    if ri and done % ri == 0 and done < total:
-                        writer.restart(rst)
-                        rst = (rst + 1) & 7
-            out += seg(0xDA, sos_body) + writer.flush()
+            out += seg(0xDA, sos_body) + _entropy_scan_vec(
+                qseq[ci][:nbh, :nbw].reshape(nb, 64),
+                np.full(nb, tsel, dtype=np.int64),
+                np.zeros(nb, dtype=np.int64),
+                np.arange(nb, dtype=np.int64),
+                ri,
+                False,
+                1,
+                63,
+            )
     out += b"\xff\xd9"  # EOI
     return out
 

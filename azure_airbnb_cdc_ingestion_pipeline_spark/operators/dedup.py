@@ -296,39 +296,49 @@ def cluster_pairs(
     large-star/small-star [Kiveris et al., "Connected Components in
     MapReduce and Beyond", 2014] for O(log n) rounds — the per-round
     join shape is identical.)
+
+    r10 optimization: the round is ONE join + one aggregate. Flagged
+    self-loops fold the node's own label into the same min that gathers
+    neighbor labels (the old left-join against the previous labels is
+    gone), and the per-round change count reads the flagged old label
+    back out of the aggregate (min over the unique self row) — a cheap
+    scan of the just-checkpointed frame instead of a second join. The
+    `.distinct()` on the symmetrized pair list is dropped: callers
+    produce unique pairs (`dropDuplicates` upstream) and duplicates
+    cannot change a MIN anyway.
     """
-    edges = (
+    # materialize the symmetrized pair list ONCE: nodes, the self-loop
+    # branch, the labels init and every round's join all re-enter this
+    # frame, and without the eager checkpoint each of those subtrees
+    # re-executed the (expensive) upstream pair join — measured 6.8 s of
+    # the 6.4 s multimodal_phash_dedup sf0.1 wall was exactly these
+    # re-executions (5× the one-shot join cost)
+    sym = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
-        .distinct()
-        .persist()
-    )
-    labels = (
-        edges.select("u")
-        .distinct()
-        .select("u", F.col("u").alias("lbl"))
         .localCheckpoint(eager=True)
     )
+    nodes = sym.select("u").distinct()
+    edges = (
+        sym.select("u", "v", F.lit(False).alias("_s"))
+        .union(nodes.select("u", F.col("u").alias("v"), F.lit(True).alias("_s")))
+        .persist()
+    )
+    labels = nodes.select("u", F.col("u").alias("lbl")).localCheckpoint(
+        eager=True
+    )
     for _ in range(max_iter):
-        neighbor_min = (
+        nxt = (
             edges.join(labels.select(F.col("u").alias("v"), "lbl"), "v")
             .groupBy("u")
-            .agg(F.min("lbl").alias("nbl"))
-        )
-        nxt = (
-            labels.join(neighbor_min, "u", "left")
-            .select(
-                "u", F.least("lbl", F.coalesce("nbl", F.col("lbl"))).alias("lbl")
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.min(F.when(F.col("_s"), F.col("lbl"))).alias("_old"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            nxt.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = nxt
+        changed = nxt.filter(F.col("lbl") < F.col("_old")).count()
+        labels = nxt.select("u", "lbl")
         if changed == 0:
             break
     edges.unpersist()

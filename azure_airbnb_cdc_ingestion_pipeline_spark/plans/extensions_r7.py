@@ -64,11 +64,21 @@ def _synth_family(doc_id: int) -> list[tuple[int, np.ndarray]]:
     return [(0, base), (1, bright), (2, gamma), (3, resamp), (4, crop)]
 
 
-def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _image_corpus(
+    spark: SparkSession, sf_dir: str, hashes: bool = False
+) -> DataFrame:
     """(media_id, payload): five real PNGs per contributing doc —
     media_id = doc_id·10 + variant. Synthesis is a map-only Arrow pass;
     payload bytes are born and hashed inside their partition, never
-    shuffled."""
+    shuffled.
+
+    ``hashes=True`` (r10 optimization, guide §8/§4): emit
+    (media_id, phash) directly — the SAME encode_png → decode_gray →
+    phash64 chain runs per payload, but inside ONE Python stage, so the
+    payload bytes never cross the JVM↔Python boundary at all and only
+    one Python worker per task slot is live (the chained
+    corpus→phash_frame pair ran 64 workers on 32 cores). 8 B/row leaves
+    the stage instead of ~40 KB/row."""
     from ..functions.codecs import encode_png
     from ..session import fan_out
 
@@ -77,6 +87,8 @@ def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 10 == 0
         )
     )
+    if hashes:
+        from ..functions.phash import decode_gray, phash64
 
     def gen(batches):
         for pdf in batches:
@@ -89,8 +101,20 @@ def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payloads.append(
                         encode_png(_IMG, _IMG, 1, px.tobytes())
                     )
-            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+            if hashes:
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "phash": [
+                            phash64(decode_gray(p)) for p in payloads
+                        ],
+                    }
+                )
+            else:
+                yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
+    if hashes:
+        return docs.mapInPandas(gen, "media_id long, phash long")
     return docs.mapInPandas(gen, "media_id long, payload binary")
 
 
@@ -115,7 +139,7 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only over payload partitions; the pair join is keyed on band
     values with the exact-Hamming filter BEFORE the dedup shuffle; the
     only per-image shuffled state is (id, 63-bit fingerprint)."""
-    from ..functions.phash import PHASH_BITS, phash_frame
+    from ..functions.phash import PHASH_BITS
     from ..operators.dedup import cluster_pairs, hamming_pairs
     from ..session import track_persist
 
@@ -124,9 +148,10 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-only synth→encode→decode→DCT chain, consumed by the scheme
     # count, both sides of the band join, and the final canonical join;
     # without the persist each consumer replays the codec work.
-    fps = track_persist(
-        phash_frame(_image_corpus(spark, sf_dir), "media_id", "payload")
-    )
+    # hashes=True fuses synth→encode→decode→pHash into ONE Python stage
+    # (r10: payload bytes never reach the JVM; same codec chain, same
+    # fingerprints — phash_frame parity pinned in tests/test_phash.py).
+    fps = track_persist(_image_corpus(spark, sf_dir, hashes=True))
     pairs = hamming_pairs(
         fps, "media_id", "phash", max_distance=6, num_bits=PHASH_BITS
     )

@@ -181,9 +181,16 @@ def _mixed_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _jpeg(fam[4], "420", progressive=True),
                     encode_png(_IMG, _IMG, 1, fam[2].tobytes()),
                     _jpeg(fam[3], "420", ri=8),
-                    encode_gif(_IMG, _IMG, 1, fam[0].tobytes()),
+                    # flat-code LZW (r10 optimization): vectorized
+                    # literal emission + the vectorized decode fast
+                    # path — same decoded pixels (lossless either way,
+                    # parity-tested in test_gif.py), ~10× less Python
+                    # per image; width-bump/clear schedule and
+                    # interlace still exercised
+                    encode_gif(_IMG, _IMG, 1, fam[0].tobytes(),
+                               compress=False),
                     encode_gif(_IMG, _IMG, 1, fam[1].tobytes(),
-                               interlace=True),
+                               interlace=True, compress=False),
                     encode_webp(_IMG, _IMG, 1, fam[0].tobytes(),
                                 subtract_green=True, use_lz77=False),
                     # a gray plane has <= 256 distinct colors by

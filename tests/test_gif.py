@@ -96,3 +96,40 @@ def test_phash_format_blind_gif():
         decode_gray(encode_gif(64, 64, 1, px.tobytes(), interlace=True))
     )
     assert h_png == h_gif == h_gil
+
+
+def test_flat_lzw_parity_and_fallback():
+    # r10 optimization: the flat-code encoder and the vectorized literal
+    # decode fast path must be pixel-identical to the dictionary pair on
+    # the same plane, across clear-group boundaries and tiny sizes
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions import codecs as C
+
+    rng = np.random.default_rng(33)
+    for npx in [0, 1, 254, 255, 256, 3838, 3839, 3840, 7679, 65536]:
+        px = rng.integers(0, 256, npx, dtype=np.uint8).tobytes()
+        flat = C._gif_lzw_encode_flat(px, 8)
+        # fast path decodes the flat stream
+        fast = C._gif_lzw_decode_flat(flat, 8, npx)
+        assert fast is not None and bytes(fast) == px
+        # the general scalar loop decodes it identically (conformance)
+        orig = C._gif_lzw_decode_flat
+        C._gif_lzw_decode_flat = lambda *a: None
+        try:
+            assert bytes(C._gif_lzw_decode(flat, 8, npx)) == px
+        finally:
+            C._gif_lzw_decode_flat = orig
+        # dictionary streams fall back to the scalar loop unchanged
+        dic = C._gif_lzw_encode(px, 8)
+        assert bytes(C._gif_lzw_decode(dic, 8, npx)) == px
+    # whole-file parity: flat vs dictionary GIFs decode identically
+    px = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    for interlace in (False, True):
+        a = C.decode_gif(
+            encode_gif(64, 64, 1, px.tobytes(), interlace=interlace)
+        )
+        b = C.decode_gif(
+            encode_gif(
+                64, 64, 1, px.tobytes(), interlace=interlace, compress=False
+            )
+        )
+        assert bytes(a["pixels"]) == bytes(b["pixels"]) == px.tobytes()
