@@ -248,6 +248,67 @@ def pagerank(
     return ranks.select("node", F.col("r").alias("pagerank"))
 
 
+def _copurchase_pagerank_driver(
+    spark: SparkSession,
+    occ_pdf,
+    ok: str,
+    pk: str,
+    iterations: int,
+    damping: float,
+) -> DataFrame:
+    """Vectorized driver kernel for the factored co-purchase PageRank:
+    the identity contrib(p) = Σ_{o∋p} m_p·(T(o) − m_p·x(p)) with
+    T(o) = Σ_{q∈o} m_q·x(q), x = r/deg — numpy segment sums over the
+    (order, part, multiplicity) occurrence table, rows sorted by order
+    so every reduction order is deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    o = occ_pdf[ok].to_numpy(np.int64)
+    p = occ_pdf[pk].to_numpy(np.int64)
+    m = occ_pdf["_m"].to_numpy(np.float64)
+    if len(o) == 0:
+        return spark.createDataFrame([], "node long, pagerank double")
+    # canonical (order, part) row order: toPandas row order is partition
+    # arrival order — nondeterministic — and every reduction below sums
+    # in row order, so sort first and all results are bit-stable run to
+    # run (stronger than the distributed path, whose partial-agg merge
+    # order floats with partitioning)
+    srt = np.lexsort((p, o))
+    o, p, m = o[srt], p[srt], m[srt]
+    _, oidx = np.unique(o, return_inverse=True)
+    starts = np.flatnonzero(np.r_[True, oidx[1:] != oidx[:-1]])
+    sz = np.repeat(np.add.reduceat(m, starts), np.diff(np.r_[starts, len(m)]))
+    keep = sz > m  # a part that IS the whole order carries no cross-edges
+    p, m, sz, oidx = p[keep], m[keep], sz[keep], oidx[keep]
+    if len(p) == 0:
+        return spark.createDataFrame([], "node long, pagerank double")
+    # re-derive order segments after the filter (some orders vanish)
+    starts = np.flatnonzero(np.r_[True, oidx[1:] != oidx[:-1]])
+    parts, pidx = np.unique(p, return_inverse=True)
+    n = len(parts)
+    # per-part statics: deg = Σ m(sz−m), c2 = Σ m² / deg
+    deg = np.zeros(n)
+    np.add.at(deg, pidx, m * (sz - m))
+    sq = np.zeros(n)
+    np.add.at(sq, pidx, m * m)
+    c2 = sq / deg
+    r = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    row_order = np.add.reduceat  # alias for clarity below
+    for _ in range(iterations):
+        x = r / deg
+        t_seg = row_order(m * x[pidx], starts)  # T(o) per kept order
+        t_row = np.repeat(t_seg, np.diff(np.r_[starts, len(m)]))
+        s1 = np.zeros(n)
+        np.add.at(s1, pidx, m * t_row)
+        r = base + damping * (s1 - r * c2)
+    return spark.createDataFrame(
+        pd.DataFrame({"node": parts, "pagerank": r}),
+        "node long, pagerank double",
+    )
+
+
 def copurchase_pagerank(
     lineitem: DataFrame,
     order_col: str = "l_orderkey",
@@ -256,6 +317,7 @@ def copurchase_pagerank(
     damping: float = 0.85,
     rows_per_task: int = 3_000_000,
     small_input_rows: int = 30_000_000,
+    driver_rows: int = 2_000_000,
 ) -> DataFrame:
     """PageRank over the co-purchase part graph WITHOUT materializing
     the pair expansion — the factored (bipartite) formulation.
@@ -294,6 +356,27 @@ def copurchase_pagerank(
         return lineitem.select(
             F.col(pk).alias("node"), F.lit(0.0).alias("pagerank")
         ).limit(0)
+    if nrows <= driver_rows:
+        # r10 size dispatch (guide §1.2): below ~2 M lineitem rows the
+        # occurrence table is ≤ ~48 MB collected (3 × 8 B columns,
+        # |occ| ≤ |rows|; bounded by construction under the session
+        # factory's maxResultSize floor), while the distributed
+        # iteration pays 12+ AQE stage barriers + 5 broadcast builds
+        # for a 5-round fixpoint over tiny frames — measured 4.0-6.5 s
+        # at sf0.1 of which < 1 s is compute. One agg + one Arrow
+        # collect + vectorized numpy rounds (the SAME factored identity
+        # as the loop below, summation in deterministic sorted order)
+        # returns the identical fixed point — parity-pinned in
+        # tests/test_extensions_r5.py and the same DuckDB oracle at
+        # every SF. Both distributed paths are unchanged past the gate.
+        occ_pdf = (
+            lineitem.groupBy(ok, pk)
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .toPandas()
+        )
+        return _copurchase_pagerank_driver(
+            spark, occ_pdf, ok, pk, iterations, damping
+        )
     if nrows <= small_input_rows:
         # Size dispatch (the repo's auto_topk pattern): below this the
         # pair projection comfortably fits and the edge-list path is

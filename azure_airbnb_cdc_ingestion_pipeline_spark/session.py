@@ -82,6 +82,21 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # r10 (guide §6.1): scan-split sizing is
+        # min(maxPartitionBytes, max(openCostInBytes, bytes/parallelism))
+        # — the stock 4 MB openCost FLOORS the split size, so a 10 MB
+        # parquet file scans as ⌈10/4⌉ = 3 tasks regardless of core
+        # count, serializing every scan-rooted map stage (measured:
+        # graph_pagerank's pair-expansion stage ran 3-wide on 32 cores;
+        # 256 KB → 31 splits, sf0.1 wall 5.53 → 4.77 s). The charge
+        # models per-file OPEN cost, which for local/page-cached parquet
+        # is far below 4 MB of scan work. Scale-adaptive by construction:
+        # bytes/parallelism dominates once files outgrow cores·256 KB,
+        # and at cluster scale (≥128 MB files) maxPartitionBytes governs
+        # — production deployments can restore a bigger charge via
+        # SPARK_GRAFT_OPEN_COST when listing thousands of tiny files.
+        .config("spark.sql.files.openCostInBytes",
+                os.environ.get("SPARK_GRAFT_OPEN_COST", "262144"))
         # Arrow for any pandas-UDF path (the only sanctioned Python hot path).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # The reference ingests dates as strings and casts leniently

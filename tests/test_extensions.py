@@ -1284,3 +1284,27 @@ def test_decode_media_y4m_through_spark(spark):
     assert abs(rows[1].mean_intensity - 55.0) < 1e-9
     assert rows[1].error is None
     assert rows[2].error is not None  # truncated -> quarantined
+
+
+def test_cluster_pairs_driver_vs_distributed_parity(spark, monkeypatch):
+    # r10: the driver union-find dispatch must be label-identical to the
+    # distributed min-label loop on a random multi-component graph
+    import random
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.operators import dedup as D
+
+    rng = random.Random(7)
+    edges = {(i, i + 1) for i in range(0, 40, 2)}  # 20 two-node comps
+    edges |= {
+        (rng.randrange(100, 160), rng.randrange(100, 160)) for _ in range(120)
+    }
+    rows = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(rows, "a_id bigint, b_id bigint")
+    fast = {
+        (r.doc_id, r.canonical_id) for r in D.cluster_pairs(pairs).collect()
+    }
+    monkeypatch.setattr(D, "_DRIVER_CC_LIMIT", 0)  # force distributed loop
+    slow = {
+        (r.doc_id, r.canonical_id) for r in D.cluster_pairs(pairs).collect()
+    }
+    assert fast == slow and len(fast) > 0
