@@ -850,16 +850,19 @@ def _apply_orientation(img: dict, orientation: int) -> dict:
     return out
 
 
-def _decode_block_seq(
-    reader: _BitReader, dc_tab: dict, ac_tab: dict, seq, prev_dc: int
+def _decode_block_from(
+    reader: _BitReader, dc_tab: dict, ac_tab: dict, seq, prev_dc: int, k: int
 ) -> int:
-    """Full-band sequential block decode (DC diff + RLE AC) into the
-    zigzag-order store ``seq``; returns the updated DC predictor."""
-    s = _read_symbol(reader, dc_tab)
-    diff = _extend(reader.bits(s), s) if s else 0
-    prev_dc += diff
-    seq[0] = prev_dc
-    k = 1
+    """Bit-by-bit sequential block decode starting at coefficient ``k``
+    (0 = DC pending) — the executable spec, and the boundary fallback
+    of the fused fast loop below: exact marker/truncation semantics via
+    the _BitReader's guarded fills."""
+    if k == 0:
+        s = _read_symbol(reader, dc_tab)
+        diff = _extend(reader.bits(s), s) if s else 0
+        prev_dc += diff
+        seq[0] = prev_dc
+        k = 1
     while k < 64:
         rs = _read_symbol(reader, ac_tab)
         r, s = rs >> 4, rs & 0x0F
@@ -873,6 +876,80 @@ def _decode_block_seq(
             raise ValueError("malformed JPEG: AC index overrun")
         seq[k] = _extend(reader.bits(s), s)
         k += 1
+    return prev_dc
+
+
+def _decode_block_seq(
+    reader: _BitReader, dc_tab: dict, ac_tab: dict, seq, prev_dc: int
+) -> int:
+    """Full-band sequential block decode (DC diff + RLE AC) into the
+    zigzag-order store ``seq``; returns the updated DC predictor.
+
+    r10 (guide §4.2 — per-task work): the symbol loop is fused with the
+    bit reader. Reader state lives in locals, the buffer is filled to
+    ≥ 32 bits at a time (a code ≤ 16 bits plus its magnitude ≤ 15 bits
+    always fit, so each coefficient is ONE lut probe + shifts with no
+    per-symbol function calls), and the moment a fill stops short — a
+    marker or end-of-buffer, exactly where try_fill16 stops — state is
+    synced back and the block finishes on the bit-by-bit spec path
+    above, preserving its exact error semantics. Decoded streams are
+    bit-identical (roundtrip + profile-matrix tests)."""
+    buf = reader.buf
+    n = len(buf)
+    acc, nbits, pos = reader.acc, reader.nbits, reader.pos
+    lut_dc, lut_ac = dc_tab[1], ac_tab[1]
+    k = 0
+    while k < 64:
+        if nbits < 32:
+            while nbits < 32:
+                if pos >= n:
+                    break
+                byte = buf[pos]
+                if byte == 0xFF:
+                    if pos + 1 >= n or buf[pos + 1] != 0x00:
+                        break  # marker / truncation — spec path decides
+                    pos += 2
+                else:
+                    pos += 1
+                acc = ((acc & ((1 << nbits) - 1)) << 8) | byte
+                nbits += 8
+            if nbits < 32:
+                reader.acc, reader.nbits, reader.pos = acc, nbits, pos
+                return _decode_block_from(
+                    reader, dc_tab, ac_tab, seq, prev_dc, k
+                )
+        if k == 0:
+            ent = lut_dc[(acc >> (nbits - 16)) & 0xFFFF]
+            if ent is None:
+                raise ValueError("invalid Huffman code in JPEG scan")
+            s = ent[0]
+            nbits -= ent[1]
+            if s:
+                nbits -= s
+                v = (acc >> nbits) & ((1 << s) - 1)
+                prev_dc += (v - ((1 << s) - 1)) if v < (1 << (s - 1)) else v
+            seq[0] = prev_dc
+            k = 1
+        else:
+            ent = lut_ac[(acc >> (nbits - 16)) & 0xFFFF]
+            if ent is None:
+                raise ValueError("invalid Huffman code in JPEG scan")
+            rs = ent[0]
+            nbits -= ent[1]
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("malformed JPEG: AC index overrun")
+            nbits -= s
+            v = (acc >> nbits) & ((1 << s) - 1)
+            seq[k] = (v - ((1 << s) - 1)) if v < (1 << (s - 1)) else v
+            k += 1
+    reader.acc, reader.nbits, reader.pos = acc, nbits, pos
     return prev_dc
 
 

@@ -80,6 +80,72 @@ _DOULION_ORACLE = f"""
 """
 
 
+#: driver-kernel wedge budget: Σ C(deg⁺, 2) of the sampled forward
+#: adjacency — the merged wedge frame is ~24 B/row, so 60 M wedges
+#: ≈ 1.4 GB of transient numpy, the most this path should ever hold.
+_DOULION_WEDGE_BUDGET = 60_000_000
+
+
+def _doulion_driver(spark: SparkSession, pdf) -> "DataFrame | None":
+    """Exact DOULION tally over a collected raw sampled-pair frame:
+    numpy dedup (≡ the distributed .distinct()) + vectorized wedge
+    closure counting (for every wedge (x→y, x→z), y<z, test (y,z)
+    membership in the sorted edge-key set). Returns None when the
+    degree profile busts the wedge budget or keys would overflow the
+    packed representation — the caller falls back to the distributed
+    kernel."""
+    import numpy as np
+    import pandas as pd
+
+    scale = 1000.0**3 / float(_TRI_KEEP) ** 3
+    schema = (
+        "est_triangles long, sampled_triangles long, keep_permille int"
+    )
+    if len(pdf) == 0:
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "est_triangles": [0],
+                    "sampled_triangles": [0],
+                    "keep_permille": [_TRI_KEEP],
+                }
+            ),
+            schema,
+        )
+    s = pdf["s"].to_numpy(np.int64)
+    d = pdf["d"].to_numpy(np.int64)
+    m = int(d.max()) + 1
+    if m > 2**31:  # packed (s, d) key must stay exact in int64
+        return None
+    ekey = np.unique(s * m + d)  # dedup ≡ .distinct(), sorted for probes
+    es, ed = ekey // m, ekey % m
+    # forward-degree profile gates the wedge expansion
+    heads, counts = np.unique(es, return_counts=True)
+    n_wedges = int((counts * (counts - 1) // 2).sum())
+    if n_wedges > _DOULION_WEDGE_BUDGET:
+        return None
+    edf = pd.DataFrame({"s": es, "d": ed})
+    w = edf.merge(edf, on="s")  # all ordered forward pairs per head
+    y = w["d_x"].to_numpy(np.int64)
+    z = w["d_y"].to_numpy(np.int64)
+    keep = y < z  # each wedge once, oriented like the edge set
+    y, z = y[keep], z[keep]
+    wkey = y * m + z
+    idx = np.searchsorted(ekey, wkey)
+    idx[idx == len(ekey)] = 0  # any in-range slot; equality test decides
+    tri = int(np.count_nonzero(ekey[idx] == wkey))
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "est_triangles": [int(np.floor(tri * scale + 0.5))],
+                "sampled_triangles": [tri],
+                "keep_permille": [_TRI_KEEP],
+            }
+        ),
+        schema,
+    )
+
+
 @query("graph_triangle_doulion", oracle=_DOULION_ORACLE)
 def q_graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sampled triangle count — the 100 TB path for dense
@@ -102,7 +168,7 @@ def q_graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a deterministic row predicate). Oracle unchanged — it samples the
     # deduped set, which is the same set.
     pairs_raw = _copurchase_pairs_raw(spark, sf_dir)
-    sampled = pairs_raw.filter(
+    sampled_raw = pairs_raw.filter(
         F.pmod(
             md5_hash52(
                 F.concat(
@@ -114,13 +180,34 @@ def q_graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1000),
         )
         < _TRI_KEEP
-    ).distinct()
+    )
+    # ONE scalar job for both dispatch inputs (r10 — was two: a max()
+    # first() and a separate count()): max_pk gates int32 neighbor
+    # packing, li_rows gates the driver kernel / sized-shuffle window.
+    mx, li_rows = (
+        _t(spark, sf_dir, "lineitem")
+        .agg(F.max("l_partkey").alias("mx"), F.count(F.lit(1)).alias("n"))
+        .first()
+    )
+    max_pk = mx or 0
+    if li_rows <= 2_000_000:
+        # r10 size dispatch (guide §1.2): the raw sampled pair stream is
+        # ≤ p·(pair fan-out)·rows ≈ 0.8·li_rows 16 B rows — a bounded
+        # Arrow collect — and the triangle kernel's distributed shape
+        # (two adjacency layouts + shuffle_hash attach + explode) costs
+        # ~10 stages for milliseconds of compute at this size. numpy
+        # dedups the pairs (skipping the distinct exchange entirely)
+        # and counts wedge closures by sorted-key membership — exact
+        # integer result, same floor(·+0.5) arithmetic. Pathological
+        # degree skew (Σdeg² past the wedge budget) falls through to
+        # the unchanged distributed kernel.
+        driver_out = _doulion_driver(spark, sampled_raw.toPandas())
+        if driver_out is not None:
+            return driver_out
+    sampled = sampled_raw.distinct()
     # int32 neighbor packing (shared with the exact kernel): the
     # adjacency arrays are the streamed payload of the intersect join —
     # half-width elements halve that shuffle when the id domain allows.
-    max_pk = (
-        _t(spark, sf_dir, "lineitem").agg(F.max("l_partkey")).first()[0] or 0
-    )
     per_edge = _triangles_per_edge(sampled, compact_ids=max_pk < 2**31)
     scale = 1000.0**3 / float(_TRI_KEEP) ** 3
     out = per_edge.agg(
@@ -130,7 +217,6 @@ def q_graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tri").cast("long").alias("sampled_triangles"),
         F.lit(_TRI_KEEP).alias("keep_permille"),
     )
-    li_rows = _t(spark, sf_dir, "lineitem").count()
     if li_rows <= 30_000_000:
         return out  # session defaults are right below the spill regime
     # sized-shuffle window (see q_graph_triangles): the sampled-pair

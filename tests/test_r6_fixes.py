@@ -234,3 +234,22 @@ def test_generator_strides_clear_aug_offsets():
     base_docs = 5_450  # sf0.1 documents upper bound
     assert gen.STRIDES["documents"] > 200_000 + base_docs
     assert gen.STRIDES["embeddings"] > 200_000 * 24 + 55_000
+
+
+def test_doulion_driver_vs_distributed_parity(spark):
+    # r10: the driver wedge-closure kernel must reproduce the
+    # distributed adjacency-intersect tally exactly (same sampled set,
+    # same integer count) — compare both paths at sf0.001
+    import azure_airbnb_cdc_ingestion_pipeline_spark.plans.extensions_r6 as R6
+
+    sf = "/root/testdata/sf0.001"
+    fast = R6.q_graph_triangle_doulion(spark, sf).collect()[0]
+    budget = R6._DOULION_WEDGE_BUDGET
+    R6._DOULION_WEDGE_BUDGET = -1  # bust the budget -> distributed path
+    try:
+        slow = R6.q_graph_triangle_doulion(spark, sf).collect()[0]
+    finally:
+        R6._DOULION_WEDGE_BUDGET = budget
+    assert fast.sampled_triangles == slow.sampled_triangles > 0
+    assert fast.est_triangles == slow.est_triangles
+    assert fast.keep_permille == slow.keep_permille == 200
