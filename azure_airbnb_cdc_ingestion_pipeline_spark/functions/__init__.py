@@ -4,6 +4,7 @@ from .text import (
     bpe_ish_tokens,
     detect_language,
     fingerprint,
+    lit_array,
     normalize_text,
     quality_score,
     shingle_hashes,
@@ -18,6 +19,7 @@ __all__ = [
     "detect_language",
     "fingerprint",
     "json_get",
+    "lit_array",
     "normalize_text",
     "parse_json",
     "quality_score",

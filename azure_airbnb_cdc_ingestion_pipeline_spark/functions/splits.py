@@ -107,11 +107,21 @@ def budget_select(
     # NULL scores are unrankable: excluded EXPLICITLY (previously they
     # fell out of the >/== cutoff filters over budget but leaked into
     # the whole-corpus-fits branch — inconsistent)
-    scored = docs.select(
-        F.col(id_col).alias("id"),
-        F.round(sc, decimals).alias("score"),
-        wc.cast("long").alias("weight"),
-    ).filter(F.col("score").isNotNull())
+    from ..session import track_persist
+
+    # r10 (guide §5): `scored` feeds THREE consumers — the bucket
+    # collect and both phase-2 branches (high + cutoff bucket) — and
+    # its lineage carries the caller's scoring expression (per-token
+    # md5 folds for the hash-classifier score: the dominant cost of the
+    # whole selection). Persist the 24 B/row projection so the corpus
+    # is scored ONCE; release_persisted() reclaims it between queries.
+    scored = track_persist(
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.round(sc, decimals).alias("score"),
+            wc.cast("long").alias("weight"),
+        ).filter(F.col("score").isNotNull())
+    )
     buckets = (
         scored.groupBy("score")
         .agg(F.sum("weight").alias("w"))

@@ -34,6 +34,22 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 LANG_ORDER = ("en", "de", "es", "fr", "zh")  # tie-break preference
 
 
+def lit_array(values, sql_type: str) -> Column:
+    """Literal array Column built as ONE SQL ``expr()`` — the
+    ``F.array(*[F.lit(v) ...])`` spelling costs one py4j roundtrip PER
+    ELEMENT (~1 ms each; a 64-wide literal array ≈ 0.2 s, and the
+    16×64 JL sign matrix ≈ 0.9 s of pure driver chatter per query
+    build — r10, guide §1.2: this is driver time charged to every
+    query wall). The cast pins the exact element type the per-element
+    spelling produced (hash functions are type-sensitive); value parity
+    incl. min-long and double literals is pinned in tests."""
+    body = ", ".join(
+        repr(float(v)) + "D" if isinstance(v, float) else str(int(v))
+        for v in values
+    )
+    return F.expr(f"array({body})").cast(f"array<{sql_type}>")
+
+
 def tokens(col: str | Column, lower: bool = True) -> Column:
     """Whitespace tokenization. `split` on single spaces matches the
     corpus format; swap the pattern for `\\s+` on raw text."""

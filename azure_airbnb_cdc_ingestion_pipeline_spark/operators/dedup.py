@@ -28,7 +28,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, shingle_hashes, tokens
+from ..functions.text import fingerprint, lit_array, shingle_hashes, tokens
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -145,7 +145,10 @@ def _sigs_expr(sh: Column, num_hashes: int) -> Column:
     (least(null, v) = v seeds it). Empty shingle set → all-null sigs.
     The xxhash64 family keeps it ANSI-safe (no wraparound arithmetic,
     which default-ANSI Spark 4 sessions reject)."""
-    idx = F.array(*[F.lit(i) for i in range(num_hashes)])
+    # one-expr literal array (r10): n F.lit calls = n py4j roundtrips
+    # of pure driver time per query build; int element type preserved
+    # (xxhash64(x, i) hashes the 4-byte int representation)
+    idx = lit_array(range(num_hashes), "int")
     init = F.array_repeat(F.lit(None).cast("long"), num_hashes)
     return F.aggregate(
         sh,
@@ -217,16 +220,18 @@ def minhash_lsh_pairs(
     sig = track_persist(
         sh_df.select("id", _sigs_expr(F.col("sh"), num_hashes).alias("sigs"))
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.xxhash64(
-                    *[F.col("sigs")[j * rows + r] for r in range(rows)]
-                ).alias("bh"),
-            )
+    # one-expr band array (r10): the per-element Column spelling cost
+    # ~0.36 s of py4j chatter per query build (16 structs × indexed
+    # xxhash64 args); the SQL string is one roundtrip, same plan
+    band_structs = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({j} as band, xxhash64("
+            + ", ".join(f"sigs[{j * rows + r}]" for r in range(rows))
+            + ") as bh)"
             for j in range(bands)
-        ]
+        )
+        + ")"
     )
     buckets = sig.select(
         "id", F.explode(band_structs).alias("bk")
@@ -458,11 +463,9 @@ def simhash(
     hasher = hasher or F.xxhash64
     df = fan_out(df)  # tiny-file guard: per-token hashing + bit votes
     harr = F.transform(tokens(text_col), lambda t: hasher(t))
-    masks = F.array(
-        *[
-            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
-            for i in range(num_bits)
-        ]
+    masks = lit_array(
+        ((1 << i) if i < 63 else -(1 << 63) for i in range(num_bits)),
+        "bigint",
     )
     init = F.array_repeat(F.lit(0).cast("long"), num_bits)
     votes = F.aggregate(
@@ -597,23 +600,28 @@ def hamming_pairs(
         # full-width chunk (d=0 → one 64-bit chunk): 2^64-1 overflows a
         # long literal — an all-ones mask is just -1 in two's complement
         mask = -1 if widths[i] >= 64 else (1 << widths[i]) - 1
-        return F.shiftrightunsigned(F.col("__fp"), offsets[i]).bitwiseAND(
-            F.lit(mask).cast("long")
-        )
+        return f"(shiftrightunsigned(__fp, {offsets[i]}) & cast({mask} as bigint))"
 
     sh = fps.select(F.col(id_col).alias("id"), F.col(fp_col).alias("__fp"))
     combos = list(itertools.combinations(range(c), g))
+    # one-expr combo-key array (r10): the per-Column spelling costs
+    # ~4 py4j roundtrips per struct — 0.4 s of driver time per build at
+    # the (d+3, 3) scheme's C(9,3)=84 combos; one SQL string, same plan
     structs = []
     for ci, combo in enumerate(combos):
-        packed = F.lit(0).cast("long")
         shift = 0
+        terms = []
         for i in combo:
-            packed = packed + F.shiftleft(chunk_val(i), shift)
+            terms.append(
+                f"shiftleft({chunk_val(i)}, {shift})" if shift else chunk_val(i)
+            )
             shift += widths[i]
         structs.append(
-            F.struct(F.lit(ci).alias("ci"), packed.alias("cv"))
+            f"struct({ci} as ci, cast(0 as bigint) + "
+            + " + ".join(terms)
+            + " as cv)"
         )
-    chunks = F.array(*structs)
+    chunks = F.expr("array(" + ", ".join(structs) + ")")
     blocked = sh.select("id", "__fp", F.explode(chunks).alias("c")).select(
         "id", "__fp", "c.ci", "c.cv"
     )

@@ -229,12 +229,17 @@ def q_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    from ..functions.text import lit_array
+
+    # lit_array (r10): the 16×64 sign matrix as per-element F.lit()
+    # calls cost ~0.9 s of py4j driver chatter per query build; one
+    # expr per row is ~30× cheaper, same DoubleType literals
     cols = [
         F.round(
             F.aggregate(
                 F.zip_with(
                     "v",
-                    F.array(*[F.lit(s) for s in _SIGNS[j]]),
+                    lit_array(_SIGNS[j], "double"),
                     lambda a, b: a * b,
                 ),
                 F.lit(0.0),

@@ -480,6 +480,34 @@ def q_exact_median_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
+    # r10 size dispatch (guide §1.2): the mid-rank PRICES depend only on
+    # the price ordering (the orderkey/linenumber tiebreak permutes
+    # equal prices among themselves), so below the gate ONE Arrow
+    # collect of the single 8 B column + an O(n) numpy partition finds
+    # them — versus the distributed exact-rank machinery (range-sample
+    # job, per-partition sort, persist, size collect, offset join) that
+    # costs ~2 s of stages for a 2-row answer at sf0.1. The final
+    # avg/round runs through the SAME Spark expressions on the 2-row
+    # frame, so result semantics (HALF_UP rounding) are untouched.
+    # 5 M rows ≈ 40 MB collected — bounded by construction; the
+    # distributed rank path is unchanged above the gate.
+    n = li.count()  # parquet metadata count — no data scan
+    if 0 < n <= 5_000_000:
+        import numpy as np
+
+        prices = li.select("l_extendedprice").toPandas()[
+            "l_extendedprice"
+        ].to_numpy(np.float64)
+        mid0, mid1 = (n + 1) // 2 - 1, n // 2  # 0-based mid positions
+        part = np.partition(prices, [mid0, mid1])
+        two = spark.createDataFrame(
+            [(float(part[mid0]),), (float(part[mid1]),)],
+            "l_extendedprice double",
+        )
+        return two.agg(
+            F.round(F.avg("l_extendedprice"), 4).alias("median_price"),
+            F.lit(n).cast("long").alias("n_rows"),
+        )
     ranked, n = global_rank_with_count(
         li, ["l_extendedprice", "l_orderkey", "l_linenumber"], rank_col="r"
     )  # n rides along from the rank pass — no extra count job

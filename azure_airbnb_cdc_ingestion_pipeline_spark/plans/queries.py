@@ -37,7 +37,9 @@ ORACLE_SQL: dict[str, str] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from ..sources.readers import read_table
+
+    return read_table(spark, sf_dir, name)
 
 
 def query(name: str, oracle: str | None = None):
