@@ -118,7 +118,9 @@ def q_multimodal_jpeg420_roundtrip(
     )
 
 
-def _mixed_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mixed_image_corpus(
+    spark: SparkSession, sf_dir: str, hashes: bool = False
+) -> DataFrame:
     """(media_id, payload): five images per contributing doc spanning
     the PNG/JPEG format boundary — media_id = doc_id·10 + variant:
     0 = base PNG, 1 = JPEG-4:2:0 re-encode of base (the 'recompressed
@@ -151,6 +153,14 @@ def _mixed_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.webp_codec import encode_webp
     from ..session import fan_out
     from .extensions_r7 import _IMG, _synth_family
+
+    # ``hashes=True`` (r10, guide §8/§4 — the same fusion the plain
+    # pHash corpus got in extensions_r7): the SAME encode→sniff→decode→
+    # pHash chain runs per payload, but inside ONE Python stage, so the
+    # ~40 KB payloads never cross the JVM↔Python boundary into a second
+    # worker pool; 8 B/row leaves the stage.
+    if hashes:
+        from ..functions.phash import decode_gray, phash64
 
     docs = fan_out(
         _t(spark, sf_dir, "documents").select("doc_id").filter(
@@ -201,8 +211,20 @@ def _mixed_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for v, payload in enumerate(variants):
                     ids.append(int(did) * 10 + v)
                     payloads.append(payload)
-            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+            if hashes:
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "phash": [
+                            phash64(decode_gray(p)) for p in payloads
+                        ],
+                    }
+                )
+            else:
+                yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
+    if hashes:
+        return docs.mapInPandas(gen, "media_id long, phash long")
     return docs.mapInPandas(gen, "media_id long, payload binary")
 
 
@@ -232,13 +254,14 @@ def q_multimodal_phash_dedup_mixed(
     containing a JPEG member; likewise a wrong DC-predictor reset at a
     restart boundary (variant 5 carries DRI=8) shifts every
     post-restart block's level and splits the family."""
-    from ..functions.phash import PHASH_BITS, phash_frame
+    from ..functions.phash import PHASH_BITS
     from ..operators.dedup import cluster_pairs, hamming_pairs
     from ..session import track_persist
 
-    fps = track_persist(
-        phash_frame(_mixed_image_corpus(spark, sf_dir), "media_id", "payload")
-    )
+    # hashes=True fuses synth→encode→sniff→decode→pHash into ONE Python
+    # stage (r10: payload bytes never reach the JVM; same codec chain,
+    # same fingerprints — phash_frame parity pinned in tests/test_phash.py)
+    fps = track_persist(_mixed_image_corpus(spark, sf_dir, hashes=True))
     pairs = hamming_pairs(
         fps, "media_id", "phash", max_distance=6, num_bits=PHASH_BITS
     )
