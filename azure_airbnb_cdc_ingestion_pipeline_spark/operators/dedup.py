@@ -703,7 +703,13 @@ def decontaminate(
     semantics equal string n-grams modulo 2^-64 collisions, at ~1/10th
     the posting bytes.
     """
-    sh = docs.select(
+    from ..session import fan_out
+
+    # fan_out (r10): the per-position chained-xxhash shingle explode is
+    # the CPU core of both sides and ran at the scan's split width
+    # (6 tasks on a sub-MB file at sf0.1 — 0.6 s serialized); no-op at
+    # real scale where the corpus scan already splits wide.
+    sh = fan_out(docs).select(
         F.col(id_col),
         eval_pred.alias("__is_eval"),
         F.explode(shingle_hashes(text_col, n)).alias("__sh"),

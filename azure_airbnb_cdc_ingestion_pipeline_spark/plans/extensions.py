@@ -283,8 +283,13 @@ def q_text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort, no corpus self-join."""
     from ..functions.text import token_count, tokens
 
+    from ..session import fan_out
+
     K1, B = 1.2, 0.75
-    docs = _t(spark, sf_dir, "documents")
+    # fan_out (r10): the token explode + length scan run at the scan's
+    # split width (1 effective task on a single-row-group file); no-op
+    # at real scale
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     dl = docs.select("doc_id", token_count("text").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -2280,7 +2285,12 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack() unpivot of that row; nothing is per-column re-scanned. At
     100 TB swap count(DISTINCT) for approx_count_distinct and the pass
     goes fully single-shuffle; exact here so DuckDB can oracle it."""
-    o = _t(spark, sf_dir, "orders")
+    from ..session import fan_out
+
+    # fan_out (r10): the 4× count-distinct expand (5 rows per input row
+    # through the partial aggregate) ran at the scan's split width —
+    # one effective task on a single-row-group file; no-op at real scale
+    o = fan_out(_t(spark, sf_dir, "orders"))
     cols = ("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
     # min/max are computed on the NATIVE type (a string min over '99.00' vs
     # '100.00' would be wrong) and stringified after:
@@ -5481,6 +5491,7 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     path runs."""
     from ..functions.splits import budget_select
     from ..functions.text import tokens
+    from ..session import fan_out
 
     toks = tokens("text")
     denom = F.lit(1152921504606846975.0)
@@ -5493,7 +5504,10 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.try_divide(
         F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + wt(t)), F.size(toks)
     )
-    docs = _t(spark, sf_dir, "documents").select(
+    # fan_out (r10): the per-token md5 score fold is the dominant cost
+    # and ran at the scan's split width (3 tasks, 0.84 s serialized at
+    # sf0.1); no-op at real scale
+    docs = fan_out(_t(spark, sf_dir, "documents")).select(
         "doc_id", score.alias("s"), F.size(toks).alias("n_tok")
     )
     return budget_select(docs, "doc_id", "s", "n_tok", budget=8000)
@@ -5614,8 +5628,14 @@ def q_text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
     )
+    from ..session import fan_out
+
+    # fan_out (r10): the slice/zip_with bigram explode is re-run by all
+    # three consumers (bc, cc, probe) at the scan's split width — one
+    # effective task on a single-row-group file, ~1.4 s serialized at
+    # sf0.1; no-op at real scale
     bg = (
-        _t(spark, sf_dir, "documents")
+        fan_out(_t(spark, sf_dir, "documents"))
         .select("doc_id", F.explode(bigrams).alias("b"))
         .select("doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
     )
@@ -5725,8 +5745,10 @@ def q_retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.text import token_count, tokens
 
+    from ..session import fan_out
+
     K1, B, DIM, RRF_K = 1.2, 0.75, 16, 60
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))  # r10: see q_text_bm25_rank
     dl = docs.select("doc_id", token_count("text").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
     tf = (
@@ -5952,8 +5974,15 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay in the same codegen stage, the text still dies in its
     partition)."""
     from ..operators.graph import sized_shuffle
+    from ..session import fan_out
 
-    d = _t(spark, sf_dir, "documents").withColumn(
+    # fan_out (r10): the per-position concat_ws + double hash explode is
+    # the query's CPU core and ran at the scan's split width (3 tasks on
+    # a 0.6 MB file — 2.3 s serialized on 3 of 32 cores at sf0.1); the
+    # guard is a no-op at real scale where scans already split wide.
+    # Both consumers of `sh` (dup agg + mark-back) re-run the explode,
+    # so one cheap redistribution parallelizes both.
+    d = fan_out(_t(spark, sf_dir, "documents")).withColumn(
         "__t", F.split(F.lower("text"), " ")
     )
     npos = F.size("__t") - 7

@@ -117,8 +117,12 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one mergeable groupBy (d*w bounded state); probes broadcast.
     `is_overestimate` certifies the CM one-sided error guarantee on
     every output row (functions/sketches.py::countmin_estimates)."""
+    from ..session import fan_out
+
+    # fan_out (r10): 4 md5 probes/row ran at the single-row-group scan
+    # width; no-op at real scale
     return countmin_estimates(
-        _t(spark, sf_dir, "events"), "user_id", depth=4, width=512, top=20
+        fan_out(_t(spark, sf_dir, "events")), "user_id", depth=4, width=512, top=20
     )
 
 
@@ -1178,8 +1182,12 @@ def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as _pd
 
     from ..functions.codecs import encode_wav
+    from ..session import fan_out
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # fan_out (r10): the WAV synth+decode+rFFT pass ran as ONE task on
+    # the single-row-group scan (1.2 s serialized at sf0.1); no-op at
+    # real scale
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def _synth_and_analyze(batches):
         for pdf in batches:
