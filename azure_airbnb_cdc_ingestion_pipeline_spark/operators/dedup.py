@@ -157,6 +157,24 @@ def _sigs_expr(sh: Column, num_hashes: int) -> Column:
     )
 
 
+def _band_structs_expr(bands: int, rows: int, sig_col: str = "sigs") -> Column:
+    """LSH band keys as ONE SQL expr (r10): the per-element Column
+    spelling cost ~0.36 s of py4j chatter per query build (16 structs ×
+    indexed xxhash64 args) — measured as two 0.6-0.8 s driver gaps in
+    the incremental query, which builds it for BOTH sides. One
+    roundtrip, same resolved plan."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            f"struct({j} as band, xxhash64("
+            + ", ".join(f"{sig_col}[{j * rows + r}]" for r in range(rows))
+            + ") as bh)"
+            for j in range(bands)
+        )
+        + ")"
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -220,19 +238,7 @@ def minhash_lsh_pairs(
     sig = track_persist(
         sh_df.select("id", _sigs_expr(F.col("sh"), num_hashes).alias("sigs"))
     )
-    # one-expr band array (r10): the per-element Column spelling cost
-    # ~0.36 s of py4j chatter per query build (16 structs × indexed
-    # xxhash64 args); the SQL string is one roundtrip, same plan
-    band_structs = F.expr(
-        "array("
-        + ", ".join(
-            f"struct({j} as band, xxhash64("
-            + ", ".join(f"sigs[{j * rows + r}]" for r in range(rows))
-            + ") as bh)"
-            for j in range(bands)
-        )
-        + ")"
-    )
+    band_structs = _band_structs_expr(bands, rows)
     buckets = sig.select(
         "id", F.explode(band_structs).alias("bk")
     ).select("id", "bk.band", "bk.bh")
@@ -896,19 +902,8 @@ def incremental_minhash_pairs(
             f"{side}_id",
             _sigs_expr(F.col(f"{side}_sh"), num_hashes).alias("sigs"),
         )
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("band"),
-                    F.xxhash64(
-                        *[F.col("sigs")[j * rows + r] for r in range(rows)]
-                    ).alias("bh"),
-                )
-                for j in range(bands)
-            ]
-        )
         buckets = sig.select(
-            f"{side}_id", F.explode(band_structs).alias("bk")
+            f"{side}_id", F.explode(_band_structs_expr(bands, rows)).alias("bk")
         ).select(f"{side}_id", "bk.band", "bk.bh")
         return sh_df, buckets
 

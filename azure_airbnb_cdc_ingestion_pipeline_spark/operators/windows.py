@@ -141,6 +141,63 @@ def global_rank_with_count(
     return out, acc
 
 
+#: global_ntile_multi driver-dispatch gate, in input rows. tie cols +
+#: metric values are a few 8 B columns ⇒ the limit-probe collect is
+#: ≤ ~64 MB — bounded by construction under the session factory's
+#: maxResultSize floor.
+_NTILE_DRIVER_ROWS = 2_000_000
+
+
+def _ntile_multi_driver(
+    spark, pdf, schema, metrics, tie_cols, n_buckets: int
+) -> DataFrame:
+    """Driver kernel for bounded multi-metric exact ntile — identical
+    semantics to the distributed melt/range/offset pass (parity-pinned
+    in tests/test_ntile_multi.py)."""
+    import numpy as np
+    import pandas as pd
+
+    dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+    out_fields = ", ".join(
+        [f"{t} {dtypes[t]}" for t in tie_cols]
+        + [f"{bc} int" for _, bc in metrics]
+    )
+    if len(pdf) == 0:
+        return spark.createDataFrame([], out_fields)
+    lim = 1 << 53
+    tie_arrays = [pdf[t].to_numpy() for t in tie_cols]
+    out = {t: pdf[t] for t in tie_cols}
+    n = len(pdf)
+    q, r = divmod(n, n_buckets)
+    for v, bc in metrics:
+        if dtypes.get(v) == "bigint" and np.abs(
+            pdf[v].to_numpy(np.int64)
+        ).max() >= lim:
+            raise ValueError(
+                f"global_ntile_multi: metric '{v}' has |value| >= 2^53 — "
+                "not exactly representable as double; rank it with "
+                "per-metric global_ntile instead"
+            )
+        vals = pdf[v].to_numpy(np.float64)  # the melt's double cast
+        order = np.lexsort(tuple(reversed([vals] + tie_arrays)))
+        gr = np.empty(n, dtype=np.int64)
+        gr[order] = np.arange(1, n + 1)
+        if q == 0:
+            b = gr
+        else:  # ANSI allocation: first r buckets get q+1 rows
+            b = np.where(
+                gr <= r * (q + 1),
+                (gr - 1) // (q + 1) + 1,
+                r + (gr - r * (q + 1) - 1) // q + 1,
+            )
+        out[bc] = b.astype(np.int32)
+    res = pd.DataFrame(out)
+    if res.duplicated(subset=list(tie_cols)).any():
+        # mirror the distributed groupBy(tie).max over duplicate ties
+        res = res.groupby(list(tie_cols), as_index=False).max()
+    return spark.createDataFrame(res, out_fields)
+
+
 def global_ntile_multi(
     df: DataFrame,
     metrics: Sequence[tuple[str, str]],
@@ -177,6 +234,25 @@ def global_ntile_multi(
     from ..session import track_persist
 
     mnames = [v for v, _ in metrics]
+
+    # r10 size dispatch (guide §1.2): exact multi-metric ntile needs a
+    # TOTAL ORDER per metric, which the distributed form buys with a
+    # melt (3× rows), a range exchange (sampling job), a persisted rank
+    # pass, a size collect and an offset join — ~12 stages for a
+    # per-entity frame that is typically tiny relative to its source
+    # (rfm_segments: ~10 k users from 100 k events at sf0.1, 2.5 s of
+    # machinery). Probe with limit(gate+1): at most gate+1 skinny rows
+    # are ever collected (bounded by construction, ~64 MB at the 2 M
+    # gate), and if the probe overflows the distributed path below runs
+    # unchanged. numpy replicates the EXACT semantics: the double cast
+    # on the melt value (same ordering), the 2^53 bigint guard (same
+    # fail-loud contract), ANSI bucket allocation, and the
+    # groupBy-max over duplicate tie rows.
+    probe = df.select(*tie_cols, *mnames).limit(_NTILE_DRIVER_ROWS + 1).toPandas()
+    if len(probe) <= _NTILE_DRIVER_ROWS:
+        return _ntile_multi_driver(
+            df.sparkSession, probe, df.schema, metrics, tie_cols, n_buckets
+        )
 
     # Shared-melt safety (r8 advisor): the melt column is double, exact
     # for |int| < 2^53 — a bigint metric at or past that silently

@@ -68,3 +68,27 @@ def test_multi_single_row_and_fewer_rows_than_buckets(spark):
     assert len(out) == 3
     # with n < buckets, ANSI ntile assigns bucket = rank
     assert sorted(v[0] for v in out.values()) == [1, 2, 3]
+
+
+def test_ntile_multi_driver_vs_distributed_parity(spark, monkeypatch):
+    # r10: the driver ntile kernel must match the distributed
+    # melt/range/offset pass row-for-row, including duplicate-tie rows
+    import random
+
+    import azure_airbnb_cdc_ingestion_pipeline_spark.operators.windows as W
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.randrange(0, 40), float(rng.randrange(0, 1000)) / 8)
+        for i in range(257)
+    ] + [(9999, 7, 1.5), (9999, 7, 1.5)]  # duplicated tie row
+    df = spark.createDataFrame(rows, "uid bigint, freq bigint, spend double")
+    metrics = [("freq", "f_q"), ("spend", "s_q")]
+    fast = {
+        tuple(r) for r in W.global_ntile_multi(df, metrics, ["uid"], 4).collect()
+    }
+    monkeypatch.setattr(W, "_NTILE_DRIVER_ROWS", 0)
+    slow = {
+        tuple(r) for r in W.global_ntile_multi(df, metrics, ["uid"], 4).collect()
+    }
+    assert fast == slow and len(fast) > 0
