@@ -346,6 +346,7 @@ def cluster_pairs(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iter: int = 20,
+    driver_limit: int | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair list: every doc in a
     component maps to the component's minimum id (the canonical survivor
@@ -397,8 +398,18 @@ def cluster_pairs(
     # pointer-jumping computes the identical min-id-per-component
     # fixpoint in one job. Past the gate the distributed loop below is
     # unchanged — the operator stays unbounded-scale-safe.
+    # r11 (advisor): the numpy kernel hard-casts ids via
+    # to_numpy(np.int64) — non-integral id types (string doc ids, the
+    # pre-r10 contract) would crash on the default path. Gate the
+    # dispatch on the id column being integral and fall through to the
+    # type-generic distributed loop otherwise. ``driver_limit`` (0 =
+    # force distributed) lets the bench's forced-distributed leg pin the
+    # distributed twin at every SF.
+    from pyspark.sql.types import IntegralType
+
+    gate = _DRIVER_CC_LIMIT if driver_limit is None else driver_limit
     n_sym = sym.count()  # cheap: sym is checkpointed
-    if n_sym <= _DRIVER_CC_LIMIT:
+    if n_sym <= gate and isinstance(sym.schema["u"].dataType, IntegralType):
         return _cluster_pairs_driver(sym, n_sym)
     nodes = sym.select("u").distinct()
     edges = (

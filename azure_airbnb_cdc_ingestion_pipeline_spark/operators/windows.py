@@ -204,6 +204,7 @@ def global_ntile_multi(
     tie_cols: Sequence[str],
     n_buckets: int,
     num_partitions: int | None = None,
+    driver_limit: int | None = None,
 ) -> DataFrame:
     """Exact global ``ntile(n)`` over SEVERAL metrics in ONE shared
     range-partition + offset pass (r8, VERDICT r7 #5).
@@ -228,12 +229,17 @@ def global_ntile_multi(
     ``tie_cols`` must complete a total order
     per metric, exactly as ``ntile(n) OVER (ORDER BY value, tie)``.
     Returns one row per distinct ``tie_cols`` with every bucket column.
+
+    ``driver_limit`` overrides the driver-dispatch gate (rows); 0 forces
+    the distributed path — the bench's forced-distributed legs use it so
+    the distributed twin stays regression-guarded at every SF.
     """
     from collections import defaultdict
 
     from ..session import track_persist
 
     mnames = [v for v, _ in metrics]
+    gate = _NTILE_DRIVER_ROWS if driver_limit is None else driver_limit
 
     # r10 size dispatch (guide §1.2): exact multi-metric ntile needs a
     # TOTAL ORDER per metric, which the distributed form buys with a
@@ -241,18 +247,32 @@ def global_ntile_multi(
     # pass, a size collect and an offset join — ~12 stages for a
     # per-entity frame that is typically tiny relative to its source
     # (rfm_segments: ~10 k users from 100 k events at sf0.1, 2.5 s of
-    # machinery). Probe with limit(gate+1): at most gate+1 skinny rows
-    # are ever collected (bounded by construction, ~64 MB at the 2 M
-    # gate), and if the probe overflows the distributed path below runs
-    # unchanged. numpy replicates the EXACT semantics: the double cast
-    # on the melt value (same ordering), the 2^53 bigint guard (same
-    # fail-loud contract), ANSI bucket allocation, and the
-    # groupBy-max over duplicate tie rows.
-    probe = df.select(*tie_cols, *mnames).limit(_NTILE_DRIVER_ROWS + 1).toPandas()
-    if len(probe) <= _NTILE_DRIVER_ROWS:
-        return _ntile_multi_driver(
-            df.sparkSession, probe, df.schema, metrics, tie_cols, n_buckets
-        )
+    # machinery). r11 (advisor): the old limit(gate+1).toPandas() probe
+    # fully executed the upstream AND shipped up to 2 M rows even when
+    # the frame was over the gate — and the distributed path then
+    # recomputed the same upstream from scratch. The skinny projection
+    # is now persisted FIRST, the probe is a count() against it (cache
+    # is materialized once), and whichever path wins reads the cache:
+    # no upstream pass is ever paid twice. The collect stays bounded by
+    # construction: toPandas() only runs when count ≤ gate (~64 MB at
+    # the 2 M default).
+    proj = track_persist(df.select(*tie_cols, *mnames))
+    n_rows = proj.count()
+    if 0 < gate and n_rows <= gate:
+        pdf = proj.toPandas()
+        # r11 (advisor): NULL metric/tie values diverge between the numpy
+        # kernel and the distributed melt (Spark's asc order puts NULLs
+        # FIRST; numpy turns them into NaN, which lexsort places LAST —
+        # and a bigint metric with NULLs silently corrupts via the
+        # float→int64 cast). Same-input-same-buckets is the contract, so
+        # any null falls through to the distributed path below, which
+        # defines the semantics. (Real NaN doubles are consistent in
+        # both: Spark and numpy sort NaN greatest.)
+        if not pdf.isnull().values.any():
+            return _ntile_multi_driver(
+                df.sparkSession, pdf, df.schema, metrics, tie_cols, n_buckets
+            )
+    df = proj
 
     # Shared-melt safety (r8 advisor): the melt column is double, exact
     # for |int| < 2^53 — a bigint metric at or past that silently
@@ -265,8 +285,13 @@ def global_ntile_multi(
     def _melt_val(v: str):
         col = F.col(v).cast("double")
         if dtypes.get(v) == "bigint":
+            # NULL must pass the guard (it melts to NULL and sorts
+            # first, like any ORDER BY) — without the isNull arm the
+            # three-valued when() sent NULLs into raise_error (r11)
             return F.when(
-                (F.col(v) > F.lit(-lim)) & (F.col(v) < F.lit(lim)), col
+                F.col(v).isNull()
+                | ((F.col(v) > F.lit(-lim)) & (F.col(v) < F.lit(lim))),
+                col,
             ).otherwise(
                 F.raise_error(
                     F.lit(

@@ -621,11 +621,10 @@ def _docs_chain_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(c1).unionByName(c2)
 
 
-@query(
-    "dedup_cluster_canonical",
-    # DuckDB checks the full component closure with a recursive CTE: the
-    # transitive min-reachable id per node IS the canonical assignment.
-    oracle="""
+# DuckDB checks the full component closure with a recursive CTE: the
+# transitive min-reachable id per node IS the canonical assignment.
+# (module constant: the r11 forced-distributed twin shares it)
+_CLUSTER_ORACLE = """
     WITH RECURSIVE aug AS (
     """ + _CHAIN_AUG_SQL + """
     ),
@@ -655,12 +654,16 @@ def _docs_chain_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
     )
     SELECT u AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY u
-    """,
-)
-def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+@query("dedup_cluster_canonical", oracle=_CLUSTER_ORACLE)
+def q_dedup_cluster(
+    spark: SparkSession, sf_dir: str, cc_driver_limit: int | None = None
+) -> DataFrame:
     docs = _docs_chain_aug(spark, sf_dir)
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
-    return cluster_pairs(pairs)
+    return cluster_pairs(pairs, driver_limit=cc_driver_limit)
 
 
 # ---------------------------------------------------------------------------

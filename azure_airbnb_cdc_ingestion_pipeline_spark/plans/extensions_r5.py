@@ -294,7 +294,9 @@ def _pagerank_oracle(iterations: int = 5) -> str:
 
 
 @query("graph_pagerank", oracle=_pagerank_oracle())
-def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_graph_pagerank(
+    spark: SparkSession, sf_dir: str, driver_rows: int = 2_000_000
+) -> DataFrame:
     """Weighted PageRank (5 iterations, d=0.85) over the symmetric
     part co-purchase graph; top-20 parts. Edge build is keyed on
     l_orderkey (<= 7 lines/order — bounded pair fan-out); iterations
@@ -309,7 +311,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materializing a pair row — parity-tested against
     # pagerank(copurchase_edges(li)) and the same DuckDB oracle.
     ranks = copurchase_pagerank(
-        _t(spark, sf_dir, "lineitem"), iterations=5, damping=0.85
+        _t(spark, sf_dir, "lineitem"),
+        iterations=5,
+        damping=0.85,
+        driver_rows=driver_rows,
     )
     out = ranks.select(
         F.col("node").alias("part_key"), F.round("pagerank", 6).alias("pagerank")

@@ -147,7 +147,9 @@ def _doulion_driver(spark: SparkSession, pdf) -> "DataFrame | None":
 
 
 @query("graph_triangle_doulion", oracle=_DOULION_ORACLE)
-def q_graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_graph_triangle_doulion(
+    spark: SparkSession, sf_dir: str, driver_gate: int = 2_000_000
+) -> DataFrame:
     """DOULION sampled triangle count — the 100 TB path for dense
     co-occurrence graphs where exact counting's wedge work is
     prohibitive. Deterministic md5 edge sampling (bit-exact vs the
@@ -190,7 +192,7 @@ def q_graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()
     )
     max_pk = mx or 0
-    if li_rows <= 2_000_000:
+    if li_rows <= driver_gate:
         # r10 size dispatch (guide §1.2): the raw sampled pair stream is
         # ≤ p·(pair fan-out)·rows ≈ 0.8·li_rows 16 B rows — a bounded
         # Arrow collect — and the triangle kernel's distributed shape
@@ -428,7 +430,9 @@ _RFM_ORACLE = """
 
 
 @query("rfm_segments", oracle=_RFM_ORACLE)
-def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_rfm_segments(
+    spark: SparkSession, sf_dir: str, ntile_driver_limit: int | None = None
+) -> DataFrame:
     # r8 (VERDICT r7 #5): the three per-metric global_ntile passes
     # compiled to 52 shuffles (each pass re-range-partitioned the frame
     # already carrying the previous passes' machinery). The melted
@@ -454,6 +458,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("recency", "r_q"), ("freq", "f_q"), ("monetary", "m_q")],
         tie_cols=["user_id"],
         n_buckets=4,
+        driver_limit=ntile_driver_limit,
     )
     return seg.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("users")
@@ -474,7 +479,9 @@ _MEDIAN_ORACLE = """
 
 
 @query("exact_median_rank", oracle=_MEDIAN_ORACLE)
-def q_exact_median_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_exact_median_rank(
+    spark: SparkSession, sf_dir: str, driver_gate: int = 5_000_000
+) -> DataFrame:
     from ..operators.windows import global_rank_with_count
 
     li = _t(spark, sf_dir, "lineitem").select(
@@ -492,7 +499,7 @@ def q_exact_median_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 5 M rows ≈ 40 MB collected — bounded by construction; the
     # distributed rank path is unchanged above the gate.
     n = li.count()  # parquet metadata count — no data scan
-    if 0 < n <= 5_000_000:
+    if 0 < n <= driver_gate:
         import numpy as np
 
         prices = li.select("l_extendedprice").toPandas()[

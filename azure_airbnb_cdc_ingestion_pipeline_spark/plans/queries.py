@@ -483,3 +483,4 @@ from . import extensions_r7  # noqa: E402,F401
 from . import extensions_r8  # noqa: E402,F401
 from . import extensions_r9  # noqa: E402,F401
 from . import extensions_r10  # noqa: E402,F401
+from . import extensions_r11  # noqa: E402,F401

@@ -1308,3 +1308,24 @@ def test_cluster_pairs_driver_vs_distributed_parity(spark, monkeypatch):
         (r.doc_id, r.canonical_id) for r in D.cluster_pairs(pairs).collect()
     }
     assert fast == slow and len(fast) > 0
+    # r11: driver_limit=0 kwarg forces the same result (bench dist leg)
+    monkeypatch.undo()
+    forced = {
+        (r.doc_id, r.canonical_id)
+        for r in D.cluster_pairs(pairs, driver_limit=0).collect()
+    }
+    assert forced == slow
+
+
+def test_cluster_pairs_string_ids_take_distributed_path(spark):
+    # r11 (advisor): the numpy driver kernel int64-casts ids, so
+    # non-integral id types must fall through to the type-generic
+    # distributed loop instead of crashing on the default path.
+    rows = [("a", "b"), ("b", "c"), ("x", "y")]
+    pairs = spark.createDataFrame(rows, "a_id string, b_id string")
+    got = {
+        (r.doc_id, r.canonical_id) for r in cluster_pairs(pairs).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"),
+    }

@@ -92,3 +92,38 @@ def test_ntile_multi_driver_vs_distributed_parity(spark, monkeypatch):
         tuple(r) for r in W.global_ntile_multi(df, metrics, ["uid"], 4).collect()
     }
     assert fast == slow and len(fast) > 0
+    # r11: driver_limit=0 must force the same distributed result without
+    # the monkeypatch (the bench's forced-distributed leg contract)
+    monkeypatch.undo()
+    forced = {
+        tuple(r)
+        for r in W.global_ntile_multi(
+            df, metrics, ["uid"], 4, driver_limit=0
+        ).collect()
+    }
+    assert forced == slow
+
+
+def test_ntile_multi_null_metric_falls_back_to_distributed(spark):
+    # r11 (advisor): NULL metric values order differently in numpy (NaN
+    # sorts last) than in Spark (NULL sorts first) — under-the-gate
+    # inputs with nulls must yield the DISTRIBUTED path's buckets.
+    rows = [(1, 10), (2, None), (3, 5), (4, None), (5, 7), (6, 1)]
+    df = spark.createDataFrame(rows, "uid bigint, m bigint")
+    got = {
+        (r.uid, r.q)
+        for r in global_ntile_multi(
+            df, [("m", "q")], tie_cols=["uid"], n_buckets=3
+        ).collect()
+    }
+    want = {
+        (r.uid, r.q)
+        for r in global_ntile_multi(
+            df, [("m", "q")], tie_cols=["uid"], n_buckets=3, driver_limit=0
+        ).collect()
+    }
+    assert got == want
+    # NULLs sort FIRST ascending (Spark semantics): uids 2 and 4 are the
+    # two lowest ranks -> bucket 1
+    d = dict(got)
+    assert d[2] == 1 and d[4] == 1
