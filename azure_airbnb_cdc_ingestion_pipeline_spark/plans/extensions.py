@@ -5979,15 +5979,25 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import sized_shuffle
     from ..session import fan_out
 
+    # shingle-count estimate, computed FIRST (r11): it sizes BOTH the
+    # explode fan-out and the exchange below. One scalar length scan
+    # (no split/explode — chars/token ≈ 6 on any natural corpus; an
+    # over-estimate only adds partitions, which is the safe side).
+    est_rows = int(
+        _t(spark, sf_dir, "documents")
+        .select((F.coalesce(F.sum(F.length("text")), F.lit(0)) / 6).alias("n"))
+        .collect()[0]["n"]
+    )
     # fan_out (r10): the per-position concat_ws + double hash explode is
     # the query's CPU core and ran at the scan's split width (3 tasks on
-    # a 0.6 MB file — 2.3 s serialized on 3 of 32 cores at sf0.1); the
-    # guard is a no-op at real scale where scans already split wide.
-    # Both consumers of `sh` (dup agg + mark-back) re-run the explode,
-    # so one cheap redistribution parallelizes both.
-    d = fan_out(_t(spark, sf_dir, "documents")).withColumn(
-        "__t", F.split(F.lower("text"), " ")
-    )
+    # a 0.6 MB file — 2.3 s serialized on 3 of 32 cores at sf0.1).
+    # r11 (VERDICT task #3): width derives from the SHINGLE count, not
+    # the scan splits — at sf100 the 32 scan-sized map tasks each wrote
+    # ~195 MB of shingle shuffle (TASK_AUDIT_r10); ~1.5 M shingles per
+    # task keeps every map task's exchange write in the tens of MB.
+    d = fan_out(
+        _t(spark, sf_dir, "documents"), rows=est_rows, rows_per_task=1_500_000
+    ).withColumn("__t", F.split(F.lower("text"), " "))
     npos = F.size("__t") - 7
     sh = (
         d.filter(F.size("__t") >= 8)
@@ -6010,26 +6020,24 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.crc32("ps.s").alias("k2"),
         )
     )
-    # shingle-count estimate for exchange sizing: one scalar length
-    # scan (no split/explode — chars/token ≈ 6 on any natural corpus;
-    # an over-estimate only adds partitions, which is the safe side)
-    est_rows = int(
-        _t(spark, sf_dir, "documents")
-        .select((F.coalesce(F.sum(F.length("text")), F.lit(0)) / 6).alias("n"))
-        .collect()[0]["n"]
-    )
+    # r11 (VERDICT task #3, guide §2.3/§2.4): ONE exchange instead of
+    # two. The r9 shape aggregated (k1,k2)→(min,max doc) [full-stream
+    # exchange #1, near-unique keys so no map-side reduction] and then
+    # shuffle-hash-joined the duplicated keys back onto the SAME shingle
+    # stream [full-stream exchange #2] — and because `sh` fed two
+    # consumers, the CPU-heavy explode+double-hash subtree executed
+    # TWICE. The whole-partition window computes the "≥ 2 distinct
+    # docs" test (min ≠ max over the (k1,k2) group) on ONE exchange of
+    # the 28 B (doc_id, p, k1, k2) rows, consuming the explode once;
+    # both window aggregates share one WindowExec (one sort of
+    # ~1.5 M-row partitions under the sized window). Same marked set,
+    # same oracle.
     with sized_shuffle(spark, est_rows, rows_per_task=1_500_000):
-        dup = (
-            sh.groupBy("k1", "k2")
-            .agg(
-                F.min("doc_id").alias("d0"),
-                F.max("doc_id").alias("d1"),
-            )
-            .filter(F.col("d0") != F.col("d1"))
-            .select("k1", "k2")
-        )
+        wk = Window.partitionBy("k1", "k2")
         marked = (
-            sh.join(dup.hint("shuffle_hash"), ["k1", "k2"])
+            sh.withColumn("__d0", F.min("doc_id").over(wk))
+            .withColumn("__d1", F.max("doc_id").over(wk))
+            .filter(F.col("__d0") != F.col("__d1"))
             .select("doc_id", "p")
             .localCheckpoint(eager=True)
         )
