@@ -953,6 +953,89 @@ def _decode_block_seq(
     return prev_dc
 
 
+def _decode_block_ac_prog_spec(reader: _BitReader, tab, row, k: int, se, al) -> int:
+    """Bit-by-bit progressive AC (spectral selection, Ah=0) block decode
+    from coefficient ``k`` — the executable spec and the boundary
+    fallback of the fused loop below. Returns the EOBRUN remaining
+    AFTER this block (0 when the band completed without an EOB)."""
+    while k <= se:
+        rs = _read_symbol(reader, tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("malformed JPEG: AC index overrun")
+        row[k] = _extend(reader.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _decode_block_ac_prog(reader: _BitReader, tab, row, ss, se, al) -> int:
+    """Fused progressive AC (spectral selection, Ah=0) block decode —
+    the r11 fused-LUT treatment of the last per-symbol Python scan loop
+    (r10 fused the sequential one, `_decode_block_seq`). Reader state in
+    locals, buffer filled to ≥ 32 bits (code ≤ 16 + magnitude/EOB-run
+    bits ≤ 15 always fit → one LUT probe + shifts per symbol); the
+    moment a fill stops short — marker or end-of-buffer, exactly where
+    try_fill16 stops — state syncs back and the block finishes on the
+    bit-by-bit spec path above, preserving exact error semantics.
+    Returns the EOBRUN remaining after this block."""
+    lut = tab[1]
+    buf = reader.buf
+    n = len(buf)
+    acc, nbits, pos = reader.acc, reader.nbits, reader.pos
+    k = ss
+    while k <= se:
+        if nbits < 32:
+            while nbits < 32:
+                if pos >= n:
+                    break
+                byte = buf[pos]
+                if byte == 0xFF:
+                    if pos + 1 >= n or buf[pos + 1] != 0x00:
+                        break  # marker / truncation — spec path decides
+                    pos += 2
+                else:
+                    pos += 1
+                acc = ((acc & ((1 << nbits) - 1)) << 8) | byte
+                nbits += 8
+            if nbits < 32:
+                reader.acc, reader.nbits, reader.pos = acc, nbits, pos
+                return _decode_block_ac_prog_spec(reader, tab, row, k, se, al)
+        ent = lut[(acc >> (nbits - 16)) & 0xFFFF]
+        if ent is None:
+            raise ValueError("invalid Huffman code in JPEG scan")
+        rs = ent[0]
+        nbits -= ent[1]
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                nbits -= r
+                eobrun += (acc >> nbits) & ((1 << r) - 1)
+            reader.acc, reader.nbits, reader.pos = acc, nbits, pos
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("malformed JPEG: AC index overrun")
+        nbits -= s
+        v = (acc >> nbits) & ((1 << s) - 1)
+        row[k] = ((v - ((1 << s) - 1)) if v < (1 << (s - 1)) else v) << al
+        k += 1
+    reader.acc, reader.nbits, reader.pos = acc, nbits, pos
+    return 0
+
+
 def _skip_entropy(buf: bytes, pos: int) -> int:
     """Advance past entropy-coded data to the next real marker (skipping
     stuffed 0xFF00 and restart markers)."""
@@ -1176,27 +1259,9 @@ def _decode_progressive(
                     if eobrun > 0:
                         eobrun -= 1
                         continue
-                    k = ss
-                    while k <= se:
-                        rs = _read_symbol(reader, tab)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            eobrun = (1 << r) - 1
-                            if r:
-                                eobrun += reader.bits(r)
-                            break
-                        k += r
-                        if k > se:
-                            raise ValueError(
-                                "malformed JPEG: AC index overrun"
-                            )
-                        coef[ci][by, bx, k] = _extend(
-                            reader.bits(s), s
-                        ) << al
-                        k += 1
+                    eobrun = _decode_block_ac_prog(
+                        reader, tab, coef[ci][by, bx], ss, se, al
+                    )
     return _idct_to_image(
         [c.astype(np.float64) for c in coef], comps, quant, h, w, hmax, vmax
     )

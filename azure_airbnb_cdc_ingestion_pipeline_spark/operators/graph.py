@@ -419,6 +419,10 @@ def copurchase_pagerank(
             deg=deg,
         )
     _persisted: list[DataFrame] = []
+    # (r11 note: int32 keys were tried and measured a no-op — shuffle
+    # rows are UnsafeRow-padded to 8 B per field, so narrower key types
+    # change neither the exchange nor, materially, the RLE-compressed
+    # columnar cache. Kept long.)
     with sized_shuffle(spark, nrows, rows_per_task) as p_n, _unpersist_after(
         _persisted
     ):
@@ -444,6 +448,15 @@ def copurchase_pagerank(
 
         rows = lineitem.select(ok, pk).repartition(p_n, ok)
         occ = rows.groupBy(ok, pk).agg(F.count(F.lit(1)).alias("_m"))
+        # r11 (guide §2.3): the iterated cache is THREE columns — the
+        # old 4th (_sz) was only consumed by the stats build, yet every
+        # iteration re-scanned it (2 cache reads × 5 rounds × 25 % dead
+        # bytes). The build window's sort order (ok) rides into the
+        # cache: InMemoryRelation preserves the cached plan's
+        # outputOrdering, which is what lets every per-iteration and
+        # stats window below run STREAMING (no re-sort — verified in
+        # plans/r11/graph_pagerank_dist plan dumps: one Sort node total,
+        # inside the build).
         li_o = (
             occ.withColumn("_sz", F.sum("_m").over(Window.partitionBy(ok)))
             .filter(F.col("_sz") > F.col("_m"))
@@ -451,7 +464,6 @@ def copurchase_pagerank(
                 F.col(ok).alias("_o"),
                 F.col(pk).alias("_p"),
                 F.col("_m").cast("double").alias("_mm"),
-                F.col("_sz").cast("double").alias("_sz"),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -460,8 +472,15 @@ def copurchase_pagerank(
         # deg = Σ_o m(sz−m) (weighted out-degree), c2 = Σ_o m²/deg (the
         # static coefficient of the self-exclusion term — see loop).
         # Every kept row has sz > m, so _deg > 0 by construction.
+        # _sz is re-derived from the cache by a STREAMING window: a
+        # dropped row (sz == m) is always the ONLY row of its order (a
+        # second part-row makes sz > m for both), so surviving orders
+        # keep all their rows and the re-sum equals the original _sz.
         stats = (
-            li_o.groupBy("_p")
+            li_o.withColumn(
+                "_sz", F.sum("_mm").over(Window.partitionBy("_o"))
+            )
+            .groupBy("_p")
             .agg(
                 F.sum(F.col("_mm") * (F.col("_sz") - F.col("_mm"))).alias("_deg"),
                 F.sum(F.col("_mm") * F.col("_mm")).alias("_sq"),
@@ -512,26 +531,39 @@ def copurchase_pagerank(
         except Exception:
             pass
         if n * 16 <= budget_mb * (1 << 20):
+            # (r11 note: a numpy mapInArrow round kernel — rank vector
+            # as a plain numpy broadcast, segmented reduceat for T —
+            # was tried and REVERTED: the JVM↔Arrow row conversion on
+            # the 60 M-row cache cost ~7 µs/row, 5-10× the whole JVM
+            # stage it replaced; sf10 wall 39 → 151 s. Guide §4.1's
+            # boundary-cost warning, measured.)
             for _it in range(iterations):
                 # x = r/deg; T(o) = Σ_{q∈o} m_q·x(q) — broadcast-join +
-                # complete-mode agg over the ok-clustered cache, no
-                # exchange. contrib(p) = Σ_o m_p·T(o) − r_p·c2(p): the
-                # T join is co-partitioned with li_o (both _o at p_n),
-                # so the ONLY exchange per round is the partial-agged
-                # mm·T partials keyed by part.
+                # STREAMING window sum over the ok-sorted cache (r11,
+                # guide §2.4/§1.2): the r10 loop computed T as a
+                # complete-mode hash aggregate and then shuffle-hash-
+                # joined it BACK onto a second scan of the cache — two
+                # cache reads and three hash-table passes per round.
+                # The whole-partition window emits T on every row of
+                # ONE cache scan with no sort (the cache is already
+                # ordered by _o from the build window) and no hash
+                # state; contrib(p) = Σ_o m_p·T(o) − r_p·c2(p), so the
+                # ONLY exchange per round stays the partial-agged mm·T
+                # partials keyed by part.
                 bx = F.broadcast(
                     ranks.select(
                         F.col("node").alias("_bn"),
                         (F.col("r") / F.col("_deg")).alias("_x"),
                     )
                 )
-                t = (
-                    li_o.join(bx, li_o["_p"] == bx["_bn"])
-                    .groupBy("_o")
-                    .agg(F.sum(F.col("_mm") * F.col("_x")).alias("_t"))
-                )
                 term1 = (
-                    li_o.join(t.hint("shuffle_hash"), "_o")
+                    li_o.join(bx, li_o["_p"] == bx["_bn"])
+                    .withColumn(
+                        "_t",
+                        F.sum(F.col("_mm") * F.col("_x")).over(
+                            Window.partitionBy("_o")
+                        ),
+                    )
                     .select("_p", (F.col("_mm") * F.col("_t")).alias("_c"))
                     .groupBy("_p")
                     .agg(F.sum("_c").alias("_s1"))
@@ -554,13 +586,21 @@ def copurchase_pagerank(
                 # checkpoint every round: re-roots the lineage AND cuts
                 # the only live reference to the previous round's
                 # shuffle files; the forced GC lets ContextCleaner
-                # reclaim them so peak scratch disk holds ~one round's
-                # generation (the sf100 pair-path run filled the disk
-                # without this). Small inputs never reach here — the
-                # dispatch above owns them.
+                # reclaim them so peak scratch disk stays bounded (the
+                # sf100 pair-path run filled the disk without this).
+                # r11: GC every SECOND round — each forced GC on the
+                # 64 g cache-laden heap measured 3-5 s of the ~10 s
+                # per-iteration gaps at sf100, and two retained
+                # generations (~15 GB compressed) are comfortably
+                # bounded. Small inputs never reach here — the dispatch
+                # above owns them.
                 ranks = ranks.localCheckpoint(eager=True)
-                sc._jvm.System.gc()
-            return ranks.select("node", F.col("r").alias("pagerank"))
+                if _it % 2 == 1 or _it + 1 == iterations:
+                    sc._jvm.System.gc()
+            return ranks.select(
+                F.col("node").cast("long").alias("node"),
+                F.col("r").alias("pagerank"),
+            )
 
         # over-budget fallback: second iteration layout partitioned by
         # part key carrying md = m/deg premultiplied — the rank join
@@ -603,7 +643,10 @@ def copurchase_pagerank(
             )
             ranks = ranks.localCheckpoint(eager=True)
             sc._jvm.System.gc()
-        return ranks.select("node", F.col("r").alias("pagerank"))
+        return ranks.select(
+            F.col("node").cast("long").alias("node"),
+            F.col("r").alias("pagerank"),
+        )
 
 
 def copurchase_edges(lineitem: DataFrame, aggregate: bool = True) -> DataFrame:

@@ -530,6 +530,18 @@ def test_copurchase_pagerank_parity_with_pair_path(spark, sf_dir):
     assert set(factored) == set(pair_path)
     for node, r in factored.items():
         assert math.isclose(r, pair_path[node], rel_tol=1e-9), node
+    # r11: ALSO force the factored BIG path (driver_rows=0 disables the
+    # r10 driver kernel, which otherwise owns every under-2M input —
+    # without it this test never exercised the iterated distributed loop)
+    big = {
+        r.node: r.pagerank
+        for r in copurchase_pagerank(
+            li, iterations=5, small_input_rows=0, driver_rows=0
+        ).collect()
+    }
+    assert set(big) == set(pair_path)
+    for node, r in big.items():
+        assert math.isclose(r, pair_path[node], rel_tol=1e-9), node
 
 
 def test_copurchase_pagerank_duplicate_part_multiplicity(spark):
@@ -557,6 +569,17 @@ def test_copurchase_pagerank_duplicate_part_multiplicity(spark):
     assert 40 not in factored
     assert set(factored) == set(pair_path) == {10, 20, 30}
     for node, r in factored.items():
+        assert math.isclose(r, pair_path[node], rel_tol=1e-9), node
+    # r11: the forced big path must reproduce the multiplicity semantics
+    # too (incl. the stats rebuild from the narrowed _sz-free cache)
+    big = {
+        r.node: r.pagerank
+        for r in copurchase_pagerank(
+            li, iterations=4, small_input_rows=0, driver_rows=0
+        ).collect()
+    }
+    assert set(big) == {10, 20, 30}
+    for node, r in big.items():
         assert math.isclose(r, pair_path[node], rel_tol=1e-9), node
 
 
