@@ -220,7 +220,8 @@ def minhash_lsh_pairs(
     # carries the shingle-hash ARRAYS (~10× the scanned text bytes), so
     # partition count follows the row count, not the scan split count —
     # at sf100 the scan-sized cache held ~92 MB tasks (TASK_AUDIT_r09).
-    df = fan_out(df, rows=df.count())
+    n_docs = df.count()
+    df = fan_out(df, rows=n_docs)
     rows = num_hashes // bands
     # ONE shingle pass, persisted: the signature build AND the
     # exact-Jaccard verification both read this frame — tokenizing the
@@ -243,17 +244,25 @@ def minhash_lsh_pairs(
         "id", F.explode(band_structs).alias("bk")
     ).select("id", "bk.band", "bk.bh")
     # r11 (VERDICT task #5 — the wrap's stacked-key trick applied to the
-    # banded self-join): explode the band keys ONCE and repartition the
-    # single stream by (band, bh); both alias sides of the self-join
-    # then share that one exchange (ReusedExchange) and the shuffle_hash
-    # hint keeps the join sort-free on the already-clustered stream. The
-    # r10 shape planned the explode once PER SIDE — two sig-cache
-    # re-reads and two full band-stream exchanges at scale.
-    bkt = buckets.repartition("band", "bh")
-    a = bkt.select(F.col("id").alias("a_id"), "band", "bh")
-    b = bkt.select(F.col("id").alias("b_id"), "band", "bh")
+    # banded self-join), size-gated like hamming_pairs: past ~2 M band
+    # rows, explode the band keys ONCE and repartition the single stream
+    # by (band, bh); both alias sides of the self-join then share that
+    # one exchange (ReusedExchange) and the shuffle_hash hint keeps the
+    # join sort-free on the already-clustered stream. The r10 shape
+    # planned the explode once PER SIDE — two sig-cache re-reads and two
+    # full band-stream exchanges at scale. Below the gate the planner's
+    # broadcast of the tiny exploded side stays cheaper than an
+    # exchange, so the small shape keeps the r10 plan.
+    hint = None
+    if n_docs * bands > 2_000_000:
+        buckets = buckets.repartition("band", "bh")
+        hint = "shuffle_hash"
+    a = buckets.select(F.col("id").alias("a_id"), "band", "bh")
+    b = buckets.select(F.col("id").alias("b_id"), "band", "bh")
+    if hint:
+        b = b.hint(hint)
     cand = (
-        a.join(b.hint("shuffle_hash"), ["band", "bh"])
+        a.join(b, ["band", "bh"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
@@ -606,10 +615,10 @@ def hamming_pairs(
     Hamming filter)."""
     import itertools
 
+    n = fps.count()  # cheap: callers persist fps; also gates the layout
     if scheme is not None:
         c, g = scheme
     else:
-        n = fps.count()
         c, g = (max_distance + 1, 1) if n <= 30_000 else (max_distance + 3, 3)
     if c - max_distance < g:
         raise ValueError(
@@ -650,12 +659,30 @@ def hamming_pairs(
     blocked = sh.select("id", "__fp", F.explode(chunks).alias("c")).select(
         "id", "__fp", "c.ci", "c.cv"
     )
+    # r11 (stacked single-exchange block join, as minhash_lsh_pairs),
+    # size-gated: past ~2 M blocked rows, explode the combo keys ONCE
+    # and repartition the single stream by (ci, cv) — both alias sides
+    # of the self-join share that one exchange (ReusedExchange) and
+    # shuffle_hash keeps it sort-free. The r10 shape exploded per side;
+    # at sf10 the planner then broadcast one 10 M-row exploded side (a
+    # ~7 s single-threaded driver relation build: sf10 simhash 18.5 →
+    # 12.7 s stacked), and at sf100 it exchanged the 100 M-row stream
+    # twice. BELOW the gate the planner's broadcast of the tiny
+    # exploded side is strictly cheaper than any exchange (sf0.1 A/B:
+    # forcing the stacked layout cost +0.5 s on simhash and phash), so
+    # the small shape keeps the r10 plan.
+    join_hint = None
+    if n * len(combos) > 2_000_000:
+        blocked = blocked.repartition("ci", "cv")
+        join_hint = "shuffle_hash"
     a = blocked.select(
         F.col("id").alias("a_id"), F.col("__fp").alias("fa"), "ci", "cv"
     )
     b = blocked.select(
         F.col("id").alias("b_id"), F.col("__fp").alias("fb"), "ci", "cv"
     )
+    if join_hint:
+        b = b.hint(join_hint)
     # Hamming filter BEFORE the pair-dedup shuffle: a pair agreeing on m
     # chunks surfaces m times from the block join, but only pairs inside
     # the distance budget need the dropDuplicates exchange — filtering
