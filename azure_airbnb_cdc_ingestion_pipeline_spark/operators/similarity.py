@@ -413,7 +413,7 @@ def cosine_pairs_lsh(
     weights = (1 << np.arange(num_planes, dtype=np.int64)).astype(np.float64)
     n_tables = num_tables
 
-    def _gemm_buckets(batches):
+    def _gemm_buckets(batches, with_unit: bool = True):
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -426,13 +426,12 @@ def cosine_pairs_lsh(
                 for t in range(n_tables)
             ]
             B = np.stack(cols, axis=1)
-            yield pd.DataFrame(
-                {"id": pdf["id"], "unit": list(U), "bks": list(B)}
-            )
-
-    bucketed = src.mapInPandas(
-        _gemm_buckets, "id long, unit array<double>, bks array<long>"
-    )
+            if with_unit:
+                yield pd.DataFrame(
+                    {"id": pdf["id"], "unit": list(U), "bks": list(B)}
+                )
+            else:
+                yield pd.DataFrame({"id": pdf["id"], "bks": list(B)})
 
     # r7 verify-path dispatch: with the recall guarantee now sized at the
     # caller's THRESHOLD, the table budget is ~17 (identity regime) to
@@ -478,6 +477,17 @@ def cosine_pairs_lsh(
     except Exception:
         pass  # unparseable → trust the env budget
     if n * dim * 8 <= budget_mb * (1 << 20):
+        # r11: the broadcast-verify path never reads the `unit` column
+        # of the bucketize pass (exact vectors come from the broadcast
+        # matrix) — but the r10 kernel still normalized, boxed (list of
+        # 64-double rows → pandas object column) and shipped ~544 B/row
+        # of unit vectors back through Arrow, only for the next select
+        # to drop them. Emit (id, bks) only: sf10 bucketize stage
+        # 9.5 → 6.7 s (wall 23.1 → 20.0 s).
+        bucketed = src.mapInPandas(
+            lambda it: _gemm_buckets(it, with_unit=False),
+            "id long, bks array<long>",
+        )
         # r10 (verdict task #2): the candidate JOIN is gone. The r8 plan
         # shuffled the skinny rows once, then materialized every
         # candidate pair as a JVM row (~1.4 B at the 2 M-vector /
@@ -617,6 +627,9 @@ def cosine_pairs_lsh(
             _pair_gemm, "a_id long, b_id long, cos double"
         ).dropDuplicates(["a_id", "b_id"])
 
+    bucketed = src.mapInPandas(
+        _gemm_buckets, "id long, unit array<double>, bks array<long>"
+    )
     buckets = bucketed.select(
         "id",
         "unit",
