@@ -693,6 +693,18 @@ def _gif_lzw_encode_flat(indices: bytes, min_code_size: int) -> bytes:
         code_parts.append(arr[s:e])
         width_parts.append(lw[s:e])
         cur_w = int(lw[e - 1]) if e > s else w0
+    # end-code width follows the SAME bump rule as the next literal
+    # would (r11, advisor): after the final group's last literal the
+    # decoder's table may hit 2^w exactly (group offsets 254/766/1790 at
+    # min_code_size 8) and a spec decoder bumps BEFORE reading the end
+    # code — writing it at the last literal's width made those exact
+    # sizes unreadable to external decoders (internal ones stop at npix,
+    # so roundtrips never caught it). A full group needs no adjustment:
+    # the table is at the 4096 cap and width stays terminal.
+    if n > 0:
+        nxt = (n - 1) % group + 1
+        if nxt < group:
+            cur_w = int(lit_width(np.asarray([nxt], dtype=np.int64))[0])
     code_parts.append(np.asarray([end], dtype=np.int64))
     width_parts.append(np.asarray([cur_w], dtype=np.int64))
     codes = np.concatenate(code_parts)

@@ -133,3 +133,50 @@ def test_flat_lzw_parity_and_fallback():
             )
         )
         assert bytes(a["pixels"]) == bytes(b["pixels"]) == px.tobytes()
+
+
+def test_flat_lzw_end_code_width_at_bump_boundary():
+    # r11 (advisor): when npix lands so that the final partial clear
+    # group ends EXACTLY at a width-bump offset (254/766/1790 into the
+    # group at min_code_size 8), a spec decoder bumps the width after
+    # the last literal and reads the END code at the NEW width. The
+    # strict reader below demands the explicit end code right after the
+    # last pixel (internal decoders stop at npix and never caught this).
+    import numpy as np
+
+    from azure_airbnb_cdc_ingestion_pipeline_spark.functions import codecs as C
+
+    def strict_spec_read(data: bytes, mcs: int):
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        width, tlen = mcs + 1, end + 1
+        bitpos, out = 0, []
+        buf = np.frombuffer(bytes(data) + b"\x00\x00", dtype=np.uint8)
+        while True:
+            b0 = bitpos >> 3
+            u = int(buf[b0]) | (int(buf[b0 + 1]) << 8) | (int(buf[b0 + 2]) << 16)
+            c = (u >> (bitpos & 7)) & ((1 << width) - 1)
+            bitpos += width
+            if c == end:
+                return bytes(out)
+            if c == clear:
+                width, tlen = mcs + 1, end + 1
+                continue
+            assert c < clear, "dictionary code in a flat stream"
+            out.append(c)
+            tlen += 1
+            if width < 12 and tlen == (1 << width) + 1:
+                # spec: bump when the NEXT entry would not fit — i.e.
+                # table size reached 2^width (tlen counts entries + 1
+                # here because the first literal adds no entry)
+                width += 1
+
+    rng = np.random.default_rng(5)
+    group = 4096 - 258 + 1  # literals per clear group at mcs=8
+    sizes = [254, 766, 1790, group + 254, 255, 253, group, group + 1]
+    for npx in sizes:
+        px = rng.integers(0, 256, npx, dtype=np.uint8).tobytes()
+        flat = C._gif_lzw_encode_flat(px, 8)
+        # internal decoders still roundtrip
+        assert bytes(C._gif_lzw_decode(flat, 8, npx)) == px
+        # and a strict spec reader consumes the whole stream incl. END
+        assert strict_spec_read(flat, 8) == px
