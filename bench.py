@@ -509,14 +509,9 @@ _REG_FLOOR_SEC = 0.3
 #: visible in the artifact, never a silent exemption. Entries are
 #: removed the round after they land (the new wall becomes the
 #: baseline).
-_REBASED: dict[str, str] = {
-    "multimodal_phash_dedup_mixed": (
-        "r10: the mixed-format dedup corpus gained plain + interlaced "
-        "GIF variants and two lossless-WebP (VP8L) variants (10 "
-        "variants/family, was 6) — two new codec families decode per "
-        "row, more work by contract"
-    ),
-}
+_REBASED: dict[str, str] = {}  # r11: r10's mixed-corpus entry landed in
+#  BENCH_r10 (the new corpus IS the baseline now) and is removed per the
+#  one-round contract above.
 
 
 def _previous_round(
